@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.features.{Bars, Indicators, Targets}
+import graft.sqlx.Exact.r4
+import OracleSql._
+
+/** Windowed feature-family queries + DuckDB oracles (reference:
+  * transform_time_series_daily_adjusted.py:160-413). */
+object FeatureQueries {
+
+  /** bars → full windowed indicator + target table (one shuffle). */
+  def featureTable(spark: SparkSession, dir: String): DataFrame =
+    Targets.withTargets(Indicators.windowed(Bars.daily(Tables.events(spark, dir))))
+
+  private def keyed(df: DataFrame, cols: Seq[org.apache.spark.sql.Column]): DataFrame =
+    df.select((Seq(col("symbol_id"), col("date")) ++ cols): _*)
+      .orderBy("symbol_id", "date")
+
+  // ---------------------------------------------------------------- bars
+  private val barsDaily = Q(
+    (s, d) => Bars.daily(Tables.events(s, d)).orderBy("symbol_id", "date"),
+    s"""WITH $barsCte
+       |SELECT symbol_id, date, open, high, low, close, volume
+       |FROM b ORDER BY symbol_id, date""".stripMargin)
+
+  // ---------------------------------------------------------------- sma
+  private val featSma = Q(
+    (s, d) => {
+      val f = featureTable(s, d)
+      keyed(f, col("close") +: Indicators.SmaPeriods.flatMap(p => Seq(
+        r4(col(s"ohlcv_sma_$p")).as(s"sma_$p"),
+        r4(col(s"ohlcv_sma_${p}_ratio")).as(s"sma_${p}_ratio"))))
+    }, {
+      val smaDefs = Indicators.SmaPeriods.map { p =>
+        s"CASE WHEN rn >= $p THEN ${decSum("close", p)}/$p END AS sma_$p"
+      }.mkString(",\n    ")
+      val outs = Indicators.SmaPeriods.flatMap { p =>
+        Seq(rd(s"sma_$p", s"sma_$p"),
+            rd(s"CASE WHEN sma_$p <> 0 THEN close/sma_$p END", s"sma_${p}_ratio"))
+      }.mkString(",\n  ")
+      s"""WITH $barsCte,
+         |f AS (
+         |  SELECT symbol_id, date, close, rn,
+         |    $smaDefs
+         |  FROM b
+         |)
+         |SELECT symbol_id, date, close,
+         |  $outs
+         |FROM f ORDER BY symbol_id, date""".stripMargin
+    })
+
+  // ---------------------------------------------------------------- bollinger
+  private val featBollinger = Q(
+    (s, d) => keyed(featureTable(s, d), Seq(
+      r4(col("ohlcv_bb_upper")).as("bb_upper"),
+      r4(col("ohlcv_bb_middle")).as("bb_middle"),
+      r4(col("ohlcv_bb_lower")).as("bb_lower"),
+      r4(col("ohlcv_bb_width")).as("bb_width"),
+      r4(col("ohlcv_bb_position")).as("bb_position"))),
+    s"""WITH $barsCte,
+       |f AS (
+       |  SELECT symbol_id, date, close, rn,
+       |    ${decSum("close", 20)} AS s1,
+       |    ${decSum("close * close", 20)} AS s2
+       |  FROM b
+       |),
+       |g AS (
+       |  SELECT symbol_id, date, close, rn,
+       |    s1 / 20.0 AS mid,
+       |    SQRT(CASE WHEN (s2 - s1 * s1 / 20.0) / 19.0 > 0.0
+       |              THEN (s2 - s1 * s1 / 20.0) / 19.0 ELSE 0.0 END) AS std
+       |  FROM f
+       |),
+       |h AS (
+       |  SELECT symbol_id, date, close,
+       |    CASE WHEN rn >= 20 THEN mid END AS bb_middle,
+       |    CASE WHEN rn >= 20 THEN mid + 2.0 * std END AS bb_upper,
+       |    CASE WHEN rn >= 20 THEN mid - 2.0 * std END AS bb_lower
+       |  FROM g
+       |)
+       |SELECT symbol_id, date,
+       |  ${rd("bb_upper", "bb_upper")},
+       |  ${rd("bb_middle", "bb_middle")},
+       |  ${rd("bb_lower", "bb_lower")},
+       |  ${rd("CASE WHEN bb_middle <> 0 THEN (bb_upper - bb_lower) / bb_middle END", "bb_width")},
+       |  ${rd("CASE WHEN bb_upper - bb_lower <> 0 THEN (close - bb_lower) / (bb_upper - bb_lower) END", "bb_position")}
+       |FROM h ORDER BY symbol_id, date""".stripMargin)
+
+  // ---------------------------------------------------------------- roc + willr
+  private val featRocWillr = Q(
+    (s, d) => keyed(featureTable(s, d), Seq(
+      r4(col("ohlcv_roc_10")).as("roc_10"),
+      r4(col("ohlcv_roc_20")).as("roc_20"),
+      r4(col("ohlcv_willr_14")).as("willr_14"))),
+    s"""WITH $barsCte,
+       |f AS (
+       |  SELECT symbol_id, date, close, rn,
+       |    lag(close, 10) OVER ($bySymbol) AS prev10,
+       |    lag(close, 20) OVER ($bySymbol) AS prev20,
+       |    MAX(high) ${win(14)} AS hh,
+       |    MIN(low) ${win(14)} AS ll
+       |  FROM b
+       |)
+       |SELECT symbol_id, date,
+       |  ${rd("CASE WHEN prev10 <> 0 THEN (close - prev10) / prev10 * 100.0 END", "roc_10")},
+       |  ${rd("CASE WHEN prev20 <> 0 THEN (close - prev20) / prev20 * 100.0 END", "roc_20")},
+       |  ${rd("CASE WHEN rn >= 14 AND hh - ll <> 0 THEN (hh - close) / (hh - ll) * -100.0 END", "willr_14")}
+       |FROM f ORDER BY symbol_id, date""".stripMargin)
+
+  // ---------------------------------------------------------------- volume + obv
+  private val featVolume = Q(
+    (s, d) => keyed(featureTable(s, d), Seq(
+      r4(col("ohlcv_volume_sma_20")).as("volume_sma_20"),
+      r4(col("ohlcv_volume_sma_50")).as("volume_sma_50"),
+      r4(col("ohlcv_volume_ratio")).as("volume_ratio"))),
+    s"""WITH $barsCte,
+       |f AS (
+       |  SELECT symbol_id, date, volume, rn,
+       |    CASE WHEN rn >= 20 THEN CAST(SUM(volume) ${win(20)} AS DOUBLE) / 20 END AS volume_sma_20,
+       |    CASE WHEN rn >= 50 THEN CAST(SUM(volume) ${win(50)} AS DOUBLE) / 50 END AS volume_sma_50
+       |  FROM b
+       |)
+       |SELECT symbol_id, date,
+       |  ${rd("volume_sma_20", "volume_sma_20")},
+       |  ${rd("volume_sma_50", "volume_sma_50")},
+       |  ${rd("CASE WHEN volume_sma_20 <> 0 THEN CAST(volume AS DOUBLE) / volume_sma_20 END", "volume_ratio")}
+       |FROM f ORDER BY symbol_id, date""".stripMargin)
+
+  private val featObv = Q(
+    (s, d) => keyed(featureTable(s, d), Seq(col("ohlcv_obv").as("obv"))),
+    s"""WITH $barsCte,
+       |f AS (
+       |  SELECT symbol_id, date, volume, close,
+       |    lag(close) OVER ($bySymbol) AS prev
+       |  FROM b
+       |),
+       |g AS (
+       |  SELECT symbol_id, date,
+       |    CASE WHEN prev IS NULL THEN volume
+       |         WHEN close > prev THEN volume
+       |         WHEN close < prev THEN -volume
+       |         ELSE 0 END AS signed
+       |  FROM f
+       |)
+       |SELECT symbol_id, date,
+       |  CAST(SUM(signed) OVER ($bySymbol ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
+       |FROM g ORDER BY symbol_id, date""".stripMargin)
+
+  // ---------------------------------------------------------------- targets
+  private val featTargets = Q(
+    (s, d) => keyed(featureTable(s, d), Seq(5, 10, 20).flatMap(h => Seq(
+      r4(col(s"target_return_${h}d")).as(s"return_${h}d"),
+      r4(col(s"target_log_return_${h}d")).as(s"log_return_${h}d"),
+      col(s"target_direction_${h}d").as(s"direction_${h}d"),
+      col(s"target_ternary_${h}d").as(s"ternary_${h}d")))), {
+      val leads = Seq(5, 10, 20).map(h =>
+        s"lead(close, $h) OVER ($bySymbol) AS fut_$h").mkString(",\n    ")
+      val pcts = Seq(5, 10, 20).map(h =>
+        s"CASE WHEN close <> 0 THEN (fut_$h - close) / close END AS pct_$h," +
+        s" CASE WHEN close <> 0 THEN fut_$h / close WHEN fut_$h IS NOT NULL THEN 1.0 END AS ratio_$h")
+        .mkString(",\n    ")
+      val outs = Seq(5, 10, 20).map(h =>
+        s"""  ${rd(s"pct_$h", s"return_${h}d")},
+           |  ${rd(s"CASE WHEN ratio_$h > 0 THEN ln(ratio_$h) END", s"log_return_${h}d")},
+           |  CAST(CASE WHEN pct_$h > 0 THEN 1 ELSE 0 END AS INTEGER) AS direction_${h}d,
+           |  CAST(CASE WHEN pct_$h IS NULL THEN NULL
+           |       WHEN pct_$h <= -0.02 THEN 0 WHEN pct_$h <= 0.02 THEN 1
+           |       ELSE 2 END AS INTEGER) AS ternary_${h}d""".stripMargin).mkString(",\n")
+      s"""WITH $barsCte,
+         |f AS (
+         |  SELECT symbol_id, date, close,
+         |    $leads
+         |  FROM b
+         |),
+         |g AS (
+         |  SELECT symbol_id, date, close,
+         |    $pcts
+         |  FROM f
+         |)
+         |SELECT symbol_id, date,
+         |$outs
+         |FROM g ORDER BY symbol_id, date""".stripMargin
+    })
+
+  val all: Map[String, Q] = Map(
+    "bars_daily" -> barsDaily,
+    "feat_sma" -> featSma,
+    "feat_bollinger" -> featBollinger,
+    "feat_roc_willr" -> featRocWillr,
+    "feat_volume" -> featVolume,
+    "feat_obv" -> featObv,
+    "feat_targets" -> featTargets)
+}

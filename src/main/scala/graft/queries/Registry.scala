@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One registered operator query: the Spark implementation plus (when the
+  * semantics are SQL-expressible) the DuckDB oracle the driver replays.
+  * Oracle-less entries get the driver's weaker rows-only check and are
+  * covered by ScalaTest golden specs instead (SURVEY.md §6).
+  */
+final case class Q(
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+  def apply(run: (SparkSession, String) => DataFrame, oracle: String): Q =
+    Q(run, Some(oracle))
+}
+
+/** Shared DuckDB oracle SQL fragments. The SQL mirrors the Spark expression
+  * DAG op-for-op: exact decimal sums + identical IEEE scalar math ⇒
+  * bit-identical doubles after ROUND(x, 4) (see graft.sqlx.Exact).
+  */
+object OracleSql {
+  /** OHLCV bars from events (SURVEY.md §1.1 mapping). Pure value selection —
+    * exact across engines. */
+  val barsCte: String =
+    """ev AS (
+      |  SELECT user_id AS symbol_id, CAST(ts AS DATE) AS date, value,
+      |         row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id) AS rn_a,
+      |         row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts DESC, event_id DESC) AS rn_d
+      |  FROM events
+      |),
+      |bars AS (
+      |  SELECT symbol_id, date,
+      |         MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+      |         MAX(value) AS high,
+      |         MIN(value) AS low,
+      |         MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+      |         COUNT(*) AS volume
+      |  FROM ev GROUP BY symbol_id, date
+      |),
+      |b AS (
+      |  SELECT bars.*, row_number() OVER (PARTITION BY symbol_id ORDER BY date) AS rn
+      |  FROM bars
+      |)""".stripMargin
+
+  val bySymbol = "PARTITION BY symbol_id ORDER BY date"
+
+  /** Sliding frame of the trailing p rows. */
+  def win(p: Int): String =
+    s"OVER ($bySymbol ROWS BETWEEN ${p - 1} PRECEDING AND CURRENT ROW)"
+
+  /** Exact decimal windowed sum cast back to double (mirrors Exact.decSum). */
+  def decSum(expr: String, p: Int): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(25,10))) ${win(p)} AS DOUBLE)"
+
+  def rd(expr: String, as: String): String = s"CAST(ROUND($expr, 4) AS DOUBLE) AS $as"
+}
