@@ -23,11 +23,12 @@ object Indicators {
 
   private def nz(den: Column, expr: Column): Column = when(den =!= 0.0, expr)
 
-  /** SMA ladder + close/SMA ratios (ref :160-187). */
-  def withSma(bars: DataFrame): DataFrame = {
+  /** SMA ladder + close/SMA ratios (ref :160-187). The ladder is
+    * configurable like the reference's YAML `ma_periods`. */
+  def withSma(bars: DataFrame, periods: Seq[Int] = SmaPeriods): DataFrame = {
     val rn = row_number().over(BySymbol)
     val withRn = bars.withColumn("rn", rn)
-    SmaPeriods.foldLeft(withRn) { (df, p) =>
+    periods.foldLeft(withRn) { (df, p) =>
       val sma = when(col("rn") >= p, decSum(col("close"), last(p)) / p)
       df.withColumn(s"ohlcv_sma_$p", sma)
         .withColumn(s"ohlcv_sma_${p}_ratio", nz(col(s"ohlcv_sma_$p"), col("close") / col(s"ohlcv_sma_$p")))
@@ -95,6 +96,12 @@ object Indicators {
   /** All windowed features in one pass (single shuffle: every window spec
     * shares partitionBy(symbol_id) ordering, so Catalyst plans one exchange +
     * one sort for the entire ladder). */
-  def windowed(bars: DataFrame): DataFrame =
-    withObv(withVolume(withWillr(withRoc(withBollinger(withSma(bars))))))
+  def windowed(bars: DataFrame, smaPeriods: Seq[Int] = SmaPeriods): DataFrame =
+    withObv(withVolume(withWillr(withRoc(withBollinger(withSma(bars, smaPeriods))))))
+
+  /** 20-day rolling high/low used by the price-breakout strategy
+    * (transform_trading_signals.py:637-639). */
+  def withHighLow(df: DataFrame, p: Int = 20): DataFrame =
+    df.withColumn(s"high_$p", when(col("rn") >= p, max(col("high")).over(last(p))))
+      .withColumn(s"low_$p", when(col("rn") >= p, min(col("low")).over(last(p))))
 }
