@@ -1,0 +1,141 @@
+package graft.fundamentals
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sqlx.Exact._
+
+/** Quarterly fundamental-statement analogs over the TPC-H-ish testdata
+  * (SURVEY.md §1.1): per (customer, fiscal quarter) line items derived from
+  * customer/orders/lineitem, then the reference's three statement transforms
+  * (transform_balance_sheet.py:201-268, transform_cash_flow.py:222-299,
+  * transform_income_statement.py:222-276) — safe-divide ratios
+  * (num/(den+1e-6)), QoQ/YoY pct-change, rolling(4, min 2) volatility,
+  * per-(quarter, sector) percentile ranks, and shock/decline flags.
+  *
+  * Two hash aggregations (orders, lineitem) + a broadcast customer join +
+  * one window pass keyed by symbol — no per-symbol loop, no global window
+  * (ranks partition by quarter×sector).
+  */
+object Statements {
+  private val Eps = 1.0e-6
+  private val BySym = Window.partitionBy("symbol_id").orderBy("fiscal_q")
+  private def frame(p: Int) = BySym.rowsBetween(-(p - 1), 0)
+
+  private def sdiv(num: Column, den: Column): Column = num / (den + lit(Eps))
+
+  /** Quarterly line items. */
+  def base(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("symbol_id"),
+        year(col("o_orderdate")).as("fy"), quarter(col("o_orderdate")).as("fq"))
+      .agg(decSumAgg(col("o_totalprice")).as("tca"))
+    val li = Tables.lineitem(spark, dir).join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("symbol_id"),
+        year(col("o_orderdate")).as("fy"), quarter(col("o_orderdate")).as("fq"))
+      .agg(
+        decSumAgg(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        decSumAgg(col("l_extendedprice") * col("l_discount")).as("opex"),
+        decSumAgg(col("l_extendedprice") * col("l_tax")).as("tcl"),
+        decSumAgg(col("l_quantity")).as("inventory"),
+        decSumAgg(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * col("l_tax")).as("cogs"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey").as("sector"),
+        col("c_mktsegment").as("industry"), greatest(col("c_acctbal"), lit(0.0)).as("cash"))
+    o.join(li, Seq("symbol_id", "fy", "fq"))
+      .join(broadcast(c), col("symbol_id") === col("c_custkey"))
+      .withColumn("fiscal_q", make_date(col("fy"), (col("fq") - 1) * 3 + 1, lit(1)))
+      .withColumn("total_assets", col("tca") + col("cash") + col("inventory"))
+      .withColumn("total_liabilities", col("tcl") + col("opex"))
+      .withColumn("equity", col("total_assets") - col("total_liabilities"))
+      .withColumn("gross_profit", col("revenue") - col("cogs"))
+      .withColumn("operating_income", col("gross_profit") - col("opex"))
+      .withColumn("net_income", col("operating_income") - col("tcl"))
+      .withColumn("ocf", col("operating_income"))
+      .withColumn("capex", col("inventory"))
+      .withColumn("fcf", col("ocf") - abs(col("capex")))
+      .drop("c_custkey")
+  }
+
+  /** pandas rank(pct=True) within a partition: average-rank / non-null count.
+    * avg_rank = cnt_less + (cnt_eq + 1)/2, all window counts (no sort-collect). */
+  def pctRank(v: Column, part: Seq[Column]): Column = {
+    val cntLe = count(v).over(Window.partitionBy(part: _*).orderBy(v)) // default RANGE frame = peers incl.
+    val cntEq = count(v).over(Window.partitionBy(part :+ v: _*))
+    val nTot = count(v).over(Window.partitionBy(part: _*))
+    when(v.isNotNull, (cntLe - cntEq + (cntEq + lit(1)) / lit(2.0)) / nTot)
+  }
+
+  /** pct_change(k, fill_method=None) with the reference's inf→null wash. */
+  private def pctChange(v: Column, k: Int): Column = {
+    val prev = lag(v, k).over(BySym)
+    when(prev =!= 0.0, (v - prev) / prev)
+  }
+
+  /** rolling(4, min_periods=2) sample stddev via a fixed-order two-pass
+    * formula over explicit lags. Epsilon-guarded ratios can reach ~1e12 where
+    * decimal round-trips diverge across engines, so no decimals here — every
+    * IEEE op is in a fixed order, giving bit-identical results. */
+  private def vol4(v: Column): Column = {
+    val ls = (1 to 3).map(k => lag(v, k).over(BySym))
+    val n = least(col("rn"), lit(4)).cast("double")
+    val s = ls.foldLeft(v)((acc, l) => acc + coalesce(l, lit(0.0)))
+    val mean = s / n
+    def sq(c: Column) = when(c.isNotNull, (c - mean) * (c - mean)).otherwise(lit(0.0))
+    val variance = (v +: ls).map(sq).reduce(_ + _) / (n - lit(1.0))
+    when(col("rn") >= 2, sqrt(variance))
+  }
+
+  /** All fbs_/fcf_/fis_ features in one window pass. */
+  def full(spark: SparkSession, dir: String): DataFrame = {
+    val qcol = Seq(col("fiscal_q"))
+    base(spark, dir)
+      .withColumn("rn", row_number().over(BySym))
+      // balance sheet ratios (transform_balance_sheet.py:206-244)
+      .withColumn("fbs_current_ratio", sdiv(col("tca"), col("tcl")))
+      .withColumn("fbs_quick_ratio", sdiv(col("tca") - col("inventory"), col("tcl")))
+      .withColumn("fbs_cash_ratio", sdiv(col("cash"), col("tcl")))
+      .withColumn("fbs_working_capital", col("tca") - col("tcl"))
+      .withColumn("fbs_debt_to_equity", sdiv(col("total_liabilities"), col("equity")))
+      .withColumn("fbs_debt_to_assets", sdiv(col("total_liabilities"), col("total_assets")))
+      .withColumn("fbs_tangible_asset_ratio", sdiv(col("total_assets") - col("inventory"), col("total_assets")))
+      .withColumn("fbs_current_ratio_qoq_pct", pctChange(col("fbs_current_ratio"), 1))
+      .withColumn("fbs_quick_ratio_qoq_pct", pctChange(col("fbs_quick_ratio"), 1))
+      .withColumn("fbs_current_ratio_yoy_pct", pctChange(col("fbs_current_ratio"), 4))
+      .withColumn("fbs_current_ratio_volatility", vol4(col("fbs_current_ratio")))
+      .withColumn("fbs_current_ratio_sector_rank", pctRank(col("fbs_current_ratio"), qcol :+ col("sector")))
+      .withColumn("fbs_current_ratio_industry_rank", pctRank(col("fbs_current_ratio"), qcol :+ col("industry")))
+      .withColumn("fbs_liquidity_shock_flag",
+        when(col("fbs_current_ratio_qoq_pct") < -0.2, 1).otherwise(0))
+      // cash flow (transform_cash_flow.py:222-299)
+      .withColumn("fcf_free_cash_flow", col("fcf"))
+      .withColumn("fcf_ocf_to_capex_ratio", sdiv(col("ocf"), col("capex")))
+      .withColumn("fcf_cash_conversion_ratio", sdiv(col("ocf"), col("net_income")))
+      .withColumn("fcf_capex_intensity", sdiv(col("capex"), col("revenue")))
+      .withColumn("fcf_operating_cf_margin", sdiv(col("ocf"), col("revenue")))
+      .withColumn("fcf_operating_cf_qoq_pct", pctChange(col("ocf"), 1))
+      .withColumn("fcf_free_cash_flow_qoq_pct", pctChange(col("fcf"), 1))
+      .withColumn("fcf_operating_cf_yoy_pct", pctChange(col("ocf"), 4))
+      .withColumn("fcf_free_cash_flow_yoy_pct", pctChange(col("fcf"), 4))
+      .withColumn("fcf_operating_cf_volatility", vol4(col("ocf")))
+      .withColumn("fcf_operating_cf_sector_rank", pctRank(col("ocf"), qcol :+ col("sector")))
+      .withColumn("fcf_free_cash_flow_sector_rank", pctRank(col("fcf"), qcol :+ col("sector")))
+      .withColumn("fcf_negative_free_cash_flow_flag", when(col("fcf") < 0.0, 1).otherwise(0))
+      .withColumn("fcf_cash_burn_flag", when(col("fcf") < 0.0 && col("ocf") < 0.0, 1).otherwise(0))
+      // income statement (transform_income_statement.py:222-276)
+      .withColumn("fis_gross_margin", sdiv(col("gross_profit"), col("revenue")))
+      .withColumn("fis_operating_margin", sdiv(col("operating_income"), col("revenue")))
+      .withColumn("fis_net_margin", sdiv(col("net_income"), col("revenue")))
+      .withColumn("fis_revenue_qoq_pct", pctChange(col("revenue"), 1))
+      .withColumn("fis_net_income_qoq_pct", pctChange(col("net_income"), 1))
+      .withColumn("fis_revenue_yoy_pct", pctChange(col("revenue"), 4))
+      .withColumn("fis_net_income_yoy_pct", pctChange(col("net_income"), 4))
+      .withColumn("fis_revenue_volatility", vol4(col("revenue")))
+      .withColumn("fis_net_margin_sector_rank", pctRank(col("fis_net_margin"), qcol :+ col("sector")))
+      .withColumn("fis_operating_margin_sector_rank", pctRank(col("fis_operating_margin"), qcol :+ col("sector")))
+      .withColumn("fis_negative_net_income_flag", when(col("net_income") < 0.0, 1).otherwise(0))
+      .withColumn("fis_revenue_decline_flag", when(col("fis_revenue_yoy_pct") < 0.0, 1).otherwise(0))
+  }
+}

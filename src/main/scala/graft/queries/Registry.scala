@@ -52,7 +52,7 @@ object OracleSql {
 
   /** Exact decimal windowed sum cast back to double (mirrors Exact.decSum). */
   def decSum(expr: String, p: Int): String =
-    s"CAST(SUM(CAST($expr AS DECIMAL(25,10))) ${win(p)} AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST($expr AS DECIMAL(25,10))) ${win(p)} AS VARCHAR) AS DOUBLE)"
 
   def rd(expr: String, as: String): String = s"CAST(ROUND($expr, 4) AS DOUBLE) AS $as"
 }
