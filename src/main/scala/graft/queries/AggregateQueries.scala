@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.features.SeriesFeatures
+import graft.fundamentals.Insider
+import graft.relational.Summary
+import graft.text.{SentimentAgg, TextAnalysis}
+
+/** Insider / sentiment / series / EDA / summary queries with mirrored DuckDB
+  * oracles. All outputs are raw doubles — every arithmetic DAG is mirrored
+  * op-for-op, so values are bit-identical without rounding. */
+object AggregateQueries {
+
+  private def decAggSql(expr: String): String =
+    s"CAST(CAST(SUM(CAST($expr AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE)"
+
+  // ---------------------------------------------------------------- insider
+  private val txnCte: String =
+    """txn AS (
+      |  SELECT l_suppkey AS symbol_id,
+      |         CAST(l_shipdate AS DATE) AS transaction_date,
+      |         l_orderkey, l_linenumber,
+      |         CASE WHEN l_returnflag = 'R' THEN 'D' ELSE 'A' END AS transaction_type,
+      |         CAST(l_linenumber % 4 AS INTEGER) AS tier,
+      |         (l_partkey % 10 = 0) AS is_owner_10pct,
+      |         CAST(l_quantity AS BIGINT) AS shares,
+      |         l_extendedprice / l_quantity AS price_per_share,
+      |         CAST(CAST(l_quantity AS BIGINT) AS DOUBLE) * (l_extendedprice / l_quantity) AS transaction_value
+      |  FROM lineitem
+      |)""".stripMargin
+
+  private val insiderTxn = Q(
+    (s, d) => Insider.transactions(s, d)
+      .orderBy("symbol_id", "transaction_date", "l_orderkey", "l_linenumber"),
+    s"""WITH $txnCte
+       |SELECT * FROM txn
+       |ORDER BY symbol_id, transaction_date, l_orderkey, l_linenumber""".stripMargin)
+
+  private val insiderAgg = Q(
+    (s, d) => Insider.aggregated(s, d).orderBy("symbol_id", "transaction_date"),
+    {
+      def sharesSum(cond: String, name: String) =
+        s"CAST(SUM(CASE WHEN $cond THEN shares ELSE 0 END) AS BIGINT) AS $name"
+      def valueSum(cond: String, name: String) =
+        s"CAST(CAST(SUM(CASE WHEN $cond THEN CAST(transaction_value AS DECIMAL(25,10)) ELSE CAST(0.0 AS DECIMAL(25,10)) END) AS VARCHAR) AS DOUBLE) AS $name"
+      def cnt(cond: String, name: String) =
+        s"CAST(SUM(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS $name"
+      val cols = Seq("d", "a").flatMap { tl =>
+        val ty = s"transaction_type = '${tl.toUpperCase}'"
+        Seq(sharesSum(ty, s"total_shares_$tl")) ++
+          Insider.Tiers.map(k => sharesSum(s"$ty AND tier = $k", s"total_shares_${tl}_tier_$k")) ++
+          Seq(sharesSum(s"$ty AND is_owner_10pct", s"total_shares_${tl}_10pct_owner"),
+            valueSum(ty, s"total_value_$tl")) ++
+          Insider.Tiers.map(k => valueSum(s"$ty AND tier = $k", s"total_value_${tl}_tier_$k")) ++
+          Seq(valueSum(s"$ty AND is_owner_10pct", s"total_value_${tl}_10pct_owner"))
+      } ++ Seq("d", "a").flatMap { tl =>
+        val ty = s"transaction_type = '${tl.toUpperCase}'"
+        Seq(
+          s"CASE WHEN SUM(CASE WHEN $ty THEN 1 ELSE 0 END) > 0 THEN ${decAggSql(s"CASE WHEN $ty THEN price_per_share END")} / SUM(CASE WHEN $ty THEN 1 ELSE 0 END) END AS avg_price_$tl",
+          cnt(ty, s"transaction_count_$tl"),
+          cnt(s"$ty AND is_owner_10pct", s"transaction_count_${tl}_10pct"))
+      }
+      s"""WITH $txnCte
+         |SELECT symbol_id, transaction_date,
+         |  ${cols.mkString(",\n  ")}
+         |FROM txn GROUP BY symbol_id, transaction_date
+         |ORDER BY symbol_id, transaction_date""".stripMargin
+    })
+
+  // ---------------------------------------------------------------- sentiment
+  private val stmtsCte: String = {
+    val titleCase = SentimentAgg.Titles.zipWithIndex
+      .map { case (t, i) => s"WHEN $i THEN '$t'" }.mkString(" ")
+    """stmts AS (
+      |  SELECT source AS symbol, lang AS quarter,
+      |         CASE CAST(doc_id % 7 AS INTEGER) TITLECASE ELSE NULL END AS title,
+      |         (n_chars % 201 - 100) / 100.0 AS sentiment
+      |  FROM documents
+      |),
+      |classified AS (
+      |  SELECT *,
+      |    CASE
+      |      WHEN UPPER(title) LIKE '%CEO%' OR UPPER(title) LIKE '%CHIEF EXECUTIVE%' OR UPPER(title) LIKE '%CHAIRMAN%' OR UPPER(title) LIKE '%CHAIR%' OR UPPER(title) LIKE '%PRESIDENT%' THEN 'csuite'
+      |      WHEN UPPER(title) LIKE '%CFO%' OR UPPER(title) LIKE '%CHIEF FINANCIAL%' THEN 'cfo'
+      |      WHEN UPPER(title) LIKE '%COO%' OR UPPER(title) LIKE '%CTO%' OR UPPER(title) LIKE '%CIO%' OR UPPER(title) LIKE '%CMO%' OR UPPER(title) LIKE '%CHIEF%' OR UPPER(title) LIKE '%EVP%' OR UPPER(title) LIKE '%SVP%' OR UPPER(title) LIKE '%EXECUTIVE VICE PRESIDENT%' OR UPPER(title) LIKE '%SENIOR VICE PRESIDENT%' THEN 'senior_exec'
+      |      WHEN UPPER(title) LIKE '%VICE PRESIDENT%' OR UPPER(title) LIKE '%VP %' OR UPPER(title) LIKE '%DIRECTOR%' OR UPPER(title) LIKE '%GENERAL COUNSEL%' OR UPPER(title) LIKE '%SECRETARY%' OR UPPER(title) LIKE '%TREASURER%' OR UPPER(title) LIKE '%CONTROLLER%' THEN 'vp_director'
+      |      WHEN UPPER(title) LIKE '%ANALYST%' OR UPPER(title) LIKE '%INVESTOR RELATIONS%' OR UPPER(title) LIKE '%MANAGER%' THEN 'analyst_ir'
+      |      WHEN UPPER(title) LIKE '%MODERATOR%' OR UPPER(title) LIKE '%OPERATOR%' OR UPPER(title) LIKE '%CONFERENCE%' THEN 'external'
+      |      ELSE 'other' END AS role
+      |  FROM stmts
+      |)""".stripMargin.replace("TITLECASE", titleCase)
+  }
+
+  private val sentimentAgg = Q(
+    (s, d) => SentimentAgg.aggregated(s, d).orderBy("symbol", "quarter"),
+    {
+      def avgFor(cond: String, name: String) =
+        s"CASE WHEN SUM(CASE WHEN $cond THEN 1 ELSE 0 END) > 0 THEN ${decAggSql(s"CASE WHEN $cond THEN sentiment END")} / SUM(CASE WHEN $cond THEN 1 ELSE 0 END) END AS $name"
+      val mgmt = "role IN ('csuite', 'cfo', 'senior_exec')"
+      s"""WITH $stmtsCte
+         |SELECT symbol, quarter,
+         |  ${avgFor("role = 'csuite'", "sentiment_csuite")},
+         |  ${avgFor("role = 'cfo'", "sentiment_cfo")},
+         |  ${avgFor("role = 'senior_exec'", "sentiment_senior_exec")},
+         |  ${avgFor("role = 'vp_director'", "sentiment_vp_director")},
+         |  ${avgFor("role = 'analyst_ir'", "sentiment_analyst_ir")},
+         |  ${avgFor(mgmt, "sentiment_management_all")},
+         |  ${avgFor("role <> 'external'", "sentiment_overall")},
+         |  COUNT(*) AS n_statements,
+         |  CAST(SUM(CASE WHEN $mgmt THEN 1 ELSE 0 END) AS BIGINT) AS n_management
+         |FROM classified GROUP BY symbol, quarter
+         |ORDER BY symbol, quarter""".stripMargin
+    })
+
+  // ---------------------------------------------------------------- eda + summary
+  private val textEda = Q(
+    (s, d) => TextAnalysis.eda(s, d).orderBy("source"),
+    """WITH g AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |         CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+      |         COUNT(DISTINCT lang) AS n_langs
+      |  FROM documents GROUP BY source
+      |)
+      |SELECT source, n_docs, avg_chars, n_langs,
+      |       CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE) AS pct_of_total
+      |FROM g ORDER BY source""".stripMargin)
+
+  private val dbSummary = Q(
+    (s, d) => Summary.dbSummary(s, d),
+    s"""SELECT * FROM (
+       |  SELECT 'customer' AS table_name, COUNT(*) AS row_count, ${decAggSql("c_acctbal")} AS value_sum FROM customer
+       |  UNION ALL SELECT 'orders', COUNT(*), ${decAggSql("o_totalprice")} FROM orders
+       |  UNION ALL SELECT 'lineitem', COUNT(*), ${decAggSql("l_extendedprice")} FROM lineitem
+       |  UNION ALL SELECT 'supplier', COUNT(*), ${decAggSql("s_acctbal")} FROM supplier
+       |  UNION ALL SELECT 'part', COUNT(*), ${decAggSql("p_retailprice")} FROM part
+       |  UNION ALL SELECT 'nation', COUNT(*), CAST(SUM(n_regionkey) AS DOUBLE) FROM nation
+       |  UNION ALL SELECT 'region', COUNT(*), CAST(SUM(r_regionkey) AS DOUBLE) FROM region
+       |  UNION ALL SELECT 'events', COUNT(*), ${decAggSql("value")} FROM events
+       |  UNION ALL SELECT 'documents', COUNT(*), CAST(SUM(n_chars) AS DOUBLE) FROM documents
+       |  UNION ALL SELECT 'embeddings', COUNT(*), CAST(SUM(label) AS DOUBLE) FROM embeddings
+       |) ORDER BY table_name""".stripMargin)
+
+  // ---------------------------------------------------------------- series
+  private def seriesOracle(types: Seq[String], p: String): String = {
+    val bySeries = "PARTITION BY series ORDER BY date"
+    def lsum(expr: String, w: Int) =
+      s"CAST(CAST(SUM($expr) OVER ($bySeries ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)"
+    def winCnt(expr: String, w: Int) =
+      s"COUNT($expr) OVER ($bySeries ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW)"
+    def nOf(w: Int) = s"CAST(LEAST(rn, $w) AS DOUBLE)"
+    def zscore(w: Int): String = {
+      val minP = math.max(2, w / 2); val n = nOf(w)
+      val s1 = s"(${lsum("v6", w)} / 1000000.0)"
+      val s2 = s"(${lsum("v6 * v6", w)} / 1.0e12)"
+      val variance = s"($s2 - $s1 * $s1 / $n) / ($n - 1.0)"
+      val std = s"SQRT(CASE WHEN $variance > 0.0 THEN $variance ELSE 0.0 END)"
+      s"CASE WHEN rn >= $minP THEN (value - $s1 / $n) / ($std + 1e-08) END"
+    }
+    def maExpr(w: Int, minP: Int) =
+      s"CASE WHEN rn >= $minP THEN (${lsum("v6", w)} / 1000000.0) / ${nOf(w)} END"
+    def slope(w: Int): String = {
+      val minP = math.max(2, w / 2); val nd = nOf(w)
+      val sy = s"(${lsum("v6", w)} / 1000000.0)"
+      val sxy0 = s"(${lsum("rn * v6", w)} / 1000000.0)"
+      val start = s"CAST(rn - LEAST(rn, $w) + 1 AS DOUBLE)"
+      val sxy = s"($sxy0 - $start * $sy)"
+      val sx = s"(($nd - 1.0) * $nd / 2.0)"
+      val sxx = s"(($nd - 1.0) * $nd * (2.0 * $nd - 1.0) / 6.0)"
+      val denom = s"($nd * $sxx - $sx * $sx)"
+      s"CASE WHEN rn >= $minP AND $denom <> 0.0 THEN ($nd * $sxy - $sx * $sy) / $denom END"
+    }
+    def vol(w: Int, minP: Int): String = {
+      val n = s"CAST(${winCnt(s"${p}_return_1d", w)} AS DOUBLE)"
+      val s1 = s"(${lsum("r6", w)} / 1000000.0)"
+      val s2 = s"(${lsum("r6 * r6", w)} / 1.0e12)"
+      val variance = s"($s2 - $s1 * $s1 / $n) / ($n - 1.0)"
+      s"CASE WHEN $n >= $minP THEN SQRT(CASE WHEN $variance > 0.0 THEN $variance ELSE 0.0 END) END"
+    }
+    def dayRank(v: String): String = {
+      val le = s"COUNT($v) OVER (PARTITION BY date ORDER BY $v)"
+      val eq = s"COUNT($v) OVER (PARTITION BY date, $v)"
+      val n = s"COUNT($v) OVER (PARTITION BY date)"
+      s"CASE WHEN $v IS NOT NULL THEN ($le - $eq + ($eq + 1) / 2.0) / $n END"
+    }
+    def pcSql(k: Int) =
+      s"ROUND(CASE WHEN lag(value, $k) OVER ($bySeries) <> 0 THEN (value - lag(value, $k) OVER ($bySeries)) / lag(value, $k) OVER ($bySeries) END, 6)"
+    val inList = types.map(t => s"'$t'").mkString(", ")
+    val n14 = nOf(14)
+    val g6 = "CASE WHEN r6 > 0 THEN r6 ELSE 0 END"
+    val l6 = "CASE WHEN r6 < 0 THEN -r6 ELSE 0 END"
+    val rsi = s"100.0 - (100.0 / (1.0 + ((${lsum(g6, 14)} / 1000000.0) / $n14) / ((${lsum(l6, 14)} / 1000000.0) / $n14 + 1e-06)))"
+    s"""WITH s AS (
+       |  SELECT event_type AS series, CAST(ts AS DATE) AS date,
+       |         ROUND(${decAggSql("value")} / COUNT(*), 6) AS value
+       |  FROM events WHERE event_type IN ($inList) GROUP BY 1, 2
+       |),
+       |b AS (SELECT s.*, row_number() OVER ($bySeries) AS rn,
+       |        CAST(ROUND(value * 1000000.0) AS BIGINT) AS v6 FROM s),
+       |b1 AS (
+       |  SELECT b.*,
+       |    ${zscore(21)} AS ${p}_price_zscore_21d,
+       |    ${zscore(63)} AS ${p}_price_zscore_63d,
+       |    ${zscore(252)} AS ${p}_price_zscore_252d,
+       |    ${pcSql(1)} AS ${p}_return_1d,
+       |    ${pcSql(5)} AS ${p}_return_5d,
+       |    ${pcSql(21)} AS ${p}_return_21d,
+       |    ${maExpr(5, 3)} / (${maExpr(21, 10)} + 1e-06) AS ${p}_ma5_ma21_ratio,
+       |    ${maExpr(21, 10)} / (${maExpr(63, 30)} + 1e-06) AS ${p}_ma21_ma63_ratio,
+       |    ${slope(21)} AS ${p}_trend_slope_21d,
+       |    ${slope(63)} AS ${p}_trend_slope_63d
+       |  FROM b
+       |),
+       |b2 AS (
+       |  SELECT b1.*, CAST(ROUND(${p}_return_1d * 1000000.0) AS BIGINT) AS r6 FROM b1
+       |),
+       |b3 AS (
+       |  SELECT b2.*,
+       |    ${vol(21, 10)} AS ${p}_volatility_21d,
+       |    ${vol(63, 30)} AS ${p}_volatility_63d,
+       |    CASE WHEN rn >= 7 THEN $rsi END AS ${p}_rsi_14d
+       |  FROM b2
+       |),
+       |b4 AS (
+       |  SELECT b3.*,
+       |    ${dayRank(s"${p}_return_5d")} AS ${p}_return_5d_rank,
+       |    ${dayRank(s"${p}_return_21d")} AS ${p}_return_21d_rank,
+       |    ${dayRank(s"${p}_volatility_21d")} AS ${p}_volatility_21d_rank
+       |  FROM b3
+       |)
+       |SELECT b4.* EXCLUDE (rn, v6, r6),
+       |  CAST(CASE WHEN abs(${p}_price_zscore_21d) > 2.0 THEN 1 ELSE 0 END AS INTEGER) AS ${p}_sharp_move_flag,
+       |  CAST(CASE WHEN ${p}_volatility_21d_rank > 0.75 THEN 1 ELSE 0 END AS INTEGER) AS ${p}_high_volatility_flag
+       |FROM b4 ORDER BY series, date""".stripMargin
+  }
+
+  val CommodityTypes: Seq[String] = Seq("click", "purchase", "view")
+  val EconomicTypes: Seq[String] = Seq("error", "signup")
+
+  private val seriesCommodities = Q(
+    (s, d) => SeriesFeatures.features(s, d, CommodityTypes, "comm")
+      .drop("rn").orderBy("series", "date"),
+    seriesOracle(CommodityTypes, "comm"))
+
+  private val seriesEconomic = Q(
+    (s, d) => SeriesFeatures.features(s, d, EconomicTypes, "econ")
+      .drop("rn").orderBy("series", "date"),
+    seriesOracle(EconomicTypes, "econ"))
+
+  val all: Map[String, Q] = Map(
+    "insider_txn" -> insiderTxn,
+    "insider_agg" -> insiderAgg,
+    "sentiment_agg" -> sentimentAgg,
+    "text_eda" -> textEda,
+    "db_summary" -> dbSummary,
+    "series_commodities" -> seriesCommodities,
+    "series_economic" -> seriesEconomic)
+}

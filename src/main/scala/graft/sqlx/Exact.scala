@@ -37,6 +37,13 @@ object Exact {
   /** Final 4-dp rounding applied to every derived double the oracle checks. */
   def r4(c: Column): Column = round(c, 4)
 
+  /** Parameterized exact windowed sum: for quantized inputs (k-decimal
+    * doubles) pick a scale ≥ the input scale so the double→decimal cast is
+    * exact in both engines (full-mantissa doubles round differently at the
+    * cast in DuckDB vs Spark — quantize first, then sum exactly). */
+  def decSumP(c: Column, w: WindowSpec, precision: Int, scale: Int): Column =
+    sum(c.cast(DecimalType(precision, scale))).over(w).cast("double")
+
   /** Render a double so the SQL literal parses back to the identical bits
     * (17 significant digits round-trips IEEE 754 doubles). */
   def lit17(d: Double): String = {

@@ -1,0 +1,24 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Transcript corpus EDA (transform_earnings_call_transcript_eda.py:33-146):
+  * per-source frequency, average statement size, language spread and
+  * pct-of-total via an unpartitioned window over the already-tiny grouped
+  * result (the only safe place for a global window — grouped cardinality is
+  * the number of sources, not rows). */
+object TextAnalysis {
+  def eda(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+    g.withColumn("pct_of_total",
+      col("n_docs").cast("double") / sum(col("n_docs")).over(Window.partitionBy()).cast("double"))
+  }
+}
