@@ -9,7 +9,8 @@ object SparkEntry {
   /** All registered operator queries (name → impl + optional DuckDB oracle). */
   def registry: Map[String, Q] =
     FeatureQueries.all ++ RecursiveQueries.all ++ SignalQueries.all ++
-      FundamentalQueries.all ++ AggregateQueries.all
+      FundamentalQueries.all ++ AggregateQueries.all ++ LlmQueries.all ++
+      EtlQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Full windowed feature + target table over daily bars. */

@@ -1,0 +1,63 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Cosine similarity search over the embedding table.
+  *
+  * `topK` is the brute-force baseline: broadcast the (small) query set and
+  * score every (query, candidate) pair with a sequential-fold dot product
+  * (codegen'd higher-order functions — no Scala UDF). Similarities are
+  * quantized to 6dp so ranking is deterministic across engines; rank ties
+  * break by vec_id. The scale path is [[HyperplaneLSH]] (bucketed candidate
+  * generation) — brute force is O(Q·N·d) and only correct when Q is small
+  * enough to broadcast.
+  *
+  * `thresholdPairs` is the embedding near-dup operator (all pairs ≥ τ); the
+  * exact variant is quadratic and exists as the oracle-checkable baseline,
+  * with the LSH variant as the production path.
+  */
+object Cosine {
+  /** Sequential left-fold dot product (index order — deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val na = norm(a); val nb = norm(b)
+    when(na =!= 0.0 && nb =!= 0.0, d / (na * nb))
+  }
+
+  private def embeddings(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"), col("label"))
+
+  /** Top-k neighbours for query vectors (vec_id % queryMod == 0), self
+    * excluded. */
+  def topK(spark: SparkSession, dir: String, k: Int = 10, queryMod: Int = 100): DataFrame = {
+    val e = embeddings(spark, dir)
+    val q = e.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val scored = e.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qemb"), col("emb")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** All pairs with cosine ≥ threshold (exact baseline for embedding
+    * near-dup; LSH-bucketed variant in [[HyperplaneLSH]]). */
+  def thresholdPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val e = embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("vec_a"), col("emb").as("ea"))
+    val b = e.select(col("vec_id").as("vec_b"), col("emb").as("eb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), round(cosine(col("ea"), col("eb")), 6).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+}

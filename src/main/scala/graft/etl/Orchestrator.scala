@@ -1,0 +1,57 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.mutable
+
+/** Dependency-ordered daily transform orchestration
+  * (transforms/run_daily_transform.py): each transform declares its
+  * upstream dependencies; `plan` topologically sorts them and `run`
+  * executes in order, reusing results. Deterministic order (lexicographic
+  * tie-break) so runs are reproducible.
+  */
+object Orchestrator {
+  final case class Step(
+      name: String,
+      deps: Seq[String],
+      build: (SparkSession, String, Map[String, DataFrame]) => DataFrame)
+
+  /** Kahn topological sort with stable lexicographic tie-break; throws on
+    * cycles or unknown deps. */
+  def plan(steps: Seq[Step]): Seq[Step] = {
+    val byName = steps.map(s => s.name -> s).toMap
+    steps.foreach(s => s.deps.foreach(d =>
+      require(byName.contains(d), s"unknown dependency '$d' of '${s.name}'")))
+    val indegree = mutable.Map(steps.map(s => s.name -> s.deps.size): _*)
+    val dependents = steps.flatMap(s => s.deps.map(_ -> s.name))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val ready = mutable.SortedSet(steps.filter(_.deps.isEmpty).map(_.name): _*)
+    val out = mutable.ArrayBuffer.empty[Step]
+    while (ready.nonEmpty) {
+      val n = ready.head; ready.remove(n)
+      out += byName(n)
+      dependents.getOrElse(n, Nil).foreach { m =>
+        indegree(m) -= 1
+        if (indegree(m) == 0) ready += m
+      }
+    }
+    require(out.size == steps.size, "dependency cycle detected")
+    out.toSeq
+  }
+
+  def run(spark: SparkSession, dir: String, steps: Seq[Step]): Map[String, DataFrame] = {
+    val results = mutable.LinkedHashMap.empty[String, DataFrame]
+    plan(steps).foreach { s => results(s.name) = s.build(spark, dir, results.toMap) }
+    results.toMap
+  }
+
+  /** The reference's daily pipeline shape: bars → features → signals, with
+    * fundamentals and sentiment independent branches. */
+  def dailyPipeline: Seq[Step] = Seq(
+    Step("bars", Nil, (s, d, _) => graft.features.Bars.daily(graft.Tables.events(s, d))),
+    Step("features", Seq("bars"), (_, _, r) =>
+      graft.features.Recursive.withRecursive(
+        graft.features.Indicators.withHighLow(graft.features.Indicators.windowed(r("bars"))))),
+    Step("signals", Seq("features"), (_, _, r) => graft.signals.Strategies.all(r("features"))),
+    Step("fundamentals", Nil, (s, d, _) => graft.fundamentals.Statements.full(s, d)),
+    Step("sentiment", Nil, (s, d, _) => graft.text.SentimentAgg.aggregated(s, d)))
+}

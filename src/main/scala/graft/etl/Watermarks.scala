@@ -1,0 +1,74 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Incremental-transformation watermark management
+  * (transformation_watermark_manager.py:198-325): a watermark row per symbol
+  * tracks last successful run, failure count and eligibility; stale-symbol
+  * detection is a join-based filter (never a driver loop), and successful
+  * runs update the watermark via a keyed merge.
+  *
+  * At 100 TB the watermark table is tiny relative to the data (one row per
+  * symbol × transformation group) — it broadcasts, so incremental runs touch
+  * only stale partitions of the big table.
+  *
+  * Testdata mapping (SURVEY.md §1.1): watermark state is synthesized
+  * deterministically from `customer`, last_date_processed from `orders`.
+  */
+object Watermarks {
+  val StalenessHours = 24
+
+  /** Synthesized watermark table: symbol universe + run ages + failures. */
+  def watermarkTable(spark: SparkSession, dir: String): DataFrame = {
+    val lastDates = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(max(col("o_orderdate").cast("date")).as("last_date_processed"))
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey").as("symbol_id"),
+        when(col("c_custkey") % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("c_custkey") % 240).as("last_run_age_hours"),
+        (col("c_custkey") % 5).cast("int").as("consecutive_failures"),
+        (col("c_mktsegment") =!= "MACHINERY").as("transformation_eligible"),
+        when(col("c_nationkey") % 10 === 9, "Delisted").otherwise("Active").as("status"))
+      .join(lastDates, col("symbol_id") === col("o_custkey"), "left")
+      .drop("o_custkey")
+  }
+
+  /** get_symbols_needing_transformation (ref :198-270): eligible, <3
+    * consecutive failures, stale (never run or older than the staleness
+    * window), active — or delisted with unprocessed tail. */
+  def staleSymbols(wm: DataFrame, stalenessHours: Int = StalenessHours): DataFrame =
+    wm.where(
+        col("transformation_eligible") &&
+        col("consecutive_failures") < 3 &&
+        (col("last_run_age_hours").isNull || col("last_run_age_hours") >= stalenessHours) &&
+        (col("status") === "Active" ||
+          (col("status") === "Delisted" &&
+            (col("last_date_processed").isNull || col("last_date_processed") < lit("2000-01-01").cast("date")))))
+      .orderBy(col("last_run_age_hours").desc_nulls_first, col("symbol_id"))
+
+  /** update_watermark (ref :272-325) for a batch of processed symbols:
+    * success resets failures and freshens the run timestamp; failure
+    * increments the counter and disables after 3 strikes. */
+  def updateWatermarks(wm: DataFrame, processed: DataFrame, success: Boolean): DataFrame = {
+    val p = processed.select(col("symbol_id").as("p_symbol_id"), lit(true).as("p_hit"))
+    val joined = wm.join(broadcast(p), col("symbol_id") === col("p_symbol_id"), "left")
+    val out =
+      if (success)
+        joined
+          .withColumn("last_run_age_hours",
+            when(col("p_hit"), lit(0L)).otherwise(col("last_run_age_hours")))
+          .withColumn("consecutive_failures",
+            when(col("p_hit"), lit(0)).otherwise(col("consecutive_failures")))
+      else
+        joined
+          .withColumn("consecutive_failures",
+            when(col("p_hit"), col("consecutive_failures") + 1).otherwise(col("consecutive_failures")))
+          .withColumn("transformation_eligible",
+            when(col("p_hit") && col("consecutive_failures") >= 3, lit(false))
+              .otherwise(col("transformation_eligible")))
+    out.drop("p_symbol_id", "p_hit")
+  }
+}

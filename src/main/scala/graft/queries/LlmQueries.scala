@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ann.{Cosine, HyperplaneLSH}
+import graft.dedup.{Exact => ExactDedup, Jaccard, MinHashLSH, SimHash}
+import graft.multimodal.Binary
+import graft.text.Corpus
+
+/** LLM-training-data pipeline queries: dedup, similarity search, text
+  * analysis, multimodal plumbing. Probabilistic operators (MinHash/SimHash/
+  * hyperplane LSH) register rows-only queries and are golden/recall-tested
+  * in specs; everything deterministic carries a mirrored DuckDB oracle. */
+object LlmQueries {
+
+  val JaccardThreshold = 0.2
+  val EmbDedupThreshold = 0.4
+
+  // ---------------------------------------------------------------- dedup
+  private val dedupExact = Q(
+    (s, d) => ExactDedup.dedup(s, d).orderBy("doc_id"),
+    """WITH k AS (
+      |  SELECT doc_id,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS exact_key,
+      |    md5(array_to_string(list_sort(list_distinct(string_split(trim(text), ' '))), ' ')) AS tokenset_key
+      |  FROM documents
+      |)
+      |SELECT doc_id, exact_key, tokenset_key,
+      |  MIN(doc_id) OVER (PARTITION BY exact_key) AS exact_canonical_id,
+      |  COUNT(*) OVER (PARTITION BY exact_key) AS exact_group_size,
+      |  MIN(doc_id) OVER (PARTITION BY tokenset_key) AS tokenset_canonical_id,
+      |  COUNT(*) OVER (PARTITION BY tokenset_key) AS tokenset_group_size,
+      |  doc_id <> MIN(doc_id) OVER (PARTITION BY exact_key) AS is_exact_dup,
+      |  doc_id <> MIN(doc_id) OVER (PARTITION BY tokenset_key) AS is_tokenset_dup
+      |FROM k ORDER BY doc_id""".stripMargin)
+
+  private val dedupJaccard = Q(
+    (s, d) => Jaccard.pairs(s, d, JaccardThreshold).orderBy("doc_a", "doc_b"),
+    s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, list_transform(generate_series(1, len(w) - 2),
+       |                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS ss
+       |    FROM toks), UNNEST(ss) AS t(s)
+       |),
+       |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b, inter, ca.n AS na, cb.n AS nb,
+       |       CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) AS jaccard
+       |FROM pairs JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+       |WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin)
+
+  private val dedupMinhash = Q(
+    (s, d) => MinHashLSH.nearDuplicates(Tables.documents(s, d), JaccardThreshold)
+      .orderBy("doc_a", "doc_b"), None)
+
+  private val dedupSimhash = Q(
+    (s, d) => SimHash.nearDuplicates(Tables.documents(s, d), maxHamming = 3)
+      .orderBy("doc_a", "doc_b"), None)
+
+  // ---------------------------------------------------------------- ann
+  private val annTopk = Q(
+    (s, d) => Cosine.topK(s, d).orderBy("query_id", "rank"),
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id % 100 = 0),
+      |s AS (
+      |  SELECT query_id, vec_id, ROUND(list_cosine_similarity(qemb, emb), 6) AS cosine
+      |  FROM e CROSS JOIN q WHERE vec_id <> query_id
+      |),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank FROM s)
+      |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin)
+
+  private val dedupEmbedding = Q(
+    (s, d) => Cosine.thresholdPairs(s, d, EmbDedupThreshold).orderBy("vec_a", "vec_b"),
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 6) >= $EmbDedupThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin)
+
+  private val annLsh = Q(
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val q = e.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+      HyperplaneLSH.approxTopK(e, q, dim = 64, k = 10).orderBy("query_id", "rank")
+    }, None)
+
+  // ---------------------------------------------------------------- text
+  private val textLangid = Q(
+    (s, d) => Corpus.langId(s, d).orderBy("doc_id"),
+    {
+      def score(words: Seq[String]): String = {
+        val cnts = words.map(w =>
+          s"len(list_filter(string_split(trim(text), ' '), t -> t = '$w'))").mkString(" + ")
+        s"CAST($cnts AS DOUBLE) / CAST(GREATEST(len(string_split(trim(text), ' ')), 1) AS DOUBLE)"
+      }
+      val scoreDefs = Corpus.Profiles.map { case (l, ws) => s"${score(ws)} AS score_$l" }
+      val ordered = Corpus.Profiles.map(_._1)
+      // mirror the Spark fold: nested CASE tracking (bestLang, bestScore)
+      val (blSql, _) = ordered.tail.foldLeft((s"'${ordered.head}'", s"score_${ordered.head}")) {
+        case ((bl, bs), l) =>
+          (s"CASE WHEN score_$l > $bs THEN '$l' ELSE $bl END",
+            s"CASE WHEN score_$l > $bs THEN score_$l ELSE $bs END")
+      }
+      s"""WITH sc AS (
+         |  SELECT doc_id, lang,
+         |    ${scoreDefs.mkString(",\n    ")}
+         |  FROM documents
+         |),
+         |p AS (SELECT sc.*, $blSql AS predicted_lang FROM sc)
+         |SELECT doc_id, lang, predicted_lang, predicted_lang = lang AS is_correct,
+         |  ${ordered.map(l => s"score_$l").mkString(", ")}
+         |FROM p ORDER BY doc_id""".stripMargin
+    })
+
+  private val textQuality = Q(
+    (s, d) => Corpus.quality(s, d).orderBy("doc_id"),
+    """WITH q AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS INTEGER) AS char_len,
+      |    CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS token_cnt,
+      |    CAST(len(list_distinct(string_split(trim(text), ' '))) AS INTEGER) AS uniq_token_cnt,
+      |    CAST(len(regexp_extract_all(text, '[0-9]')) AS INTEGER) AS digit_cnt,
+      |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS INTEGER) AS punct_cnt
+      |  FROM documents
+      |)
+      |SELECT doc_id, char_len, token_cnt, uniq_token_cnt,
+      |  CAST(char_len - (token_cnt - 1) AS DOUBLE) / CAST(token_cnt AS DOUBLE) AS avg_word_len,
+      |  CAST(uniq_token_cnt AS DOUBLE) / CAST(token_cnt AS DOUBLE) AS uniq_ratio,
+      |  CAST(digit_cnt AS DOUBLE) / CAST(GREATEST(char_len, 1) AS DOUBLE) AS digit_ratio,
+      |  punct_cnt,
+      |  LEAST(1.0, CAST(token_cnt AS DOUBLE) / 50.0) * 0.4
+      |    + CAST(uniq_token_cnt AS DOUBLE) / CAST(token_cnt AS DOUBLE) * 0.4
+      |    + (1.0 - LEAST(1.0, CAST(digit_cnt AS DOUBLE) / CAST(GREATEST(char_len, 1) AS DOUBLE) * 10.0)) * 0.2 AS quality_score
+      |FROM q ORDER BY doc_id""".stripMargin)
+
+  private val textTokens = Q(
+    (s, d) => Corpus.tokens(s, d).orderBy("doc_id"),
+    """SELECT doc_id,
+      |  CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS token_count,
+      |  CAST(len(list_distinct(string_split(trim(text), ' '))) AS INTEGER) AS uniq_token_count,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_piece_count,
+      |  CAST(length(text) AS INTEGER) AS char_count
+      |FROM documents ORDER BY doc_id""".stripMargin)
+
+  private val textFingerprint = Q(
+    (s, d) => Corpus.fingerprint(s, d).orderBy("doc_id"),
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+      |  substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 8) AS fingerprint_prefix
+      |FROM documents ORDER BY doc_id""".stripMargin)
+
+  // ---------------------------------------------------------------- multimodal
+  private val mmFeatures = Q(
+    (s, d) => Binary.features(s, d).toDF()
+      .select("doc_id", "media_type", "byte_len", "decoded_width", "decoded_height", "frame_count")
+      .orderBy("doc_id"),
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+      |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+      |       ELSE 'video/mp4' END AS media_type,
+      |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+      |  CAST(n_chars % 64 + 1 AS INTEGER) AS decoded_width,
+      |  CAST(n_chars % 48 + 1 AS INTEGER) AS decoded_height,
+      |  CAST(octet_length(encode(text)) // 16 AS INTEGER) AS frame_count
+      |FROM documents ORDER BY doc_id""".stripMargin)
+
+  val all: Map[String, Q] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_jaccard" -> dedupJaccard,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash,
+    "ann_topk" -> annTopk,
+    "ann_lsh" -> annLsh,
+    "dedup_embedding" -> dedupEmbedding,
+    "text_langid" -> textLangid,
+    "text_quality" -> textQuality,
+    "text_tokens" -> textTokens,
+    "text_fingerprint" -> textFingerprint,
+    "mm_features" -> mmFeatures)
+}

