@@ -21,7 +21,7 @@ object HyperplaneLSH {
   }
 
   /** (vec_id, table, bucket) with optional Hamming-1 multi-probe buckets. */
-  def buckets(vecs: DataFrame, dim: Int, tables: Int = 8, bits: Int = 12,
+  def buckets(vecs: DataFrame, dim: Int, tables: Int = 16, bits: Int = 8,
               multiProbe: Boolean = true): DataFrame = {
     val planes = hyperplanes(dim, tables, bits)
     val bucketUdf = udf { (emb: Seq[Double]) =>

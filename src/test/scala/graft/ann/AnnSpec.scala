@@ -1,0 +1,42 @@
+package graft.ann
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.functions._
+
+/** ANN specs: hyperplane-LSH recall vs the brute-force baseline, and
+  * plan-shape (the LSH candidate join must be a bucket equi-join). */
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val e = graft.Tables.embeddings(spark, sf("sf0.01"))
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+  private lazy val q = e.where(col("vec_id") % 100 === 0)
+    .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+
+  test("hyperplane LSH recall@10 >= 0.8 vs brute force") {
+    val exact = Cosine.topK(spark, sf("sf0.01"), k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = HyperplaneLSH.approxTopK(e, q, dim = 64, k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall@10 = $recall")
+  }
+
+  test("LSH candidate generation has no CartesianProduct") {
+    val plan = HyperplaneLSH.approxTopK(e, q, dim = 64, k = 10)
+      .queryExecution.executedPlan
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("cosine is 1 for identical vectors, 0-guarded for zero vectors") {
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),
+      (2L, Seq(1.0, 0.0, 0.0), Seq(0.0, 0.0, 0.0))
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"), Cosine.cosine(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(math.abs(out(1L).get.asInstanceOf[Double] - 1.0) < 1e-12)
+    assert(out(2L).isEmpty)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Incremental-processing contract (transformation_watermark_manager.py):
+  * a successful run marks symbols fresh, so a second stale scan returns
+  * none of them; failures accumulate and disable at 3 strikes. */
+class EtlSpec extends SparkSpec {
+
+  test("second run touches only symbols not refreshed by the first") {
+    val wm = Watermarks.watermarkTable(spark, sf("sf0.001"))
+    val firstStale = Watermarks.staleSymbols(wm)
+    val n1 = firstStale.count()
+    assert(n1 > 0)
+    val updated = Watermarks.updateWatermarks(wm, firstStale.select("symbol_id"), success = true)
+    val secondStale = Watermarks.staleSymbols(updated)
+    assert(secondStale.count() == 0, "all stale symbols were just refreshed")
+  }
+
+  test("failed runs increment failures and disable after 3 strikes") {
+    val wm = Watermarks.watermarkTable(spark, sf("sf0.001"))
+    val some = Watermarks.staleSymbols(wm).limit(5).select("symbol_id")
+    val after = Watermarks.updateWatermarks(
+      wm.withColumn("consecutive_failures", lit(2)), some, success = false)
+    val hit = after.join(some, "symbol_id")
+    assert(hit.where(col("consecutive_failures") === 3).count() == 5)
+    assert(hit.where(!col("transformation_eligible")).count() == 5)
+  }
+
+  test("universe upsert keeps the latest version per symbol") {
+    val u = SymbolUniverse.universe(spark, sf("sf0.001"))
+    assert(u.groupBy("symbol_id").count().where(col("count") > 1).count() == 0)
+    val v2 = u.where(col("version") === 2).count()
+    val expected = SymbolUniverse.base(spark, sf("sf0.001"))
+      .where(col("symbol_id") % 3 === 0).count()
+    assert(v2 == expected)
+  }
+
+  test("orchestrator plans dependencies before dependents and rejects cycles") {
+    val order = Orchestrator.plan(Orchestrator.dailyPipeline).map(_.name)
+    assert(order.indexOf("bars") < order.indexOf("features"))
+    assert(order.indexOf("features") < order.indexOf("signals"))
+    val cyclic = Seq(
+      Orchestrator.Step("x", Seq("y"), (_, _, _) => null),
+      Orchestrator.Step("y", Seq("x"), (_, _, _) => null))
+    intercept[IllegalArgumentException](Orchestrator.plan(cyclic))
+  }
+
+  test("daily pipeline runs end-to-end on sf0.001") {
+    val results = Orchestrator.run(spark, sf("sf0.001"), Orchestrator.dailyPipeline)
+    assert(results("signals").count() > 0)
+    assert(results("fundamentals").count() > 0)
+  }
+}
