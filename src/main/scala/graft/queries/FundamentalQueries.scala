@@ -243,7 +243,7 @@ object FundamentalQueries {
   private def clipSql(c: String): String =
     s"CASE WHEN $c IS NOT NULL THEN LEAST(GREATEST($c, 0.0), 100.0) END"
 
-  private val scoresOracle: String = {
+  private[queries] val scoresPrelude: String = {
     val boundsCte =
       """fvals AS (SELECT fcf AS v FROM fz WHERE fcf IS NOT NULL),
         |franked AS (SELECT v, row_number() OVER (ORDER BY v) AS frn, COUNT(*) OVER () AS fn FROM fvals),
@@ -306,25 +306,40 @@ object FundamentalQueries {
        |  SELECT sc2.*,
        |    ${clipSql("bs_score")} AS bs_clip, ${clipSql("cf_score")} AS cf_clip, ${clipSql("is_score")} AS is_clip
        |  FROM sc2
-       |)
+       |),
+       |scores AS (
+       |  SELECT symbol_id, fiscal_q,
+       |    ${clipSql("bs_liq")} AS bs_liquidity_score,
+       |    ${clipSql("bs_lev")} AS bs_leverage_score,
+       |    ${clipSql("bs_asset")} AS bs_asset_quality_score,
+       |    bs_clip AS balance_sheet_quality_score,
+       |    ${clipSql("cf_gen")} AS cf_generation_score,
+       |    ${clipSql("cf_eff")} AS cf_efficiency_score,
+       |    ${clipSql("cf_sus")} AS cf_sustainability_score,
+       |    cf_clip AS cash_flow_quality_score,
+       |    ${clipSql("is_prof")} AS is_profitability_score,
+       |    ${clipSql("is_marg")} AS is_margin_score,
+       |    ${clipSql("is_grow")} AS is_growth_score,
+       |    is_clip AS income_statement_quality_score,
+       |    ${clipSql("COALESCE(bs_clip, 50.0) * 0.33 + COALESCE(cf_clip, 50.0) * 0.33 + COALESCE(is_clip, 50.0) * 0.34")} AS overall_quality_score,
+       |    (${clipSql("COALESCE(bs_clip, 50.0) * 0.33 + COALESCE(cf_clip, 50.0) * 0.33 + COALESCE(is_clip, 50.0) * 0.34")}) >= 70.0 AS is_high_quality,
+       |    COALESCE(bs_clip >= 50.0, FALSE) AND COALESCE(cf_clip >= 50.0, FALSE) AND COALESCE(is_clip >= 50.0, FALSE) AS is_investment_grade,
+       |    liquidity_shock_flag = 1 OR cash_burn_flag = 1 OR negative_net_income_flag = 1 AS has_red_flags
+       |  FROM sc3
+       |)""".stripMargin
+  }
+
+  private val scoresOracle: String = {
+    val cols = Seq("bs_liquidity_score", "bs_leverage_score", "bs_asset_quality_score",
+      "balance_sheet_quality_score", "cf_generation_score", "cf_efficiency_score",
+      "cf_sustainability_score", "cash_flow_quality_score", "is_profitability_score",
+      "is_margin_score", "is_growth_score", "income_statement_quality_score",
+      "overall_quality_score").map(c => rd(c, c))
+    s"""$scoresPrelude
        |SELECT symbol_id, fiscal_q,
-       |  ${rd(clipSql("bs_liq"), "bs_liquidity_score")},
-       |  ${rd(clipSql("bs_lev"), "bs_leverage_score")},
-       |  ${rd(clipSql("bs_asset"), "bs_asset_quality_score")},
-       |  ${rd("bs_clip", "balance_sheet_quality_score")},
-       |  ${rd(clipSql("cf_gen"), "cf_generation_score")},
-       |  ${rd(clipSql("cf_eff"), "cf_efficiency_score")},
-       |  ${rd(clipSql("cf_sus"), "cf_sustainability_score")},
-       |  ${rd("cf_clip", "cash_flow_quality_score")},
-       |  ${rd(clipSql("is_prof"), "is_profitability_score")},
-       |  ${rd(clipSql("is_marg"), "is_margin_score")},
-       |  ${rd(clipSql("is_grow"), "is_growth_score")},
-       |  ${rd("is_clip", "income_statement_quality_score")},
-       |  ${rd(clipSql("COALESCE(bs_clip, 50.0) * 0.33 + COALESCE(cf_clip, 50.0) * 0.33 + COALESCE(is_clip, 50.0) * 0.34"), "overall_quality_score")},
-       |  (${clipSql("COALESCE(bs_clip, 50.0) * 0.33 + COALESCE(cf_clip, 50.0) * 0.33 + COALESCE(is_clip, 50.0) * 0.34")}) >= 70.0 AS is_high_quality,
-       |  COALESCE(bs_clip >= 50.0, FALSE) AND COALESCE(cf_clip >= 50.0, FALSE) AND COALESCE(is_clip >= 50.0, FALSE) AS is_investment_grade,
-       |  liquidity_shock_flag = 1 OR cash_burn_flag = 1 OR negative_net_income_flag = 1 AS has_red_flags
-       |FROM sc3 ORDER BY symbol_id, fiscal_q""".stripMargin
+       |  ${cols.mkString(",\n  ")},
+       |  is_high_quality, is_investment_grade, has_red_flags
+       |FROM scores ORDER BY symbol_id, fiscal_q""".stripMargin
   }
 
   private val fundQualityScores = Q(

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** MemoryStream-driven specs for the streaming operators: windowed
+  * aggregation with watermark, watermark-scoped dedup, and gap
+  * sessionization with event-time timeout. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(3600_000L + min * 60_000L)
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  test("windowed aggregation emits finalized windows after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventAggregates.windowedCounts(in.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("winagg").outputMode(OutputMode.Append()).start()
+    in.addData(Ev(1, ts(1), 1, "click", 1.5), Ev(2, ts(5), 2, "click", 2.5), Ev(3, ts(12), 1, "view", 1.0))
+    q.processAllAvailable()
+    in.addData(Ev(4, ts(60), 3, "click", 9.0)) // advances watermark past the first windows
+    q.processAllAvailable()
+    val out = spark.table("winagg").collect()
+    q.stop()
+    val click = out.find(r => r.getAs[String]("event_type") == "click" &&
+      r.getAs[Long]("n_events") == 2)
+    assert(click.isDefined, s"expected finalized click window, got ${out.toSeq}")
+    assert(math.abs(click.get.getAs[Double]("value_sum") - 4.0) < 1e-9)
+  }
+
+  test("dropDuplicatesWithinWatermark removes replayed event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventAggregates.dedupedEvents(in.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName("dedup").outputMode(OutputMode.Append()).start()
+    in.addData(Ev(1, ts(1), 1, "click", 1.0), Ev(1, ts(1), 1, "click", 1.0), Ev(2, ts(2), 1, "view", 2.0))
+    q.processAllAvailable()
+    in.addData(Ev(1, ts(3), 1, "click", 1.0)) // replay inside watermark
+    q.processAllAvailable()
+    val n = spark.table("dedup").count()
+    q.stop()
+    assert(n == 2, s"expected 2 unique events, got $n")
+  }
+
+  test("sessionization closes a session after the inactivity gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Sessionize.Event]
+    val q = Sessionize.sessions(in.toDS())
+      .writeStream.format("memory").queryName("sessions").outputMode(OutputMode.Append()).start()
+    in.addData(
+      Sessionize.Event(1, ts(0), "click", 1.0),
+      Sessionize.Event(1, ts(10), "view", 2.0))
+    q.processAllAvailable()
+    // 40-minute gap then more activity far ahead to advance watermark + timeout
+    in.addData(Sessionize.Event(1, ts(50), "click", 3.0))
+    q.processAllAvailable()
+    in.addData(Sessionize.Event(2, ts(200), "click", 1.0))
+    q.processAllAvailable()
+    val sessions = spark.table("sessions").as[Sessionize.Session].collect()
+    q.stop()
+    assert(sessions.exists(s => s.user_id == 1 && s.n_events == 2 && math.abs(s.value_sum - 3.0) < 1e-9),
+      s"expected closed first session, got ${sessions.toSeq}")
+  }
+}
