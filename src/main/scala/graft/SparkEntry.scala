@@ -13,9 +13,17 @@ object SparkEntry {
       EtlQueries.all ++ BacktestQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Full windowed feature + target table over daily bars. */
-  def entry(spark: SparkSession): DataFrame =
-    FeatureQueries.featureTable(spark, "/root/testdata/sf0.001")
+    * The reference's namesake output end-to-end: bars → windowed + recursive
+    * features → all 11 signal strategies, joined back to signal-day bars. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val bars = graft.features.Bars.daily(graft.Tables.events(spark, dir))
+    val features = graft.features.Recursive.withRecursive(
+      graft.features.Indicators.withHighLow(
+        graft.features.Indicators.windowed(bars, Seq(3, 5, 10, 20, 50))))
+    graft.signals.Strategies.all(features, ribbonPeriods = Seq(3, 5, 10, 20), trendSma = 20)
+      .join(bars, Seq("symbol_id", "date"))
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -36,16 +36,25 @@ object Cosine {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"), col("label"))
 
+  /** Codegen'd cosine from precomputed norms (the pair loop is the hot path:
+    * graft.functions.DotProduct keeps it in whole-stage codegen). */
+  private def fastCos(spark: SparkSession, a: Column, na: Column, b: Column, nb: Column): Column =
+    when(na =!= 0.0 && nb =!= 0.0,
+      graft.functions.GraftFunctions.dot(spark, a, b) / (na * nb))
+
+  private def withNorm(spark: SparkSession, e: DataFrame): DataFrame =
+    e.withColumn("nrm", sqrt(graft.functions.GraftFunctions.dot(spark, col("emb"), col("emb"))))
+
   /** Top-k neighbours for query vectors (vec_id % queryMod == 0), self
     * excluded. */
   def topK(spark: SparkSession, dir: String, k: Int = 10, queryMod: Int = 100): DataFrame = {
-    val e = embeddings(spark, dir)
+    val e = withNorm(spark, embeddings(spark, dir))
     val q = e.where(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"), col("nrm").as("qnrm"))
     val scored = e.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("qemb"), col("emb")), 6).as("cosine"))
+        round(fastCos(spark, col("qemb"), col("qnrm"), col("emb"), col("nrm")), 6).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -53,11 +62,12 @@ object Cosine {
   /** All pairs with cosine ≥ threshold (exact baseline for embedding
     * near-dup; LSH-bucketed variant in [[HyperplaneLSH]]). */
   def thresholdPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val e = embeddings(spark, dir)
-    val a = e.select(col("vec_id").as("vec_a"), col("emb").as("ea"))
-    val b = e.select(col("vec_id").as("vec_b"), col("emb").as("eb"))
+    val e = withNorm(spark, embeddings(spark, dir))
+    val a = e.select(col("vec_id").as("vec_a"), col("emb").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("emb").as("eb"), col("nrm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), round(cosine(col("ea"), col("eb")), 6).as("cosine"))
+      .select(col("vec_a"), col("vec_b"),
+        round(fastCos(spark, col("ea"), col("na"), col("eb"), col("nb")), 6).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 }

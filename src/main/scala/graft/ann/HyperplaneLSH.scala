@@ -20,48 +20,35 @@ object HyperplaneLSH {
     Array.fill(tables, bits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** (vec_id, table, bucket) with optional Hamming-1 multi-probe buckets. */
+  /** (vec_id, table, bucket) with optional Hamming-1 multi-probe buckets.
+    * Fully codegen'd: each bucket bit is the sign of a [[graft.functions.DotProduct]]
+    * against a literal hyperplane — no UDF, no caching, no interpreted path. */
   def buckets(vecs: DataFrame, dim: Int, tables: Int = 16, bits: Int = 8,
               multiProbe: Boolean = true): DataFrame = {
+    val spark = vecs.sparkSession
     val planes = hyperplanes(dim, tables, bits)
-    val bucketUdf = udf { (emb: Seq[Double]) =>
-      if (emb == null) null
-      else {
-        val out = Array.ofDim[Int](tables)
-        var t = 0
-        while (t < tables) {
-          var sig = 0
-          var b = 0
-          while (b < bits) {
-            val plane = planes(t)(b)
-            var s = 0.0
-            var i = 0
-            while (i < plane.length && i < emb.length) { s += plane(i) * emb(i); i += 1 }
-            if (s > 0) sig |= (1 << b)
-            b += 1
-          }
-          out(t) = sig
-          t += 1
-        }
-        out
-      }
-    }
-    val withSig = vecs.select(col("vec_id"), col("emb"),
-      bucketUdf(col("emb")).as("sigs")).where(col("sigs").isNotNull)
-    val base = withSig.select(col("vec_id"),
-      posexplode(col("sigs")).as(Seq("table", "bucket")))
+    def bucketExpr(t: Int): Column = (0 until bits).map { b =>
+      when(graft.functions.GraftFunctions.dot(spark, col("emb"),
+        typedlit(planes(t)(b).toSeq)) > 0.0, 1 << b).otherwise(0)
+    }.reduce(_ + _) // bits are disjoint, + == bitwise or
+    val base = vecs.select(col("vec_id"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("table"), bucketExpr(t).as("bucket"))): _*)).as("bb"))
+      .select(col("vec_id"), col("bb.table"), col("bb.bucket"))
     if (!multiProbe) base
     else {
-      val probes = withSig
-        .select(col("vec_id"), posexplode(col("sigs")).as(Seq("table", "sig")))
-        .select(col("vec_id"), col("table"),
-          explode(array((0 until bits).map(b => col("sig").bitwiseXOR(lit(1 << b))): _*)).as("bucket"))
+      val probes = base.select(col("vec_id"), col("table"),
+        explode(array((0 until bits).map(b =>
+          col("bucket").bitwiseXOR(lit(1 << b))): _*)).as("bucket"))
       base.unionByName(probes).distinct()
     }
   }
 
-  /** Approximate top-k: LSH candidates scored exactly, ranked per query. */
+  /** Approximate top-k: LSH candidates scored exactly (codegen'd dot over
+    * precomputed norms), ranked per query. */
   def approxTopK(vecs: DataFrame, queries: DataFrame, dim: Int, k: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import graft.functions.GraftFunctions.dot
     val vb = buckets(vecs, dim)
     val qb = buckets(queries.withColumnRenamed("query_id", "vec_id")
         .withColumnRenamed("qemb", "emb"), dim)
@@ -69,11 +56,14 @@ object HyperplaneLSH {
     val cand = qb.join(vb, Seq("table", "bucket"))
       .where(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id").distinct()
+    val vn = vecs.withColumn("nrm", sqrt(dot(spark, col("emb"), col("emb"))))
+    val qn = queries.withColumn("qnrm", sqrt(dot(spark, col("qemb"), col("qemb"))))
     val scored = cand
-      .join(vecs, "vec_id")
-      .join(queries, "query_id")
+      .join(vn, "vec_id")
+      .join(qn, "query_id")
       .select(col("query_id"), col("vec_id"),
-        round(Cosine.cosine(col("qemb"), col("emb")), 6).as("cosine"))
+        round(when(col("qnrm") =!= 0.0 && col("nrm") =!= 0.0,
+          dot(spark, col("qemb"), col("emb")) / (col("qnrm") * col("nrm"))), 6).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)

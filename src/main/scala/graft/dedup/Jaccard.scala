@@ -26,10 +26,12 @@ object Jaccard {
     docs.select(col("doc_id"), explode(array_distinct(tri)).as("shingle"))
   }
 
-  def pairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val sh = shingles(Tables.documents(spark, dir))
-    pairsFromShingles(sh, threshold)
-  }
+  private val pairCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  def pairs(spark: SparkSession, dir: String, threshold: Double): DataFrame =
+    pairCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$dir:$threshold",
+      pairsFromShingles(shingles(Tables.documents(spark, dir)), threshold)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   def pairsFromShingles(sh: DataFrame, threshold: Double): DataFrame = {
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))

@@ -73,10 +73,11 @@ object MinHashLSH {
   }
 
   /** LSH candidates verified with exact Jaccard ≥ threshold. */
-  def nearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {
-    val cand = candidates(docs)
-    val verified = Jaccard.pairsFromShingles(Jaccard.shingles(docs), threshold)
-    cand.join(verified, Seq("doc_a", "doc_b"))
+  def nearDuplicates(docs: DataFrame, threshold: Double): DataFrame =
+    nearDuplicates(docs, Jaccard.pairsFromShingles(Jaccard.shingles(docs), threshold))
+
+  /** Variant taking precomputed exact pairs (shared/persisted by callers). */
+  def nearDuplicates(docs: DataFrame, verified: DataFrame): DataFrame =
+    candidates(docs).join(verified, Seq("doc_a", "doc_b"))
       .select("doc_a", "doc_b", "jaccard")
-  }
 }

@@ -59,8 +59,27 @@ object QualityScores {
     df.crossJoin(broadcast(bounds))
   }
 
-  /** Score table over [[Statements.full]] output. */
-  def scores(spark: SparkSession, dir: String): DataFrame = {
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Score table over [[Statements.full]] output (memoized + persisted per
+    * (session, dir) — three enrichment queries share one build). */
+  def scores(spark: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$dir", {
+      import org.apache.spark.sql.functions.col
+      // persist only the score projection: caching the wide statements frame
+      // would defeat column pruning for every consumer
+      build(spark, dir).select(
+        (Seq("symbol_id", "fiscal_q",
+          "bs_liquidity_score", "bs_leverage_score", "bs_asset_quality_score",
+          "balance_sheet_quality_score", "cf_generation_score", "cf_efficiency_score",
+          "cf_sustainability_score", "cash_flow_quality_score", "is_profitability_score",
+          "is_margin_score", "is_growth_score", "income_statement_quality_score",
+          "overall_quality_score", "is_high_quality", "is_investment_grade",
+          "has_red_flags").map(col)): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  private def build(spark: SparkSession, dir: String): DataFrame = {
     val f = withFcfBounds(Statements.full(spark, dir))
     val bsLiquidity = meanOf(
       norm(col("fbs_current_ratio"), 0.5, 2.5),

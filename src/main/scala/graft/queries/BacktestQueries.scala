@@ -16,21 +16,23 @@ object BacktestQueries {
   /** Signals (all 11 strategies, short-ladder config for 30-bar testdata
     * histories) joined with signal-day closes. */
   private def signalsWithClose(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val bars = Bars.daily(Tables.events(s, d))
-    val features = graft.features.Recursive.withRecursive(
-      graft.features.Indicators.withHighLow(
-        graft.features.Indicators.windowed(bars, Seq(3, 5, 10, 20, 50))))
+    val features = SignalQueries.signalFeatures(s, d) // memoized/persisted
     Strategies.all(features, ribbonPeriods = Seq(3, 5, 10, 20), trendSma = 20)
-      .join(bars.select(col("symbol_id"), col("date"), col("close")), Seq("symbol_id", "date"))
+      .join(features.select(col("symbol_id"), col("date"), col("close")), Seq("symbol_id", "date"))
   }
 
+  private val tradeCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+  private def trades(s: org.apache.spark.sql.SparkSession, d: String) =
+    tradeCache.getOrElseUpdate(s"${System.identityHashCode(s)}:$d",
+      Simulator.simulate(signalsWithClose(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private val backtestTrades = Q(
-    (s, d) => Simulator.simulate(signalsWithClose(s, d))
-      .orderBy("trade_strategy", "symbol_id", "entry_date"), None)
+    (s, d) => trades(s, d).orderBy("trade_strategy", "symbol_id", "entry_date"), None)
 
   private val backtestMetrics = Q(
-    (s, d) => Metrics.perStrategy(Simulator.simulate(signalsWithClose(s, d)))
-      .orderBy("trade_strategy"), None)
+    (s, d) => Metrics.perStrategy(trades(s, d)).orderBy("trade_strategy"), None)
 
   // ---------------------------------------------------------------- enrichment
   private val tradesCte: String =

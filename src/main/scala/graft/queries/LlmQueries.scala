@@ -55,7 +55,8 @@ object LlmQueries {
        |ORDER BY doc_a, doc_b""".stripMargin)
 
   private val dedupMinhash = Q(
-    (s, d) => MinHashLSH.nearDuplicates(Tables.documents(s, d), JaccardThreshold)
+    (s, d) => MinHashLSH.nearDuplicates(Tables.documents(s, d),
+        Jaccard.pairs(s, d, JaccardThreshold))
       .orderBy("doc_a", "doc_b"), None)
 
   private val dedupSimhash = Q(

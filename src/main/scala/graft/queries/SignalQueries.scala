@@ -20,12 +20,18 @@ import OracleSql._
   */
 object SignalQueries {
 
-  /** Spark-side feature table for signals. */
-  def signalFeatures(s: SparkSession, d: String): DataFrame = {
-    val bars = Bars.daily(Tables.events(s, d))
-    Recursive.withRecursive(
-      Indicators.withHighLow(Indicators.windowed(bars, Seq(3, 5, 10, 20, 50))))
-  }
+  /** Spark-side feature table for signals — memoized + persisted per
+    * (session, dir): eleven strategy queries and the backtest all reuse one
+    * cached build instead of re-running the shuffle + recursive scan. */
+  private val featCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  def signalFeatures(s: SparkSession, d: String): DataFrame =
+    featCache.getOrElseUpdate(s"${System.identityHashCode(s)}:$d", {
+      val bars = Bars.daily(Tables.events(s, d))
+      Recursive.withRecursive(
+        Indicators.withHighLow(Indicators.windowed(bars, Seq(3, 5, 10, 20, 50))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   private def run(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, d) => f(signalFeatures(s, d))
