@@ -1,0 +1,71 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits — the 100 TB design rules of SURVEY.md §5 asserted
+  * against actual executed plans: column pruning reaches the parquet scan,
+  * filters push down, the windowed feature ladder uses a single exchange,
+  * and no bucketed operator degenerates into a CartesianProduct. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def executed(df: org.apache.spark.sql.DataFrame) = {
+    df.collect() // force AQE to finalize
+    df.queryExecution.executedPlan
+  }
+
+  /** Full traversal incl. AQE stage boundaries (QueryStageExec subplans are
+    * fields, not children). */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val nested = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case r: org.apache.spark.sql.execution.ReusedSubqueryExec => Seq(r.child)
+      case _ => Nil
+    }
+    p +: (p.children ++ nested).flatMap(allNodes)
+  }
+  private def scans(plan: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+    allNodes(plan).collect { case s: FileSourceScanExec => s }
+
+  test("column pruning: bars scan reads only the needed event columns") {
+    val df = graft.features.Bars.daily(graft.Tables.events(spark, sf("sf0.001")))
+    val scan = scans(executed(df)).head
+    val read = scan.requiredSchema.fieldNames.toSet
+    assert(!read.contains("props"), s"props should be pruned, read=$read")
+    assert(read == Set("event_id", "ts", "user_id", "value"), s"read=$read")
+  }
+
+  test("filter pushdown: series features push the event_type filter to the scan") {
+    val df = graft.features.SeriesFeatures.daily(spark, sf("sf0.001"), Seq("click", "view"))
+    val scan = scans(executed(df)).head
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("In(event_type") || pushed.contains("event_type"),
+      s"expected event_type pushdown, got: $pushed")
+  }
+
+  test("windowed feature ladder plans a single shuffle exchange (all specs share the symbol partitioning)") {
+    val bars = graft.features.Bars.daily(graft.Tables.events(spark, sf("sf0.001")))
+    val feats = graft.features.Targets.withTargets(graft.features.Indicators.windowed(bars))
+    val plan = executed(feats)
+    val exchanges = allNodes(plan).collect { case e: ShuffleExchangeExec => e }
+    // one exchange for the bars aggregation, one for the window ladder — and
+    // nothing more despite ~60 window expressions
+    assert(exchanges.size <= 2, s"expected <=2 exchanges, got ${exchanges.size}")
+  }
+
+  test("no registered query degenerates into a CartesianProduct except declared all-pairs baselines") {
+    val allowed = Set("dedup_embedding", "ann_topk") // documented exact all-pairs baselines
+    graft.SparkEntry.registry.foreach { case (name, q) =>
+      if (!allowed(name)) {
+        val plan = q.run(spark, sf("sf0.001")).queryExecution.executedPlan
+        val cart = plan.collect { case c: CartesianProductExec => c }
+        assert(cart.isEmpty, s"$name has a CartesianProduct")
+      }
+    }
+  }
+}
