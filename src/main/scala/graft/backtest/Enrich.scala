@@ -3,8 +3,6 @@ package graft.backtest
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.fundamentals.QualityScores
-import graft.signals.Strategies
 
 /** Trade/signal enrichment (join_fundamentals_to_trades.py:49-185,
   * filter_trades_by_prediction.py:179-270, daily_signal_scorer.py:53-330):

@@ -28,11 +28,6 @@ object Exact {
   /** Exact grouped sum of a double column, returned as double. */
   def decSumAgg(c: Column): Column = sum(dec(c)).cast("double")
 
-  /** Wide-range variant (32 integer digits) for values that can reach ~1e24,
-    * e.g. squares of epsilon-guarded ratios. */
-  def dec38(c: Column): Column = c.cast(DecimalType(38, 6))
-  def dec38Sum(c: Column, w: WindowSpec): Column =
-    sum(dec38(c)).over(w).cast("double")
 
   /** Final 4-dp rounding applied to every derived double the oracle checks. */
   def r4(c: Column): Column = round(c, 4)
