@@ -28,11 +28,154 @@ object BacktestQueries {
       Simulator.simulate(signalsWithClose(s, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** DuckDB mirror of the full simulation: all 11 strategies' signal flags
+    * (SignalQueries.allFlagsSubquery) joined to signal-day closes, then a
+    * recursive CTE stepping the reference's exact trade state machine per
+    * (strategy, symbol) — open on buy outside cooldown, close on sell, force
+    * close at the strategy's last date when the symbol has a row there. */
+  private val simCte: String =
+    s"""${SignalQueries.featCte},
+       |sigall AS (
+       |  ${SignalQueries.allFlagsSubquery}
+       |),
+       |swc AS (
+       |  SELECT g.trade_strategy, g.symbol_id, g.date, g.buy_signal, g.sell_signal, b2.close
+       |  FROM sigall g JOIN b b2 ON g.symbol_id = b2.symbol_id AND g.date = b2.date
+       |),
+       |sw AS (
+       |  SELECT swc.*,
+       |         row_number() OVER (PARTITION BY trade_strategy, symbol_id ORDER BY date) AS srn,
+       |         MAX(date) OVER (PARTITION BY trade_strategy) AS strategy_last_date
+       |  FROM swc
+       |),
+       |sim AS (
+       |  SELECT trade_strategy, symbol_id, date, srn, strategy_last_date, close,
+       |    CASE WHEN buy_signal AND CAST(floor((100000.0 * 0.1) / close) AS BIGINT) > 0 THEN TRUE ELSE FALSE END AS has_pos,
+       |    CASE WHEN buy_signal AND CAST(floor((100000.0 * 0.1) / close) AS BIGINT) > 0 THEN date END AS entry_date,
+       |    CASE WHEN buy_signal AND CAST(floor((100000.0 * 0.1) / close) AS BIGINT) > 0 THEN close END AS entry_price,
+       |    CASE WHEN buy_signal AND CAST(floor((100000.0 * 0.1) / close) AS BIGINT) > 0 THEN CAST(floor((100000.0 * 0.1) / close) AS BIGINT) END AS shares,
+       |    CAST(NULL AS DATE) AS cooldown_exit,
+       |    CAST(NULL AS DATE) AS t_entry_date,
+       |    CAST(NULL AS DOUBLE) AS t_entry_price,
+       |    CAST(NULL AS BIGINT) AS t_shares
+       |  FROM sw WHERE srn = 1
+       |  UNION ALL
+       |  SELECT w.trade_strategy, w.symbol_id, w.date, w.srn, w.strategy_last_date, w.close,
+       |    CASE WHEN w.buy_signal AND NOT p.has_pos
+       |              AND (p.cooldown_exit IS NULL OR w.date - p.cooldown_exit >= 60)
+       |              AND CAST(floor((100000.0 * 0.1) / w.close) AS BIGINT) > 0 THEN TRUE
+       |         WHEN w.sell_signal AND p.has_pos THEN FALSE
+       |         ELSE p.has_pos END AS has_pos,
+       |    CASE WHEN w.buy_signal AND NOT p.has_pos
+       |              AND (p.cooldown_exit IS NULL OR w.date - p.cooldown_exit >= 60)
+       |              AND CAST(floor((100000.0 * 0.1) / w.close) AS BIGINT) > 0 THEN w.date
+       |         WHEN w.sell_signal AND p.has_pos THEN CAST(NULL AS DATE)
+       |         ELSE p.entry_date END AS entry_date,
+       |    CASE WHEN w.buy_signal AND NOT p.has_pos
+       |              AND (p.cooldown_exit IS NULL OR w.date - p.cooldown_exit >= 60)
+       |              AND CAST(floor((100000.0 * 0.1) / w.close) AS BIGINT) > 0 THEN w.close
+       |         WHEN w.sell_signal AND p.has_pos THEN CAST(NULL AS DOUBLE)
+       |         ELSE p.entry_price END AS entry_price,
+       |    CASE WHEN w.buy_signal AND NOT p.has_pos
+       |              AND (p.cooldown_exit IS NULL OR w.date - p.cooldown_exit >= 60)
+       |              AND CAST(floor((100000.0 * 0.1) / w.close) AS BIGINT) > 0
+       |         THEN CAST(floor((100000.0 * 0.1) / w.close) AS BIGINT)
+       |         WHEN w.sell_signal AND p.has_pos THEN CAST(NULL AS BIGINT)
+       |         ELSE p.shares END AS shares,
+       |    CASE WHEN w.sell_signal AND p.has_pos THEN w.date ELSE p.cooldown_exit END AS cooldown_exit,
+       |    CASE WHEN w.sell_signal AND p.has_pos THEN p.entry_date END AS t_entry_date,
+       |    CASE WHEN w.sell_signal AND p.has_pos THEN p.entry_price END AS t_entry_price,
+       |    CASE WHEN w.sell_signal AND p.has_pos THEN p.shares END AS t_shares
+       |  FROM sim p JOIN sw w
+       |    ON w.trade_strategy = p.trade_strategy AND w.symbol_id = p.symbol_id AND w.srn = p.srn + 1
+       |),
+       |trades_sell AS (
+       |  SELECT trade_strategy, symbol_id, t_entry_date AS entry_date, date AS exit_date,
+       |         t_entry_price AS entry_price, close AS exit_price, t_shares AS shares
+       |  FROM sim WHERE t_entry_date IS NOT NULL
+       |),
+       |last_rows AS (
+       |  SELECT * FROM (
+       |    SELECT sim.*, row_number() OVER (PARTITION BY trade_strategy, symbol_id ORDER BY srn DESC) AS rr
+       |    FROM sim) WHERE rr = 1
+       |),
+       |trades_forced AS (
+       |  SELECT trade_strategy, symbol_id, entry_date, date AS exit_date,
+       |         entry_price, close AS exit_price, shares
+       |  FROM last_rows WHERE has_pos AND date = strategy_last_date
+       |),
+       |trades_u AS (SELECT * FROM trades_sell UNION ALL SELECT * FROM trades_forced),
+       |trades_v AS (
+       |  SELECT trades_u.*,
+       |         CAST(exit_date - entry_date AS INTEGER) AS holding_days,
+       |         shares * entry_price AS entry_value,
+       |         shares * exit_price AS exit_value,
+       |         shares * entry_price * 0.001 + shares * exit_price * 0.001 AS commission
+       |  FROM trades_u
+       |),
+       |trades_f AS (
+       |  SELECT trades_v.*,
+       |         exit_value - entry_value - commission AS pnl
+       |  FROM trades_v
+       |),
+       |trades_all AS (
+       |  SELECT trades_f.*, pnl / entry_value * 100.0 AS pnl_pct
+       |  FROM trades_f
+       |)""".stripMargin
+
   private val backtestTrades = Q(
-    (s, d) => trades(s, d).orderBy("trade_strategy", "symbol_id", "entry_date"), None)
+    (s, d) => trades(s, d).orderBy("trade_strategy", "symbol_id", "entry_date"),
+    s"""$simCte
+       |SELECT trade_strategy, symbol_id, entry_date, exit_date, holding_days,
+       |       entry_price, exit_price, shares, pnl, pnl_pct, commission,
+       |       entry_value, exit_value
+       |FROM trades_all
+       |ORDER BY trade_strategy, symbol_id, entry_date""".stripMargin)
 
   private val backtestMetrics = Q(
-    (s, d) => Metrics.perStrategy(trades(s, d)).orderBy("trade_strategy"), None)
+    (s, d) => {
+      import graft.sqlx.Exact.r4
+      val m = Metrics.perStrategy(trades(s, d))
+      m.select(col("trade_strategy") +: m.columns.filterNot(_ == "trade_strategy").map {
+        case c @ ("total_trades" | "winning_trades" | "losing_trades") => col(c)
+        case c => r4(col(c)).as(c)
+      }: _*).orderBy("trade_strategy")
+    },
+    s"""$simCte,
+       |cumed AS (
+       |  SELECT trades_all.*,
+       |    CAST(CAST(SUM(CAST(pnl AS DECIMAL(25,10))) OVER (PARTITION BY trade_strategy ORDER BY exit_date, symbol_id, entry_date) AS VARCHAR) AS DOUBLE) AS cum_pnl
+       |  FROM trades_all
+       |),
+       |capi AS (
+       |  SELECT cumed.*, 100000.0 + cum_pnl AS cum_capital FROM cumed
+       |),
+       |dd AS (
+       |  SELECT capi.*,
+       |    (cum_capital - MAX(cum_capital) OVER (PARTITION BY trade_strategy ORDER BY exit_date, symbol_id, entry_date))
+       |      / MAX(cum_capital) OVER (PARTITION BY trade_strategy ORDER BY exit_date, symbol_id, entry_date) AS drawdown
+       |  FROM capi
+       |)
+       |SELECT trade_strategy,
+       |  COUNT(*) AS total_trades,
+       |  CAST(SUM(CASE WHEN pnl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS winning_trades,
+       |  CAST(SUM(CASE WHEN pnl <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS losing_trades,
+       |  CAST(ROUND(SUM(CASE WHEN pnl > 0 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE) * 100.0, 4) AS DOUBLE) AS win_rate,
+       |  CAST(ROUND(SUM(CAST(pnl AS DECIMAL(25,10))), 4) AS DOUBLE) AS total_return,
+       |  CAST(ROUND(CAST(ROUND(SUM(CAST(pnl AS DECIMAL(25,10))), 4) AS DOUBLE) / 100000.0 * 100.0, 4) AS DOUBLE) AS total_return_pct,
+       |  CAST(ROUND(CAST(ROUND(SUM(CAST(pnl AS DECIMAL(25,10))), 4) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS DOUBLE) AS avg_trade_return,
+       |  CAST(ROUND(CAST(CAST(SUM(CAST(pnl_pct AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS DOUBLE) AS avg_trade_return_pct,
+       |  CAST(ROUND(MIN(drawdown) * 100.0, 4) AS DOUBLE) AS max_drawdown,
+       |  CAST(ROUND(CASE WHEN COUNT(*) > 1 AND SQRT(CASE WHEN (CAST(CAST(SUM(CAST(pnl_pct * pnl_pct AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) - CAST(CAST(SUM(CAST(pnl_pct AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) * CAST(CAST(SUM(CAST(pnl_pct AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE) > 0.0 THEN (CAST(CAST(SUM(CAST(pnl_pct * pnl_pct AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) - CAST(CAST(SUM(CAST(pnl_pct AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) * CAST(CAST(SUM(CAST(pnl_pct AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE) ELSE 0.0 END) <> 0.0
+       |       THEN (CAST(CAST(SUM(CAST(pnl_pct AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / SQRT(CASE WHEN (CAST(CAST(SUM(CAST(pnl_pct * pnl_pct AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) - CAST(CAST(SUM(CAST(pnl_pct AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) * CAST(CAST(SUM(CAST(pnl_pct AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE) > 0.0 THEN (CAST(CAST(SUM(CAST(pnl_pct * pnl_pct AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) - CAST(CAST(SUM(CAST(pnl_pct AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) * CAST(CAST(SUM(CAST(pnl_pct AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE) ELSE 0.0 END) * SQRT(252.0) ELSE 0.0 END, 4) AS DOUBLE) AS sharpe_ratio,
+       |  CAST(ROUND(CASE WHEN abs(CAST(ROUND(SUM(CAST(CASE WHEN pnl < 0 THEN pnl ELSE 0.0 END AS DECIMAL(25,10))), 4) AS DOUBLE)) <> 0.0
+       |       THEN CAST(ROUND(SUM(CAST(CASE WHEN pnl > 0 THEN pnl ELSE 0.0 END AS DECIMAL(25,10))), 4) AS DOUBLE)
+       |            / abs(CAST(ROUND(SUM(CAST(CASE WHEN pnl < 0 THEN pnl ELSE 0.0 END AS DECIMAL(25,10))), 4) AS DOUBLE)) ELSE 0.0 END, 4) AS DOUBLE) AS profit_factor,
+       |  CAST(ROUND(CAST(SUM(holding_days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS DOUBLE) AS avg_holding_days,
+       |  CAST(ROUND(SUM(CAST(commission AS DECIMAL(25,10))), 4) AS DOUBLE) AS total_commission,
+       |  CAST(ROUND(SUM(CAST(CASE WHEN pnl > 0 THEN pnl ELSE 0.0 END AS DECIMAL(25,10))), 4) AS DOUBLE) AS gross_profit,
+       |  CAST(abs(ROUND(SUM(CAST(CASE WHEN pnl < 0 THEN pnl ELSE 0.0 END AS DECIMAL(25,10))), 4)) AS DOUBLE) AS gross_loss
+       |FROM dd GROUP BY trade_strategy ORDER BY trade_strategy""".stripMargin)
 
   // ---------------------------------------------------------------- enrichment
   private val tradesCte: String =

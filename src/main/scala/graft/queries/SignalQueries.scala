@@ -43,7 +43,7 @@ object SignalQueries {
   private val B12 = lit17(Ewm.betaSpan(12)); private val B26 = lit17(Ewm.betaSpan(26))
   private val B9 = lit17(Ewm.betaSpan(9)); private val BW14 = lit17(Ewm.betaWilder(14))
 
-  private val featCte: String = {
+  private[queries] val featCte: String = {
     val macdStep =
       s"(b.close + $B12 * r.n12)/(1.0 + $B12 * r.d12) - (b.close + $B26 * r.n26)/(1.0 + $B26 * r.d26)"
     val smaDefs = Seq(3, 5, 10, 20).map(p =>
@@ -116,6 +116,88 @@ object SignalQueries {
        |FROM s2 WHERE buy_signal OR sell_signal
        |ORDER BY symbol_id, date, buy_signal""".stripMargin
   }
+
+  /** Buy/sell-flag subquery (no strength) for one lag strategy — reused by
+    * the backtest oracle to reconstruct `Strategies.all` in SQL. */
+  private def flagSubquery(name: String, where: String, lags: Seq[(String, String)],
+                           extra: Seq[(String, String)], buy: String, sell: String): String = {
+    val defs = (lags.map { case (c, a) => s"lag($c) OVER ($bySymbol) AS $a" } ++
+      extra.map { case (e, a) => s"$e AS $a" }) match {
+      case Nil => ""
+      case ds => ds.mkString(", ", ", ", "")
+    }
+    s"""SELECT symbol_id, date, buy_signal, sell_signal, '$name' AS trade_strategy
+       |  FROM (SELECT *, CASE WHEN (NOT buy_signal) AND ($sell) THEN TRUE ELSE FALSE END AS sell_signal
+       |        FROM (SELECT *, CASE WHEN $buy THEN TRUE ELSE FALSE END AS buy_signal
+       |              FROM (SELECT *$defs FROM feat WHERE $where)))
+       |  WHERE buy_signal OR sell_signal""".stripMargin
+  }
+
+  private val divergenceFlagSubquery: String =
+    s"""SELECT symbol_id, date, TRUE AS buy_signal, FALSE AS sell_signal,
+       |       'rsi_divergence' AS trade_strategy
+       |  FROM (SELECT symbol_id, date, close, rsi_14,
+       |          lag(close) OVER ($bySymbol) AS pp, lag(rsi_14) OVER ($bySymbol) AS pr
+       |        FROM (SELECT symbol_id, date, close, rsi_14,
+       |                MIN(close) OVER ($bySymbol ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS w_min,
+       |                COUNT(close) OVER ($bySymbol ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS w_cnt
+       |              FROM feat WHERE close IS NOT NULL AND rsi_14 IS NOT NULL)
+       |        WHERE w_cnt = 5 AND w_min = close)
+       |  WHERE close < pp AND rsi_14 > pr
+       |  UNION ALL
+       |  SELECT symbol_id, date, FALSE, TRUE, 'rsi_divergence'
+       |  FROM (SELECT symbol_id, date, close, rsi_14,
+       |          lag(close) OVER ($bySymbol) AS pp, lag(rsi_14) OVER ($bySymbol) AS pr
+       |        FROM (SELECT symbol_id, date, close, rsi_14,
+       |                MAX(close) OVER ($bySymbol ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS w_max,
+       |                COUNT(close) OVER ($bySymbol ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS w_cnt
+       |              FROM feat WHERE close IS NOT NULL AND rsi_14 IS NOT NULL)
+       |        WHERE w_cnt = 5 AND w_max = close)
+       |  WHERE close > pp AND rsi_14 < pr""".stripMargin
+
+  /** All 11 strategies' flags, UNION ALL — the SQL mirror of
+    * `Strategies.all(features, Seq(3,5,10,20), 20)` minus strength. */
+  private[queries] val allFlagsSubquery: String = Seq(
+    flagSubquery("ema_crossover", "ema_8 IS NOT NULL AND ema_21 IS NOT NULL",
+      Seq("ema_8" -> "p8", "ema_21" -> "p21"), Nil,
+      "p8 <= p21 AND ema_8 > ema_21", "p8 >= p21 AND ema_8 < ema_21"),
+    flagSubquery("rsi_mean_reversion", "rsi_14 IS NOT NULL",
+      Seq("rsi_14" -> "prsi"), Nil,
+      "prsi <= 30.0 AND rsi_14 > 30.0", "prsi >= 70.0 AND rsi_14 < 70.0"),
+    flagSubquery("rsi_crossing", "rsi_14 IS NOT NULL",
+      Seq("rsi_14" -> "prsi"), Nil,
+      "prsi <= 30.0 AND rsi_14 > 30.0 AND rsi_14 < 70.0",
+      "prsi >= 70.0 AND rsi_14 < 70.0 AND rsi_14 > 30.0"),
+    flagSubquery("macd_histogram_reversal", "macd_histogram IS NOT NULL",
+      Seq("macd_histogram" -> "ph"), Nil,
+      "ph <= 0.0 AND macd_histogram > 0.0", "ph >= 0.0 AND macd_histogram < 0.0"),
+    flagSubquery("bollinger_breakout",
+      "close IS NOT NULL AND bb_upper IS NOT NULL AND bb_lower IS NOT NULL",
+      Seq("close" -> "pc", "bb_upper" -> "pu", "bb_lower" -> "pl"), Nil,
+      "pc <= pu AND close > bb_upper", "pc >= pl AND close < bb_lower"),
+    flagSubquery("volume_spike",
+      "close IS NOT NULL AND volume IS NOT NULL AND volume_sma_20 IS NOT NULL AND volume_sma_20 <> 0",
+      Seq("close" -> "pc"), Seq("CAST(volume AS DOUBLE) / volume_sma_20" -> "vr"),
+      "vr > 2.0 AND (close - pc) / pc * 100.0 > 2.0",
+      "vr > 2.0 AND (close - pc) / pc * 100.0 < -2.0"),
+    flagSubquery("williams_extremes", "willr_14 IS NOT NULL",
+      Seq("willr_14" -> "pw"), Nil,
+      "pw <= -80.0 AND willr_14 > -80.0", "pw >= -20.0 AND willr_14 < -20.0"),
+    flagSubquery("ma_ribbon",
+      "close IS NOT NULL AND sma_3 IS NOT NULL AND sma_5 IS NOT NULL AND sma_10 IS NOT NULL AND sma_20 IS NOT NULL",
+      Nil, Nil,
+      "close > sma_3 AND sma_3 > sma_5 AND sma_5 > sma_10 AND sma_10 > sma_20",
+      "close < sma_3 AND sma_3 < sma_5 AND sma_5 < sma_10 AND sma_10 < sma_20"),
+    flagSubquery("price_breakout", "high_20 IS NOT NULL AND low_20 IS NOT NULL",
+      Seq("high_20" -> "phh", "low_20" -> "pll"), Nil,
+      "high > phh", "low < pll"),
+    divergenceFlagSubquery,
+    flagSubquery("trend_following",
+      "close IS NOT NULL AND sma_20 IS NOT NULL AND ema_8 IS NOT NULL AND ema_21 IS NOT NULL AND rsi_14 IS NOT NULL",
+      Nil, Nil,
+      "close > sma_20 AND ema_8 > ema_21 AND rsi_14 > 50.0",
+      "close < sma_20 AND ema_8 < ema_21 AND rsi_14 < 50.0")
+  ).mkString("\n  UNION ALL\n  ")
 
   private val sigEmaCrossover = Q(
     run(Strategies.emaCrossover),
