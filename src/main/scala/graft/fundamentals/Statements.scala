@@ -88,8 +88,16 @@ object Statements {
     when(col("rn") >= 2, sqrt(variance))
   }
 
-  /** All fbs_/fcf_/fis_ features in one window pass. */
-  def full(spark: SparkSession, dir: String): DataFrame = {
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** All fbs_/fcf_/fis_ features in one window pass (memoized + persisted
+    * per (session, dir): three statement queries + the score build share
+    * one evaluation; the frame is small — one row per customer-quarter). */
+  def full(spark: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$dir",
+      build(spark, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def build(spark: SparkSession, dir: String): DataFrame = {
     val qcol = Seq(col("fiscal_q"))
     base(spark, dir)
       .withColumn("rn", row_number().over(BySym))
