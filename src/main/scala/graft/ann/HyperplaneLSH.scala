@@ -21,20 +21,23 @@ object HyperplaneLSH {
   }
 
   /** (vec_id, table, bucket) with optional Hamming-1 multi-probe buckets.
-    * Fully codegen'd: each bucket bit is the sign of a [[graft.functions.DotProduct]]
-    * against a literal hyperplane — no UDF, no caching, no interpreted path. */
+    * The hyperplanes ship as a broadcast table (tables×bits rows) rather
+    * than inline literals — 8k double literals bloat codegen/plan
+    * serialization — and each bit is a codegen'd [[graft.functions.DotProduct]]
+    * sign; bits assemble into buckets with a hash aggregation. */
   def buckets(vecs: DataFrame, dim: Int, tables: Int = 16, bits: Int = 8,
               multiProbe: Boolean = true): DataFrame = {
     val spark = vecs.sparkSession
+    import spark.implicits._
     val planes = hyperplanes(dim, tables, bits)
-    def bucketExpr(t: Int): Column = (0 until bits).map { b =>
-      when(graft.functions.GraftFunctions.dot(spark, col("emb"),
-        typedlit(planes(t)(b).toSeq)) > 0.0, 1 << b).otherwise(0)
-    }.reduce(_ + _) // bits are disjoint, + == bitwise or
-    val base = vecs.select(col("vec_id"),
-        explode(array((0 until tables).map(t =>
-          struct(lit(t).as("table"), bucketExpr(t).as("bucket"))): _*)).as("bb"))
-      .select(col("vec_id"), col("bb.table"), col("bb.bucket"))
+    val planesDf = (for { t <- 0 until tables; b <- 0 until bits }
+      yield (t, b, planes(t)(b).toSeq)).toDF("table", "bit", "plane")
+    val base = vecs.crossJoin(broadcast(planesDf))
+      .select(col("vec_id"), col("table"),
+        when(graft.functions.GraftFunctions.dot(spark, col("emb"), col("plane")) > 0.0,
+          expr("shiftleft(1, bit)")).otherwise(0).as("bitval"))
+      .groupBy("vec_id", "table")
+      .agg(sum(col("bitval")).cast("int").as("bucket"))
     if (!multiProbe) base
     else {
       val probes = base.select(col("vec_id"), col("table"),
