@@ -82,6 +82,26 @@ object Indicators {
       nz(col("ohlcv_volume_sma_20"), col("volume").cast("double") / col("ohlcv_volume_sma_20")))
   }
 
+  /** Chaikin Money Flow(20) + Accumulation/Distribution line (ref :344-350):
+    * money-flow multiplier ((c−l)−(h−c))/(h−l), 0 on flat bars; the money
+    * flow volume is quantized to 6dp so its running/window sums are exact
+    * across engines (SURVEY §6). */
+  def withCmfAd(df: DataFrame, p: Int = 20): DataFrame = {
+    val mfm = when(col("high") - col("low") =!= 0.0,
+      ((col("close") - col("low")) - (col("high") - col("close"))) / (col("high") - col("low")))
+      .otherwise(0.0)
+    val mfv = round(mfm * col("volume").cast("double"), 6)
+    val volSum = sum(col("volume")).over(last(p)).cast("double")
+    df.withColumn("mfv6", mfv)
+      .withColumn(s"ohlcv_cmf",
+        when(col("rn") >= p && volSum =!= 0.0,
+          decSumP(col("mfv6"), last(p), 30, 12) / volSum))
+      .withColumn("ohlcv_ad",
+        sum(col("mfv6").cast(org.apache.spark.sql.types.DecimalType(30, 12)))
+          .over(BySymbol.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
+      .drop("mfv6")
+  }
+
   /** On-balance volume: cumulative signed volume, exact integer running sum
     * (ref :338). First bar counts positive. */
   def withObv(df: DataFrame): DataFrame = {
@@ -97,7 +117,7 @@ object Indicators {
     * shares partitionBy(symbol_id) ordering, so Catalyst plans one exchange +
     * one sort for the entire ladder). */
   def windowed(bars: DataFrame, smaPeriods: Seq[Int] = SmaPeriods): DataFrame =
-    withObv(withVolume(withWillr(withRoc(withBollinger(withSma(bars, smaPeriods))))))
+    withCmfAd(withObv(withVolume(withWillr(withRoc(withBollinger(withSma(bars, smaPeriods)))))))
 
   /** 20-day rolling high/low used by the price-breakout strategy
     * (transform_trading_signals.py:637-639). */

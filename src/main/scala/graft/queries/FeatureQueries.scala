@@ -129,6 +129,21 @@ object FeatureQueries {
        |  ${rd("CASE WHEN volume_sma_20 <> 0 THEN CAST(volume AS DOUBLE) / volume_sma_20 END", "volume_ratio")}
        |FROM f ORDER BY symbol_id, date""".stripMargin)
 
+  private val featCmfAd = Q(
+    (s, d) => keyed(featureTable(s, d), Seq(
+      r4(col("ohlcv_cmf")).as("cmf"),
+      r4(col("ohlcv_ad")).as("ad"))),
+    s"""WITH $barsCte,
+       |f AS (
+       |  SELECT symbol_id, date, volume, rn,
+       |    ROUND(CASE WHEN high - low <> 0 THEN ((close - low) - (high - close)) / (high - low) ELSE 0.0 END * CAST(volume AS DOUBLE), 6) AS mfv6
+       |  FROM b
+       |)
+       |SELECT symbol_id, date,
+       |  ${rd(s"CASE WHEN rn >= 20 AND CAST(SUM(volume) ${win(20)} AS DOUBLE) <> 0 THEN CAST(CAST(SUM(CAST(mfv6 AS DECIMAL(30,12))) ${win(20)} AS VARCHAR) AS DOUBLE) / CAST(SUM(volume) ${win(20)} AS DOUBLE) END", "cmf")},
+       |  ${rd(s"CAST(CAST(SUM(CAST(mfv6 AS DECIMAL(30,12))) OVER ($bySymbol ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE)", "ad")}
+       |FROM f ORDER BY symbol_id, date""".stripMargin)
+
   private val featObv = Q(
     (s, d) => keyed(featureTable(s, d), Seq(col("ohlcv_obv").as("obv"))),
     s"""WITH $barsCte,
@@ -192,5 +207,6 @@ object FeatureQueries {
     "feat_roc_willr" -> featRocWillr,
     "feat_volume" -> featVolume,
     "feat_obv" -> featObv,
+    "feat_cmf_ad" -> featCmfAd,
     "feat_targets" -> featTargets)
 }
