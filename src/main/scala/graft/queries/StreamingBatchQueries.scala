@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sqlx.Exact._
+
+/** Batch-mode counterparts of the streaming operators — the same event-time
+  * semantics expressed over the static `events` table, oracle-checked:
+  * tumbling-window aggregation (graft.streaming.EventAggregates) and
+  * inactivity-gap sessionization (graft.streaming.Sessionize's 30-minute
+  * gap rule as the classic lag/cumsum session-id assignment). */
+object StreamingBatchQueries {
+
+  private val streamWindowAgg = Q(
+    (s, d) => Tables.events(s, d)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("value_sum"),
+        countDistinct(col("user_id")).as("n_users"))
+      // epoch micros, not timestamps: Spark writes tz-aware parquet
+      // timestamps, DuckDB naive - integers compare cleanly
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        unix_micros(col("window.end")).as("window_end_us"),
+        col("event_type"), col("n_events"), col("value_sum"), col("n_users"))
+      .orderBy("window_start_us", "event_type"),
+    """SELECT epoch_us(time_bucket(INTERVAL 10 MINUTE, ts)) AS window_start_us,
+      |       epoch_us(time_bucket(INTERVAL 10 MINUTE, ts) + INTERVAL 10 MINUTE) AS window_end_us,
+      |       event_type,
+      |       COUNT(*) AS n_events,
+      |       CAST(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS value_sum,
+      |       COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1, 2, 3
+      |ORDER BY window_start_us, event_type""".stripMargin)
+
+  private val sessionization = Q(
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("ts")
+      val gapMs = 30 * 60 * 1000L
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMs * 1000, 1L).otherwise(0L))
+        .withColumn("session_id", sum("new_session").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("ts")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(
+          min(unix_micros(col("ts"))).as("session_start_us"),
+          max(unix_micros(col("ts"))).as("session_end_us"),
+          count(lit(1)).as("n_events"),
+          sum(dec(col("value"))).cast("double").as("value_sum"))
+        .orderBy("user_id", "session_id")
+    },
+    """WITH g AS (
+      |  SELECT user_id, ts, value,
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      |  FROM events
+      |),
+      |n AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN prev_ts IS NULL
+      |                OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
+      |  FROM g
+      |),
+      |sid AS (
+      |  SELECT user_id, ts, value,
+      |         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM n
+      |)
+      |SELECT user_id, session_id,
+      |       MIN(epoch_us(ts)) AS session_start_us, MAX(epoch_us(ts)) AS session_end_us,
+      |       COUNT(*) AS n_events,
+      |       CAST(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS value_sum
+      |FROM sid GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin)
+
+  val all: Map[String, Q] = Map(
+    "stream_window_agg" -> streamWindowAgg,
+    "sessionization" -> sessionization)
+}
