@@ -5,8 +5,19 @@ python env) — the Scala library never depends on this.
 
 Usage: python3 scripts/check.py <sfDir> <verifyOutDir> [query ...]
 """
-import json, sys, glob, os
+import json, struct, sys, glob, os
 import duckdb
+
+def canon(v):
+    """Bit-exact float canonicalization: the driver hashes raw value bits, so
+    -0.0 != 0.0 and NaN == NaN must hold here too (Python == gets both wrong)."""
+    if isinstance(v, float):
+        return struct.pack('>d', v)
+    if isinstance(v, list):
+        return [canon(x) for x in v]
+    if isinstance(v, dict):
+        return {k: canon(x) for k, x in v.items()}
+    return v
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -42,10 +53,10 @@ def main():
         w = want.select(wcols).to_pylist()
         if len(g) != len(w):
             print(f"[ROWCOUNT] {name}: spark={len(g)} duck={len(w)}"); n_fail += 1; continue
-        bad = [(i, a, b) for i, (a, b) in enumerate(zip(g, w)) if a != b]
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(g, w)) if canon(a) != canon(b)]
         if bad:
             i, a, b = bad[0]
-            diffk = [k for k in a if a[k] != b[k]]
+            diffk = [k for k in a if canon(a[k]) != canon(b[k])]
             print(f"[VALUES] {name}: {len(bad)}/{len(g)} rows differ; first row {i} keys {diffk}")
             print(f"   spark: {{ {', '.join(f'{k}: {a[k]!r}' for k in diffk[:6])} }}")
             print(f"   duck : {{ {', '.join(f'{k}: {b[k]!r}' for k in diffk[:6])} }}")

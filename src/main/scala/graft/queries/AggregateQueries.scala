@@ -183,7 +183,7 @@ object AggregateQueries {
       s"CASE WHEN $v IS NOT NULL THEN ($le - $eq + ($eq + 1) / 2.0) / $n END"
     }
     def pcSql(k: Int) =
-      s"ROUND(CASE WHEN lag(value, $k) OVER ($bySeries) <> 0 THEN (value - lag(value, $k) OVER ($bySeries)) / lag(value, $k) OVER ($bySeries) END, 6)"
+      s"ROUND(CASE WHEN lag(value, $k) OVER ($bySeries) <> 0 THEN (value - lag(value, $k) OVER ($bySeries)) / lag(value, $k) OVER ($bySeries) END, 6) + 0.0"
     val inList = types.map(t => s"'$t'").mkString(", ")
     val n14 = nOf(14)
     val g6 = "CASE WHEN r6 > 0 THEN r6 ELSE 0 END"

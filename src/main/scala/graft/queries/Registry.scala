@@ -54,5 +54,5 @@ object OracleSql {
   def decSum(expr: String, p: Int): String =
     s"CAST(CAST(SUM(CAST($expr AS DECIMAL(25,10))) ${win(p)} AS VARCHAR) AS DOUBLE)"
 
-  def rd(expr: String, as: String): String = s"CAST(ROUND($expr, 4) AS DOUBLE) AS $as"
+  def rd(expr: String, as: String): String = s"CAST(ROUND($expr, 4) + 0.0 AS DOUBLE) AS $as"
 }

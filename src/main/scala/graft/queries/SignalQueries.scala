@@ -112,7 +112,7 @@ object SignalQueries {
        |s1 AS (SELECT *, CASE WHEN $buy THEN TRUE ELSE FALSE END AS buy_signal FROM src),
        |s2 AS (SELECT *, CASE WHEN (NOT buy_signal) AND ($sell) THEN TRUE ELSE FALSE END AS sell_signal FROM s1)
        |SELECT symbol_id, date, buy_signal, sell_signal, '$name' AS trade_strategy,
-       |  CAST(ROUND(CASE WHEN buy_signal THEN $buyStr ELSE $sellStr END, 4) AS DOUBLE) AS signal_strength
+       |  CAST(ROUND(CASE WHEN buy_signal THEN $buyStr ELSE $sellStr END, 4) + 0.0 AS DOUBLE) AS signal_strength
        |FROM s2 WHERE buy_signal OR sell_signal
        |ORDER BY symbol_id, date, buy_signal""".stripMargin
   }
@@ -326,7 +326,7 @@ object SignalQueries {
        |)
        |SELECT symbol_id, date, buy_signal, sell_signal,
        |  'rsi_divergence' AS trade_strategy,
-       |  CAST(ROUND(strength, 4) AS DOUBLE) AS signal_strength
+       |  CAST(ROUND(strength, 4) + 0.0 AS DOUBLE) AS signal_strength
        |FROM sig ORDER BY symbol_id, date, buy_signal""".stripMargin)
 
   val all: Map[String, Q] = Map(

@@ -29,8 +29,11 @@ object Exact {
   def decSumAgg(c: Column): Column = sum(dec(c)).cast("double")
 
 
-  /** Final 4-dp rounding applied to every derived double the oracle checks. */
-  def r4(c: Column): Column = round(c, 4)
+  /** Final 4-dp rounding applied to every derived double the oracle checks.
+    * `+ 0.0` canonicalizes IEEE −0.0 → +0.0 (Spark's round already does, but
+    * DuckDB's ROUND keeps the sign bit, so both engines' oracle DAGs apply
+    * the same normalization — see OracleSql.rd). */
+  def r4(c: Column): Column = round(c, 4) + lit(0.0)
 
   /** Parameterized exact windowed sum: for quantized inputs (k-decimal
     * doubles) pick a scale ≥ the input scale so the double→decimal cast is
