@@ -47,6 +47,31 @@ object HyperplaneLSH {
     }
   }
 
+  /** LSH-bucketed embedding near-dup: bucket equi-join candidate pairs
+    * (vec_a < vec_b across shared table buckets, multi-probe) + exact cosine
+    * re-score ≥ threshold. The scale path for [[Cosine.thresholdPairs]] —
+    * cost is O(N·L·B) bucketing + O(bucket collisions) re-score, never
+    * all-pairs; with L=16 tables × 8 bits and Hamming-1 probes on both
+    * sides, pairs at cos ≥ 0.4 are candidates with p > 0.999. */
+  def nearDupPairs(vecs: DataFrame, dim: Int, threshold: Double): DataFrame = {
+    val spark = vecs.sparkSession
+    import graft.functions.GraftFunctions.dot
+    val vb = buckets(vecs, dim)
+    val cand = vb.as("a").join(vb.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val vn = vecs.withColumn("nrm", sqrt(dot(spark, col("emb"), col("emb"))))
+    val a = vn.select(col("vec_id").as("vec_a"), col("emb").as("ea"), col("nrm").as("na"))
+    val b = vn.select(col("vec_id").as("vec_b"), col("emb").as("eb"), col("nrm").as("nb"))
+    cand.join(a, "vec_a").join(b, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(when(col("na") =!= 0.0 && col("nb") =!= 0.0,
+          dot(spark, col("ea"), col("eb")) / (col("na") * col("nb"))), 6).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   /** Approximate top-k: LSH candidates scored exactly (codegen'd dot over
     * precomputed norms), ranked per query. */
   def approxTopK(vecs: DataFrame, queries: DataFrame, dim: Int, k: Int): DataFrame = {

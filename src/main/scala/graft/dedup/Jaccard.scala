@@ -9,11 +9,18 @@ import graft.Tables
   * docs sharing ≥1 shingle — never an all-pairs cartesian), count
   * intersections, and compute |∩| / (|A| + |B| − |∩|).
   *
-  * This is the exact verifier used on MinHash-LSH candidates
-  * ([[MinHashLSH]]); standalone it is also the oracle-checkable exact
-  * near-dup operator. At 100 TB the shingle join is the scale risk — hot
-  * shingles fan out quadratically — so production runs feed it LSH
-  * candidates instead; the plan is asserted CartesianProduct-free in specs.
+  * Two cost regimes:
+  *  - standalone exact near-dup (`pairsFromShingles`): the shingle self-join
+  *    is quadratic in per-shingle document frequency, so the 100 TB path
+  *    caps hot shingles via `maxShingleDf` (a stopword-grade trigram shared
+  *    by k docs alone contributes k·(k−1)/2 join rows; dropping shingles
+  *    with df > cap bounds the fan-out at cap·|distinct shingles| while
+  *    na/nb stay exact — only pairs whose overlap is entirely hot shingles
+  *    can be missed). The cap defaults to off so the oracle check stays
+  *    bit-exact at test SF.
+  *  - LSH verify (`pairsForCandidates`): exact Jaccard computed only for
+  *    LSH candidate pairs — cost proportional to candidates × shingles/doc,
+  *    never to corpus². This is the verify stage [[MinHashLSH]] uses.
   */
 object Jaccard {
   /** Distinct word-trigram shingles per document. */
@@ -33,12 +40,9 @@ object Jaccard {
       pairsFromShingles(shingles(Tables.documents(spark, dir)), threshold)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  def pairsFromShingles(sh: DataFrame, threshold: Double): DataFrame = {
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+  /** |A∩B| → Jaccard ≥ threshold, given per-pair intersection counts and
+    * per-doc shingle counts. */
+  private def score(inter: DataFrame, counts: DataFrame, threshold: Double): DataFrame =
     inter
       .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
       .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
@@ -46,5 +50,38 @@ object Jaccard {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "inter", "na", "nb", "jaccard")
+
+  /** Exact pairs over the whole corpus via the inverted shingle index.
+    * `maxShingleDf` drops shingles whose document frequency exceeds the cap
+    * before the self-join (the hot set is tiny → broadcast anti-join);
+    * na/nb remain exact full-set sizes. */
+  def pairsFromShingles(sh: DataFrame, threshold: Double,
+                        maxShingleDf: Option[Long] = None): DataFrame = {
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val joinable = maxShingleDf match {
+      case Some(cap) =>
+        val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .where(col("df") > cap).select("shingle")
+        sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+      case None => sh
+    }
+    val inter = joinable.as("a").join(joinable.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    score(inter, counts, threshold)
+  }
+
+  /** Exact Jaccard restricted to candidate (doc_a < doc_b) pairs — the LSH
+    * verify path. Joins candidates to doc_a's shingles (fan-out = shingles
+    * per doc), then hash-joins on (doc_b, shingle) to count the overlap:
+    * cost is O(candidates × shingles/doc), independent of corpus size. */
+  def pairsForCandidates(sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = cand.join(shA, "doc_a").join(shB, Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    score(inter, counts, threshold)
   }
 }

@@ -48,11 +48,10 @@ object MinHashLSH {
     }
   }
 
-  /** doc_id → (band, bucket) rows. */
-  def bandBuckets(docs: DataFrame): DataFrame = {
-    val sh = Jaccard.shingles(docs)
-      .groupBy("doc_id").agg(collect_list("shingle").as("shingles"))
-    val sig = sh.select(col("doc_id"), minhashUdf(col("shingles")).as("sig"))
+  /** doc_id → (band, bucket) rows, from precomputed shingles. */
+  def bandBuckets(sh: DataFrame): DataFrame = {
+    val grouped = sh.groupBy("doc_id").agg(collect_list("shingle").as("shingles"))
+    val sig = grouped.select(col("doc_id"), minhashUdf(col("shingles")).as("sig"))
       .where(col("sig").isNotNull)
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
@@ -63,8 +62,11 @@ object MinHashLSH {
   }
 
   /** Candidate pairs from shared band buckets (bucket equi-join). */
-  def candidates(docs: DataFrame): DataFrame = {
-    val bb = bandBuckets(docs)
+  def candidates(docs: DataFrame): DataFrame =
+    candidatesFromShingles(Jaccard.shingles(docs))
+
+  def candidatesFromShingles(sh: DataFrame): DataFrame = {
+    val bb = bandBuckets(sh)
     bb.as("a").join(bb.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -72,12 +74,15 @@ object MinHashLSH {
       .distinct()
   }
 
-  /** LSH candidates verified with exact Jaccard ≥ threshold. */
-  def nearDuplicates(docs: DataFrame, threshold: Double): DataFrame =
-    nearDuplicates(docs, Jaccard.pairsFromShingles(Jaccard.shingles(docs), threshold))
-
-  /** Variant taking precomputed exact pairs (shared/persisted by callers). */
-  def nearDuplicates(docs: DataFrame, verified: DataFrame): DataFrame =
-    candidates(docs).join(verified, Seq("doc_a", "doc_b"))
+  /** LSH candidates verified with exact Jaccard ≥ threshold. The verify
+    * stage is candidate-restricted ([[Jaccard.pairsForCandidates]]): it
+    * joins candidate pairs to their shingle sets — never the full-corpus
+    * shingle self-join, which is exactly the quadratic job LSH exists to
+    * avoid. Cost at 100 TB: signatures O(N·k), bucket join O(matches),
+    * verify O(candidates × shingles/doc). */
+  def nearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = Jaccard.shingles(docs)
+    Jaccard.pairsForCandidates(sh, candidatesFromShingles(sh), threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
 }

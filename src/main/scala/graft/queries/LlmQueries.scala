@@ -55,8 +55,7 @@ object LlmQueries {
        |ORDER BY doc_a, doc_b""".stripMargin)
 
   private val dedupMinhash = Q(
-    (s, d) => MinHashLSH.nearDuplicates(Tables.documents(s, d),
-        Jaccard.pairs(s, d, JaccardThreshold))
+    (s, d) => MinHashLSH.nearDuplicates(Tables.documents(s, d), JaccardThreshold)
       .orderBy("doc_a", "doc_b"), None)
 
   private val dedupSimhash = Q(
@@ -84,6 +83,14 @@ object LlmQueries {
        |FROM e a JOIN e b ON a.vec_id < b.vec_id
        |WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 6) >= $EmbDedupThreshold
        |ORDER BY vec_a, vec_b""".stripMargin)
+
+  private val dedupEmbeddingLsh = Q(
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      HyperplaneLSH.nearDupPairs(e, dim = 64, threshold = EmbDedupThreshold)
+        .orderBy("vec_a", "vec_b")
+    }, None)
 
   private val annLsh = Q(
     (s, d) => {
@@ -182,6 +189,7 @@ object LlmQueries {
     "ann_topk" -> annTopk,
     "ann_lsh" -> annLsh,
     "dedup_embedding" -> dedupEmbedding,
+    "dedup_embedding_lsh" -> dedupEmbeddingLsh,
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
     "text_tokens" -> textTokens,

@@ -29,6 +29,23 @@ class AnnSpec extends SparkSpec {
     assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("embedding LSH near-dup: recall >= 0.95 vs exact all-pairs, no nested-loop join") {
+    val exact = Cosine.thresholdPairs(spark, sf("sf0.01"), 0.4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val lshDf = HyperplaneLSH.nearDupPairs(e, dim = 64, threshold = 0.4)
+    val lsh = lshDf.select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "testdata should contain embedding near-dups")
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall = $recall (missed ${(exact -- lsh).size}/${exact.size})")
+    // every surviving pair is exact-rescored, so no false positives either
+    assert((lsh -- exact).isEmpty, s"invented pairs: ${(lsh -- exact).take(5)}")
+    val plan = lshDf.queryExecution.executedPlan
+    assert(plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.isEmpty, "embedding LSH must not plan a nested-loop join")
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
+  }
+
   test("cosine is 1 for identical vectors, 0-guarded for zero vectors") {
     val df = Seq(
       (1L, Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),

@@ -30,6 +30,41 @@ class DedupSpec extends SparkSpec {
     assert(!hasCartesian(Jaccard.pairsFromShingles(Jaccard.shingles(docs), 0.2)))
   }
 
+  test("minhash verify is candidate-restricted — no full shingle self-join in the plan") {
+    // the full-corpus self-join is keyed on shingle WITH a doc_id < doc_id
+    // residual condition; the candidate-restricted verify joins on
+    // (doc_b, shingle) with no residual. Assert no shingle-keyed join
+    // carries a residual condition anywhere in the minhash plan.
+    val plan = MinHashLSH.nearDuplicates(docs, 0.2).queryExecution.executedPlan
+    val offenders = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if j.leftKeys.exists(_.toString.contains("shingle")) && j.condition.nonEmpty => j
+    }
+    assert(offenders.isEmpty, s"full shingle self-join leaked into LSH verify:\n${offenders.mkString}")
+  }
+
+  test("jaccard df-cap drops hot shingles from the join but keeps exact set sizes") {
+    // 4 docs share the stopword-grade trigram "the quick fox"; docs 1/2 are
+    // real near-dups with extra overlap, docs 3/4 overlap ONLY via the hot
+    // shingle. With cap=3 the hot shingle leaves the join: the 1-2 pair
+    // survives (other shared shingles) with exact na/nb, 3-4 disappears.
+    val d = Seq(
+      (1L, "the quick fox a b c d e f g"),
+      (2L, "the quick fox a b c d e f zz"),
+      (3L, "the quick fox p q r s t u v"),
+      (4L, "the quick fox l m n o w x y")
+    ).toDF("doc_id", "text")
+    val sh = Jaccard.shingles(d)
+    val capped = Jaccard.pairsFromShingles(sh, 0.1, maxShingleDf = Some(3L))
+      .select("doc_a", "doc_b", "na", "nb").as[(Long, Long, Long, Long)].collect()
+    assert(capped.exists(p => p._1 == 1L && p._2 == 2L), s"real near-dup lost: ${capped.toSeq}")
+    assert(!capped.exists(p => p._1 == 3L || p._1 == 4L || p._2 == 3L || p._2 == 4L),
+      s"hot-shingle-only pair kept: ${capped.toSeq}")
+    // na/nb stay full exact sizes (8 trigrams each), not capped-set sizes
+    val p12 = capped.find(p => p._1 == 1L && p._2 == 2L).get
+    assert(p12._3 == 8L && p12._4 == 8L, s"set sizes must stay exact: $p12")
+  }
+
   test("simhash: identical docs collide, distance is symmetric-free (a<b) and bounded") {
     val twins = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

@@ -58,6 +58,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges.size <= 2, s"expected <=2 exchanges, got ${exchanges.size}")
   }
 
+  test("quality scores: no single-partition window touches the data (distributed quantile)") {
+    val df = graft.fundamentals.QualityScores.scores(spark, sf("sf0.001"))
+    val windows = allNodes(executed(df)).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(windows.isEmpty,
+      s"global (empty-partition) window in quality-score plan:\n${windows.mkString("\n")}")
+  }
+
   test("no registered query degenerates into a CartesianProduct except declared all-pairs baselines") {
     val allowed = Set("dedup_embedding", "ann_topk") // documented exact all-pairs baselines
     graft.SparkEntry.registry.foreach { case (name, q) =>
