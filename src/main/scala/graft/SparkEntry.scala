@@ -10,7 +10,8 @@ object SparkEntry {
   def registry: Map[String, Q] =
     FeatureQueries.all ++ RecursiveQueries.all ++ SignalQueries.all ++
       FundamentalQueries.all ++ AggregateQueries.all ++ LlmQueries.all ++
-      EtlQueries.all ++ BacktestQueries.all ++ StreamingBatchQueries.all
+      EtlQueries.all ++ BacktestQueries.all ++ StreamingBatchQueries.all ++
+      MlQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's namesake output end-to-end: bars → windowed + recursive

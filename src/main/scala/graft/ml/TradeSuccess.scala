@@ -30,7 +30,7 @@ object TradeSuccess {
       graft.features.Recursive.withRecursive(graft.features.Indicators.windowed(bars)))
     feats.na.drop(FeatureCols :+ LabelCol)
       .select((col(LabelCol).cast("double").as("label") +:
-        col("symbol_id").as("symbol_id") +:
+        col("symbol_id").as("symbol_id") +: col("date").as("date") +:
         FeatureCols.map(col)): _*)
   }
 

@@ -6,6 +6,7 @@ import graft.backtest.{Enrich, Metrics, Simulator}
 import graft.etl.SymbolUniverse
 import graft.features.Bars
 import graft.signals.Strategies
+import OracleSql.rd
 
 /** Backtest queries: the stateful trade simulation + metrics register
   * rows-only (golden-tested on a hand-computed fixture in BacktestSpec);
@@ -279,10 +280,52 @@ object BacktestQueries {
        |FROM scored
        |ORDER BY entry_date, day_rank""".stripMargin)
 
+  /** Top-25 recommendation report (create_top25_viz_input.py:14-44): rank
+    * enriched trades by success probability, take the top 25 (Spark plans a
+    * TakeOrderedAndProject — distributed top-k, no global sort shuffle),
+    * join names/sector from the universe, signal_strength = p·100. */
+  private val topSignalsReport = Q(
+    (s, d) => {
+      import graft.sqlx.Exact.r4
+      val p = enrichedSpark(s, d)
+        .withColumn("success_probability", Enrich.successProbability(col("signal_strength")))
+      val top = p.orderBy(col("success_probability").desc,
+          col("symbol_id"), col("entry_date"), col("trade_strategy")).limit(25)
+      val names = Tables.customer(s, d).select(
+        col("c_custkey").as("symbol_id"), col("c_name").as("name"),
+        col("c_mktsegment").as("sector"))
+      top.join(broadcast(names), Seq("symbol_id"), "left")
+        .select(col("symbol_id"), col("entry_date"), col("name"), col("trade_strategy"),
+          col("success_probability"),
+          r4(col("success_probability") * 100.0).as("signal_strength"),
+          col("overall_quality_score"), col("sector"))
+        .orderBy(col("success_probability").desc,
+          col("symbol_id"), col("entry_date"), col("trade_strategy"))
+    },
+    s"""${FundamentalQueries.scoresPrelude},
+       |$tradesCte,
+       |$scoresJoinCte,
+       |p AS (
+       |  SELECT *, ROUND(1.0 / (1.0 + exp(-(signal_strength - 50.0) / 20.0)), 6) + 0.0 AS success_probability
+       |  FROM enriched
+       |),
+       |top AS (
+       |  SELECT * FROM p
+       |  ORDER BY success_probability DESC, symbol_id, entry_date, trade_strategy
+       |  LIMIT 25
+       |)
+       |SELECT t.symbol_id, t.entry_date, c.c_name AS name, t.trade_strategy,
+       |       t.success_probability,
+       |       ${rd("t.success_probability * 100.0", "signal_strength")},
+       |       t.overall_quality_score, c.c_mktsegment AS sector
+       |FROM top t LEFT JOIN customer c ON c.c_custkey = t.symbol_id
+       |ORDER BY t.success_probability DESC, t.symbol_id, t.entry_date, t.trade_strategy""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "backtest_trades" -> backtestTrades,
     "backtest_metrics" -> backtestMetrics,
     "trades_fundamentals_join" -> tradesFundamentalsJoin,
     "trades_filter_threshold" -> tradesFilterThreshold,
-    "signal_scorer" -> signalScorer)
+    "signal_scorer" -> signalScorer,
+    "top_signals_report" -> topSignalsReport)
 }

@@ -1,15 +1,20 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
 import graft.etl.{SymbolUniverse, Watermarks}
+import graft.sqlx.Exact.r4
+import OracleSql._
 
-/** Incremental-ETL queries: watermark stale-symbol detection and the
-  * symbol-universe upsert (transformation_watermark_manager.py:198-325,
-  * transform_load_symbol_universe.py:133). */
+/** Incremental-ETL queries: watermark stale-symbol detection, the
+  * symbol-universe upsert, and the end-to-end incremental feature run
+  * (transformation_watermark_manager.py:198-325 feeding
+  * transform_time_series_daily_adjusted.py:725 via run_daily_transform.py's
+  * incremental mode). */
 object EtlQueries {
 
-  private val watermarkStale = Q(
-    (s, d) => Watermarks.staleSymbols(Watermarks.watermarkTable(s, d)),
-    s"""WITH ld AS (
+  /** Watermark table + stale filter, shared by both oracle queries. */
+  private val wmCte: String =
+    s"""ld AS (
        |  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_date_processed
        |  FROM orders GROUP BY 1
        |),
@@ -21,14 +26,55 @@ object EtlQueries {
        |    CASE WHEN c_nationkey % 10 = 9 THEN 'Delisted' ELSE 'Active' END AS status,
        |    ld.last_date_processed
        |  FROM customer LEFT JOIN ld ON c_custkey = o_custkey
-       |)
-       |SELECT * FROM wm
-       |WHERE transformation_eligible
-       |  AND consecutive_failures < 3
-       |  AND (last_run_age_hours IS NULL OR last_run_age_hours >= ${Watermarks.StalenessHours})
-       |  AND (status = 'Active'
-       |       OR (status = 'Delisted' AND (last_date_processed IS NULL OR last_date_processed < DATE '2000-01-01')))
+       |),
+       |stale AS (
+       |  SELECT * FROM wm
+       |  WHERE transformation_eligible
+       |    AND consecutive_failures < 3
+       |    AND (last_run_age_hours IS NULL OR last_run_age_hours >= ${Watermarks.StalenessHours})
+       |    AND (status = 'Active'
+       |         OR (status = 'Delisted' AND (last_date_processed IS NULL OR last_date_processed < DATE '2000-01-01')))
+       |)""".stripMargin
+
+  private val watermarkStale = Q(
+    (s, d) => Watermarks.staleSymbols(Watermarks.watermarkTable(s, d)),
+    s"""WITH $wmCte
+       |SELECT * FROM stale
        |ORDER BY last_run_age_hours DESC NULLS FIRST, symbol_id""".stripMargin)
+
+  /** The reference's core operational loop, end-to-end: stale symbols gate
+    * the feature recomputation. The stale list broadcasts and semi-joins the
+    * event scan BEFORE any feature work, so an incremental run reads and
+    * shuffles only stale symbols' rows — at 100 TB this is the difference
+    * between a full rebuild and touching a few partitions. */
+  private val watermarkIncrementalFeatures = Q(
+    (s, d) => {
+      val stale = Watermarks.staleSymbols(Watermarks.watermarkTable(s, d))
+        .select(col("symbol_id"), col("last_run_age_hours"))
+      val events = graft.Tables.events(s, d)
+        .join(broadcast(stale.select(col("symbol_id").as("user_id"))), Seq("user_id"), "left_semi")
+      val feats = graft.features.Indicators.windowed(graft.features.Bars.daily(events))
+      feats.join(broadcast(stale), Seq("symbol_id"))
+        .select(col("symbol_id"), col("date"), col("close"),
+          r4(col("ohlcv_sma_20")).as("sma_20"),
+          r4(col("ohlcv_roc_10")).as("roc_10"),
+          col("last_run_age_hours"))
+        .orderBy("symbol_id", "date")
+    },
+    s"""WITH $wmCte,
+       |$barsCte,
+       |f AS (
+       |  SELECT symbol_id, date, close, rn,
+       |    CASE WHEN rn >= 20 THEN ${decSum("close", 20)}/20 END AS sma_20,
+       |    lag(close, 10) OVER ($bySymbol) AS prev10
+       |  FROM b
+       |)
+       |SELECT f.symbol_id, f.date, f.close,
+       |  ${rd("sma_20", "sma_20")},
+       |  ${rd("CASE WHEN prev10 <> 0 THEN (f.close - prev10) / prev10 * 100.0 END", "roc_10")},
+       |  w.last_run_age_hours
+       |FROM f JOIN stale w ON f.symbol_id = w.symbol_id
+       |ORDER BY f.symbol_id, f.date""".stripMargin)
 
   private val symbolUniverse = Q(
     (s, d) => SymbolUniverse.universe(s, d).orderBy("symbol_id"),
@@ -48,5 +94,6 @@ object EtlQueries {
 
   val all: Map[String, Q] = Map(
     "watermark_stale" -> watermarkStale,
+    "watermark_incremental_features" -> watermarkIncrementalFeatures,
     "symbol_universe" -> symbolUniverse)
 }

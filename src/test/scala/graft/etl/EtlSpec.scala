@@ -18,6 +18,22 @@ class EtlSpec extends SparkSpec {
     assert(secondStale.count() == 0, "all stale symbols were just refreshed")
   }
 
+  test("incremental feature run touches only stale symbols' rows") {
+    import spark.implicits._
+    val stale = Watermarks.staleSymbols(Watermarks.watermarkTable(spark, sf("sf0.001")))
+      .select("symbol_id").as[Long].collect().toSet
+    val inc = graft.SparkEntry.queries("watermark_incremental_features")(spark, sf("sf0.001"))
+    val touched = inc.select("symbol_id").distinct().as[Long].collect().toSet
+    assert(touched.nonEmpty, "incremental run should cover some stale symbols")
+    assert(touched.subsetOf(stale), s"non-stale symbols touched: ${(touched -- stale).take(5)}")
+    // the gate reaches the scan: the events read is semi-joined before any
+    // feature work, so no full-universe bar build appears upstream
+    val full = graft.features.Bars.daily(graft.Tables.events(spark, sf("sf0.001")))
+      .select("symbol_id").distinct().as[Long].collect().toSet
+    assert((full -- stale).nonEmpty, "fixture must contain fresh symbols for the gate to matter")
+    assert((full -- stale).forall(!touched.contains(_)))
+  }
+
   test("failed runs increment failures and disable after 3 strikes") {
     val wm = Watermarks.watermarkTable(spark, sf("sf0.001"))
     val some = Watermarks.staleSymbols(wm).limit(5).select("symbol_id")
