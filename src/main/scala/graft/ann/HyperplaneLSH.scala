@@ -53,10 +53,11 @@ object HyperplaneLSH {
     * cost is O(N·L·B) bucketing + O(bucket collisions) re-score, never
     * all-pairs; with L=16 tables × 8 bits and Hamming-1 probes on both
     * sides, pairs at cos ≥ 0.4 are candidates with p > 0.999. */
-  def nearDupPairs(vecs: DataFrame, dim: Int, threshold: Double): DataFrame = {
+  def nearDupPairs(vecs: DataFrame, dim: Int, threshold: Double,
+                   precomputedBuckets: Option[DataFrame] = None): DataFrame = {
     val spark = vecs.sparkSession
     import graft.functions.GraftFunctions.dot
-    val vb = buckets(vecs, dim)
+    val vb = precomputedBuckets.getOrElse(buckets(vecs, dim))
     val cand = vb.as("a").join(vb.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -74,10 +75,11 @@ object HyperplaneLSH {
 
   /** Approximate top-k: LSH candidates scored exactly (codegen'd dot over
     * precomputed norms), ranked per query. */
-  def approxTopK(vecs: DataFrame, queries: DataFrame, dim: Int, k: Int): DataFrame = {
+  def approxTopK(vecs: DataFrame, queries: DataFrame, dim: Int, k: Int,
+                 precomputedBuckets: Option[DataFrame] = None): DataFrame = {
     val spark = vecs.sparkSession
     import graft.functions.GraftFunctions.dot
-    val vb = buckets(vecs, dim)
+    val vb = precomputedBuckets.getOrElse(buckets(vecs, dim))
     val qb = buckets(queries.withColumnRenamed("query_id", "vec_id")
         .withColumnRenamed("qemb", "emb"), dim)
       .withColumnRenamed("vec_id", "query_id")

@@ -34,10 +34,19 @@ object Jaccard {
   }
 
   private val pairCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val shingleCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Memoized + persisted shingle index per (session, dir): the exact-pair
+    * self-join reads it twice and the MinHash path reads it for signatures
+    * AND verify — one explode instead of four. */
+  def cachedShingles(spark: SparkSession, dir: String): DataFrame =
+    shingleCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$dir",
+      shingles(Tables.documents(spark, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   def pairs(spark: SparkSession, dir: String, threshold: Double): DataFrame =
     pairCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$dir:$threshold",
-      pairsFromShingles(shingles(Tables.documents(spark, dir)), threshold)
+      pairsFromShingles(cachedShingles(spark, dir), threshold)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** |A∩B| → Jaccard ≥ threshold, given per-pair intersection counts and

@@ -80,9 +80,11 @@ object MinHashLSH {
     * shingle self-join, which is exactly the quadratic job LSH exists to
     * avoid. Cost at 100 TB: signatures O(N·k), bucket join O(matches),
     * verify O(candidates × shingles/doc). */
-  def nearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = Jaccard.shingles(docs)
+  def nearDuplicates(docs: DataFrame, threshold: Double): DataFrame =
+    nearDuplicatesFromShingles(Jaccard.shingles(docs), threshold)
+
+  /** Variant over precomputed (persisted) shingles — see Jaccard.cachedShingles. */
+  def nearDuplicatesFromShingles(sh: DataFrame, threshold: Double): DataFrame =
     Jaccard.pairsForCandidates(sh, candidatesFromShingles(sh), threshold)
       .select("doc_a", "doc_b", "jaccard")
-  }
 }

@@ -25,9 +25,10 @@ object TradeSuccess {
   val LabelCol = "target_direction_5d"
 
   def trainingFrame(spark: SparkSession, dir: String): DataFrame = {
-    val bars = graft.features.Bars.daily(graft.Tables.events(spark, dir))
+    // reuse the memoized signal feature frame (superset ladder — the model's
+    // ten features are all present) instead of rebuilding bars + windows
     val feats = graft.features.Targets.withTargets(
-      graft.features.Recursive.withRecursive(graft.features.Indicators.windowed(bars)))
+      graft.queries.SignalQueries.signalFeatures(spark, dir))
     feats.na.drop(FeatureCols :+ LabelCol)
       .select((col(LabelCol).cast("double").as("label") +:
         col("symbol_id").as("symbol_id") +: col("date").as("date") +:

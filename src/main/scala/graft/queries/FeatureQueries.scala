@@ -11,9 +11,16 @@ import OracleSql._
   * transform_time_series_daily_adjusted.py:160-413). */
 object FeatureQueries {
 
-  /** bars → full windowed indicator + target table (one shuffle). */
+  private val ftCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** bars → full windowed indicator + target table (one shuffle), memoized +
+    * persisted per (session, dir): the 13 feature-family queries share one
+    * build instead of re-running the window ladder each. */
   def featureTable(spark: SparkSession, dir: String): DataFrame =
-    Targets.withTargets(Indicators.windowed(Bars.daily(Tables.events(spark, dir))))
+    ftCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$dir",
+      Targets.withTargets(Indicators.windowed(Bars.daily(Tables.events(spark, dir))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private def keyed(df: DataFrame, cols: Seq[org.apache.spark.sql.Column]): DataFrame =
     df.select((Seq(col("symbol_id"), col("date")) ++ cols): _*)

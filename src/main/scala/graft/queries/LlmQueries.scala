@@ -55,7 +55,8 @@ object LlmQueries {
        |ORDER BY doc_a, doc_b""".stripMargin)
 
   private val dedupMinhash = Q(
-    (s, d) => MinHashLSH.nearDuplicates(Tables.documents(s, d), JaccardThreshold)
+    (s, d) => MinHashLSH.nearDuplicatesFromShingles(
+        Jaccard.cachedShingles(s, d), JaccardThreshold)
       .orderBy("doc_a", "doc_b"), None)
 
   private val dedupSimhash = Q(
@@ -84,21 +85,31 @@ object LlmQueries {
        |WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 6) >= $EmbDedupThreshold
        |ORDER BY vec_a, vec_b""".stripMargin)
 
+  private def corpusEmb(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+
+  /** Memoized + persisted corpus bucket table per (session, dir): ann_lsh
+    * and dedup_embedding_lsh share one O(N·L·B) bucketing pass. */
+  private val bucketCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+  private def corpusBuckets(s: org.apache.spark.sql.SparkSession, d: String) =
+    bucketCache.getOrElseUpdate(s"${System.identityHashCode(s)}:$d",
+      HyperplaneLSH.buckets(corpusEmb(s, d), dim = 64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private val dedupEmbeddingLsh = Q(
-    (s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      HyperplaneLSH.nearDupPairs(e, dim = 64, threshold = EmbDedupThreshold)
-        .orderBy("vec_a", "vec_b")
-    }, None)
+    (s, d) => HyperplaneLSH.nearDupPairs(corpusEmb(s, d), dim = 64,
+        threshold = EmbDedupThreshold, precomputedBuckets = Some(corpusBuckets(s, d)))
+      .orderBy("vec_a", "vec_b"), None)
 
   private val annLsh = Q(
     (s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val e = corpusEmb(s, d)
       val q = e.where(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
-      HyperplaneLSH.approxTopK(e, q, dim = 64, k = 10).orderBy("query_id", "rank")
+      HyperplaneLSH.approxTopK(e, q, dim = 64, k = 10,
+        precomputedBuckets = Some(corpusBuckets(s, d))).orderBy("query_id", "rank")
     }, None)
 
   // ---------------------------------------------------------------- text

@@ -28,9 +28,13 @@ object SignalQueries {
   def signalFeatures(s: SparkSession, d: String): DataFrame =
     featCache.getOrElseUpdate(s"${System.identityHashCode(s)}:$d", {
       val bars = Bars.daily(Tables.events(s, d))
+      // localCheckpoint (not persist): truncates the ~60-window-expression
+      // lineage so the 11 strategy plans + backtest start from a
+      // materialized leaf — without it every downstream task serializes the
+      // full feature expression tree (>1.3 MiB task binaries)
       Recursive.withRecursive(
         Indicators.withHighLow(Indicators.windowed(bars, Seq(3, 5, 10, 20, 50))))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     })
 
   private def run(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
