@@ -40,10 +40,12 @@ object HyperplaneLSH {
       .agg(sum(col("bitval")).cast("int").as("bucket"))
     if (!multiProbe) base
     else {
+      // no distinct needed: per (vec_id, table) the base bucket and its
+      // `bits` single-bit XOR probes are pairwise distinct by construction
       val probes = base.select(col("vec_id"), col("table"),
         explode(array((0 until bits).map(b =>
           col("bucket").bitwiseXOR(lit(1 << b))): _*)).as("bucket"))
-      base.unionByName(probes).distinct()
+      base.unionByName(probes)
     }
   }
 
@@ -74,14 +76,17 @@ object HyperplaneLSH {
   }
 
   /** Approximate top-k: LSH candidates scored exactly (codegen'd dot over
-    * precomputed norms), ranked per query. */
+    * precomputed norms), ranked per query. The corpus side carries the
+    * Hamming-1 probe buckets, so the query side hashes base-only — one-sided
+    * probing reaches every neighbour within Hamming 1 without the 9×9
+    * candidate fan-out of probing both sides. */
   def approxTopK(vecs: DataFrame, queries: DataFrame, dim: Int, k: Int,
                  precomputedBuckets: Option[DataFrame] = None): DataFrame = {
     val spark = vecs.sparkSession
     import graft.functions.GraftFunctions.dot
     val vb = precomputedBuckets.getOrElse(buckets(vecs, dim))
     val qb = buckets(queries.withColumnRenamed("query_id", "vec_id")
-        .withColumnRenamed("qemb", "emb"), dim)
+        .withColumnRenamed("qemb", "emb"), dim, multiProbe = false)
       .withColumnRenamed("vec_id", "query_id")
     val cand = qb.join(vb, Seq("table", "bucket"))
       .where(col("vec_id") =!= col("query_id"))

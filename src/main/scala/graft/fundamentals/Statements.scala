@@ -60,12 +60,20 @@ object Statements {
   }
 
   /** pandas rank(pct=True) within a partition: average-rank / non-null count.
-    * avg_rank = cnt_less + (cnt_eq + 1)/2, all window counts (no sort-collect). */
+    * avg_rank = cnt_less + (cnt_eq + 1)/2. All three counts share ONE hash
+    * partitioning (asc count ≤, desc count ≥, plain total): Catalyst plans a
+    * single exchange + three sorts — partitioning by (part, v) for the
+    * equal-count would add a full-frame shuffle per ranked metric. Counts
+    * are exact integers, so the derived cnt_less/cnt_eq and the final
+    * double DAG are bit-identical to the direct formulation the oracle uses. */
   def pctRank(v: Column, part: Seq[Column]): Column = {
-    val cntLe = count(v).over(Window.partitionBy(part: _*).orderBy(v)) // default RANGE frame = peers incl.
-    val cntEq = count(v).over(Window.partitionBy(part :+ v: _*))
-    val nTot = count(v).over(Window.partitionBy(part: _*))
-    when(v.isNotNull, (cntLe - cntEq + (cntEq + lit(1)) / lit(2.0)) / nTot)
+    val w = Window.partitionBy(part: _*)
+    val cntLe = count(v).over(w.orderBy(v))      // ≤ v (default RANGE = peers incl.)
+    val cntGe = count(v).over(w.orderBy(v.desc)) // ≥ v
+    val nTot = count(v).over(w)
+    val cntEq = cntLe + cntGe - nTot
+    val cntLess = nTot - cntGe
+    when(v.isNotNull, (cntLess + (cntEq + lit(1)) / lit(2.0)) / nTot)
   }
 
   /** pct_change(k, fill_method=None) with the reference's inf→null wash. */

@@ -76,7 +76,30 @@ object StreamingBatchQueries {
       |FROM sid GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin)
 
+  /** Batch counterpart of watermark-scoped streaming dedup
+    * (EventAggregates.dedupedEvents): exactly one row per event_id, first
+    * arrival wins (deterministic tie order). In the stream the watermark
+    * bounds the dedup state; in batch the whole table is the window. */
+  private val streamDedup = Q(
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_id").orderBy("ts", "user_id")
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+        .orderBy("event_id")
+    },
+    """WITH r AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value,
+      |         row_number() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn
+      |  FROM events
+      |)
+      |SELECT event_id, user_id, ts_us, event_type, value
+      |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "stream_window_agg" -> streamWindowAgg,
-    "sessionization" -> sessionization)
+    "sessionization" -> sessionization,
+    "stream_dedup" -> streamDedup)
 }
