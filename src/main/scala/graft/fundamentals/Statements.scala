@@ -67,10 +67,14 @@ object Statements {
     * are exact integers, so the derived cnt_less/cnt_eq and the final
     * double DAG are bit-identical to the direct formulation the oracle uses. */
   def pctRank(v: Column, part: Seq[Column]): Column = {
-    val w = Window.partitionBy(part: _*)
-    val cntLe = count(v).over(w.orderBy(v))      // ≤ v (default RANGE = peers incl.)
-    val cntGe = count(v).over(w.orderBy(v.desc)) // ≥ v
-    val nTot = count(v).over(w)
+    val ws = Window.partitionBy(part: _*).orderBy(v)
+    val cntLe = count(v).over(ws) // ≤ v (default RANGE = peers incl.)
+    // ≥ v from the SAME ascending sort via the mirrored RANGE frame — both
+    // frames live in one WindowExec, so each ranked metric costs exactly one
+    // sorted pass (a desc ordering would double the sorts)
+    val cntGe = count(v).over(
+      ws.rangeBetween(Window.currentRow, Window.unboundedFollowing))
+    val nTot = count(v).over(Window.partitionBy(part: _*))
     val cntEq = cntLe + cntGe - nTot
     val cntLess = nTot - cntGe
     when(v.isNotNull, (cntLess + (cntEq + lit(1)) / lit(2.0)) / nTot)
