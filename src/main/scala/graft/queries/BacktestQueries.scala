@@ -214,8 +214,15 @@ object BacktestQueries {
        |),
        |enriched AS (SELECT * EXCLUDE (rnk) FROM j WHERE rnk = 1)""".stripMargin
 
+  private val enrichedCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+
+  /** Memoized + persisted enriched-trades frame: five queries (as-of join,
+    * filter, scorer, top-25 report, bot orders) share one build. */
   private def enrichedSpark(s: org.apache.spark.sql.SparkSession, d: String) =
-    Enrich.joinFundamentals(Enrich.tradeEntries(s, d), graft.fundamentals.QualityScores.scores(s, d))
+    enrichedCache.getOrElseUpdate(s"${System.identityHashCode(s)}:$d",
+      Enrich.joinFundamentals(Enrich.tradeEntries(s, d), graft.fundamentals.QualityScores.scores(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private val tradesFundamentalsJoin = Q(
     (s, d) => enrichedSpark(s, d)
@@ -248,6 +255,26 @@ object BacktestQueries {
        |FROM p WHERE success_probability >= 0.6
        |GROUP BY trade_strategy ORDER BY trade_strategy""".stripMargin)
 
+  /** Universe upsert + composite scoring shared by the scorer/bot oracles. */
+  private val scoredCte: String =
+    """ubase AS (
+      |  SELECT c_custkey AS symbol_id, c_name AS symbol, c_mktsegment AS segment,
+      |         c_acctbal AS acctbal, 1 AS version
+      |  FROM customer
+      |),
+      |uinc AS (
+      |  SELECT symbol_id, symbol, segment, acctbal + 100.0 AS acctbal, 2 AS version
+      |  FROM ubase WHERE symbol_id % 3 = 0
+      |),
+      |uu AS (SELECT * FROM ubase UNION ALL SELECT * FROM uinc),
+      |ur AS (SELECT *, row_number() OVER (PARTITION BY symbol_id ORDER BY version DESC) AS rnk FROM uu),
+      |universe AS (SELECT symbol_id, symbol FROM ur WHERE rnk = 1),
+      |scored AS (
+      |  SELECT e.*, u.symbol,
+      |         e.signal_strength * 0.5 + COALESCE(e.overall_quality_score, 50.0) * 0.5 AS composite_score
+      |  FROM enriched e LEFT JOIN universe u ON e.symbol_id = u.symbol_id
+      |)""".stripMargin
+
   private val signalScorer = Q(
     (s, d) => Enrich.dailyScores(enrichedSpark(s, d), SymbolUniverse.universe(s, d))
       .select("symbol_id", "symbol", "entry_date", "trade_strategy", "signal_strength",
@@ -256,29 +283,76 @@ object BacktestQueries {
     s"""${FundamentalQueries.scoresPrelude},
        |$tradesCte,
        |$scoresJoinCte,
-       |ubase AS (
-       |  SELECT c_custkey AS symbol_id, c_name AS symbol, c_mktsegment AS segment,
-       |         c_acctbal AS acctbal, 1 AS version
-       |  FROM customer
-       |),
-       |uinc AS (
-       |  SELECT symbol_id, symbol, segment, acctbal + 100.0 AS acctbal, 2 AS version
-       |  FROM ubase WHERE symbol_id % 3 = 0
-       |),
-       |uu AS (SELECT * FROM ubase UNION ALL SELECT * FROM uinc),
-       |ur AS (SELECT *, row_number() OVER (PARTITION BY symbol_id ORDER BY version DESC) AS rnk FROM uu),
-       |universe AS (SELECT symbol_id, symbol FROM ur WHERE rnk = 1),
-       |scored AS (
-       |  SELECT e.*, u.symbol,
-       |         e.signal_strength * 0.5 + COALESCE(e.overall_quality_score, 50.0) * 0.5 AS composite_score
-       |  FROM enriched e LEFT JOIN universe u ON e.symbol_id = u.symbol_id
-       |)
+       |$scoredCte
        |SELECT symbol_id, symbol, entry_date, trade_strategy, signal_strength,
        |       overall_quality_score, composite_score,
        |       CAST(row_number() OVER (PARTITION BY entry_date
        |            ORDER BY composite_score DESC, symbol_id) AS INTEGER) AS day_rank
        |FROM scored
        |ORDER BY entry_date, day_rank""".stripMargin)
+
+  /** Trading-bot order selection (automated_trading_bot.py:181-310 minus the
+    * external order API): latest-day scored signals × account constraints —
+    * skip held symbols, reject stale price drift (−3%..+5%), size positions
+    * at 5% of portfolio, respect buying power, rank top max_positions.
+    * Live account state is deterministic stand-ins on the testdata
+    * (price = strength+10, drift/held from symbol_id) so the whole decision
+    * pipeline is oracle-checkable. */
+  private val botOrderCandidates = Q(
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("latest_date")
+        .orderBy(col("composite_score").desc, col("symbol_id"), col("entry_date"))
+      val scored = Enrich.dailyScores(enrichedSpark(s, d), SymbolUniverse.universe(s, d))
+      val latest = scored.agg(max(col("entry_date")).as("latest_date"))
+      // "Signal too old (> 8 days)" — the bot's staleness gate (ref :190-192)
+      scored.join(broadcast(latest),
+          col("entry_date") >= date_sub(col("latest_date"), 8) &&
+          col("entry_date") <= col("latest_date"))
+        .withColumn("price", col("signal_strength") + 10.0)
+        .withColumn("drift", ((col("symbol_id") % 21) - 10).cast("double") / 200.0)
+        .withColumn("shares", greatest(lit(1L), floor(lit(5000.0) / col("price"))))
+        .withColumn("position_value", col("shares").cast("double") * col("price"))
+        .where(col("symbol_id") % 13 =!= 0 &&
+          col("drift") <= 0.05 && col("drift") >= -0.03 &&
+          col("position_value") <= 25000.0)
+        .withColumn("order_rank", row_number().over(w))
+        .where(col("order_rank") <= 10)
+        .select("symbol_id", "symbol", "entry_date", "trade_strategy",
+          "composite_score", "price", "shares", "position_value", "order_rank")
+        .orderBy("order_rank")
+    },
+    s"""${FundamentalQueries.scoresPrelude},
+       |$tradesCte,
+       |$scoresJoinCte,
+       |$scoredCte,
+       |latest AS (SELECT MAX(entry_date) AS latest_date FROM scored),
+       |cand AS (
+       |  SELECT s.*, l.latest_date,
+       |         CAST(s.signal_strength + 10.0 AS DOUBLE) AS price,
+       |         CAST((s.symbol_id % 21) - 10 AS DOUBLE) / 200.0 AS drift
+       |  FROM scored s JOIN latest l
+       |    ON s.entry_date >= l.latest_date - 8 AND s.entry_date <= l.latest_date
+       |),
+       |c2 AS (
+       |  SELECT cand.*,
+       |         GREATEST(CAST(1 AS BIGINT), CAST(FLOOR(5000.0 / price) AS BIGINT)) AS shares
+       |  FROM cand
+       |),
+       |c3 AS (
+       |  SELECT c2.*, CAST(shares AS DOUBLE) * price AS position_value
+       |  FROM c2
+       |  WHERE symbol_id % 13 <> 0 AND drift <= 0.05 AND drift >= -0.03
+       |),
+       |c4 AS (
+       |  SELECT c3.*, row_number() OVER (PARTITION BY latest_date
+       |           ORDER BY composite_score DESC, symbol_id, entry_date) AS order_rank
+       |  FROM c3 WHERE position_value <= 25000.0
+       |)
+       |SELECT symbol_id, symbol, entry_date, trade_strategy, composite_score,
+       |       price, shares, position_value, CAST(order_rank AS INTEGER) AS order_rank
+       |FROM c4 WHERE order_rank <= 10
+       |ORDER BY order_rank""".stripMargin)
 
   /** Top-25 recommendation report (create_top25_viz_input.py:14-44): rank
     * enriched trades by success probability, take the top 25 (Spark plans a
@@ -327,5 +401,6 @@ object BacktestQueries {
     "trades_fundamentals_join" -> tradesFundamentalsJoin,
     "trades_filter_threshold" -> tradesFilterThreshold,
     "signal_scorer" -> signalScorer,
-    "top_signals_report" -> topSignalsReport)
+    "top_signals_report" -> topSignalsReport,
+    "bot_order_candidates" -> botOrderCandidates)
 }
