@@ -112,33 +112,45 @@ object LlmQueries {
         precomputedBuckets = Some(corpusBuckets(s, d))).orderBy("query_id", "rank")
     }, None)
 
+  private val annIvf = Q(
+    (s, d) => {
+      val e = corpusEmb(s, d)
+      val q = e.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+      graft.ann.IvfIndex.approxTopK(e, q, k = 10).orderBy("query_id", "rank")
+    }, None)
+
   // ---------------------------------------------------------------- text
+  private def langScoreSql(words: Seq[String]): String = {
+    val cnts = words.map(w =>
+      s"len(list_filter(string_split(trim(text), ' '), t -> t = '$w'))").mkString(" + ")
+    s"CAST($cnts AS DOUBLE) / CAST(GREATEST(len(string_split(trim(text), ' ')), 1) AS DOUBLE)"
+  }
+  private val langScoreDefs: Seq[String] =
+    Corpus.Profiles.map { case (l, ws) => s"${langScoreSql(ws)} AS score_$l" }
+  private val langOrdered: Seq[String] = Corpus.Profiles.map(_._1)
+  /** Mirror of the Spark fold: nested CASE tracking (bestLang, bestScore). */
+  private val bestLangSql: String =
+    langOrdered.tail.foldLeft((s"'${langOrdered.head}'", s"score_${langOrdered.head}")) {
+      case ((bl, bs), l) =>
+        (s"CASE WHEN score_$l > $bs THEN '$l' ELSE $bl END",
+          s"CASE WHEN score_$l > $bs THEN score_$l ELSE $bs END")
+    }._1
+  /** langid CTE pair: sc (per-profile scores) + p (predicted_lang). */
+  private val langCte: String =
+    s"""sc AS (
+       |  SELECT doc_id, lang,
+       |    ${langScoreDefs.mkString(",\n    ")}
+       |  FROM documents
+       |),
+       |p AS (SELECT sc.*, $bestLangSql AS predicted_lang FROM sc)""".stripMargin
+
   private val textLangid = Q(
     (s, d) => Corpus.langId(s, d).orderBy("doc_id"),
-    {
-      def score(words: Seq[String]): String = {
-        val cnts = words.map(w =>
-          s"len(list_filter(string_split(trim(text), ' '), t -> t = '$w'))").mkString(" + ")
-        s"CAST($cnts AS DOUBLE) / CAST(GREATEST(len(string_split(trim(text), ' ')), 1) AS DOUBLE)"
-      }
-      val scoreDefs = Corpus.Profiles.map { case (l, ws) => s"${score(ws)} AS score_$l" }
-      val ordered = Corpus.Profiles.map(_._1)
-      // mirror the Spark fold: nested CASE tracking (bestLang, bestScore)
-      val (blSql, _) = ordered.tail.foldLeft((s"'${ordered.head}'", s"score_${ordered.head}")) {
-        case ((bl, bs), l) =>
-          (s"CASE WHEN score_$l > $bs THEN '$l' ELSE $bl END",
-            s"CASE WHEN score_$l > $bs THEN score_$l ELSE $bs END")
-      }
-      s"""WITH sc AS (
-         |  SELECT doc_id, lang,
-         |    ${scoreDefs.mkString(",\n    ")}
-         |  FROM documents
-         |),
-         |p AS (SELECT sc.*, $blSql AS predicted_lang FROM sc)
-         |SELECT doc_id, lang, predicted_lang, predicted_lang = lang AS is_correct,
-         |  ${ordered.map(l => s"score_$l").mkString(", ")}
-         |FROM p ORDER BY doc_id""".stripMargin
-    })
+    s"""WITH $langCte
+       |SELECT doc_id, lang, predicted_lang, predicted_lang = lang AS is_correct,
+       |  ${langOrdered.map(l => s"score_$l").mkString(", ")}
+       |FROM p ORDER BY doc_id""".stripMargin)
 
   private val textQuality = Q(
     (s, d) => Corpus.quality(s, d).orderBy("doc_id"),
@@ -177,6 +189,68 @@ object LlmQueries {
       |  substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 8) AS fingerprint_prefix
       |FROM documents ORDER BY doc_id""".stripMargin)
 
+  /** The end-to-end training-data cleaning pass, composed from the
+    * deterministic pipeline stages: drop exact + token-set duplicates, drop
+    * low-quality docs (score < 0.5 or < 5 tokens), keep docs whose n-gram
+    * language ID agrees with the labelled language. Each stage is
+    * oracle-green on its own; this query proves they compose into one
+    * filtered-corpus DAG (three hash joins on doc_id — at 100 TB each side
+    * is partitioned by doc_id, no stage materializes the full text twice). */
+  private val corpusClean = Q(
+    (s, d) => {
+      import graft.sqlx.Exact.r4
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars")
+      val dd = ExactDedup.dedup(s, d)
+        .select(col("doc_id"), col("is_exact_dup"), col("is_tokenset_dup"))
+      val q = Corpus.quality(s, d).select(col("doc_id"), col("token_cnt"), col("quality_score"))
+      val l = Corpus.langId(s, d).select(col("doc_id"), col("predicted_lang"))
+      docs.join(dd, "doc_id").join(q, "doc_id").join(l, "doc_id")
+        .where(!col("is_exact_dup") && !col("is_tokenset_dup") &&
+          col("quality_score") >= 0.5 && col("token_cnt") >= 5 &&
+          col("predicted_lang") === col("lang"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("token_cnt"), r4(col("quality_score")).as("quality_score"))
+        .orderBy("doc_id")
+    },
+    s"""WITH k AS (
+       |  SELECT doc_id,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS exact_key,
+       |    md5(array_to_string(list_sort(list_distinct(string_split(trim(text), ' '))), ' ')) AS tokenset_key
+       |  FROM documents
+       |),
+       |dk AS (
+       |  SELECT doc_id,
+       |    doc_id <> MIN(doc_id) OVER (PARTITION BY exact_key) AS is_exact_dup,
+       |    doc_id <> MIN(doc_id) OVER (PARTITION BY tokenset_key) AS is_tokenset_dup
+       |  FROM k
+       |),
+       |q1 AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS INTEGER) AS char_len,
+       |    CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS token_cnt,
+       |    CAST(len(list_distinct(string_split(trim(text), ' '))) AS INTEGER) AS uniq_token_cnt,
+       |    CAST(len(regexp_extract_all(text, '[0-9]')) AS INTEGER) AS digit_cnt
+       |  FROM documents
+       |),
+       |q2 AS (
+       |  SELECT doc_id, token_cnt,
+       |    LEAST(1.0, CAST(token_cnt AS DOUBLE) / 50.0) * 0.4
+       |      + CAST(uniq_token_cnt AS DOUBLE) / CAST(token_cnt AS DOUBLE) * 0.4
+       |      + (1.0 - LEAST(1.0, CAST(digit_cnt AS DOUBLE) / CAST(GREATEST(char_len, 1) AS DOUBLE) * 10.0)) * 0.2 AS quality_score
+       |  FROM q1
+       |),
+       |$langCte
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars, q2.token_cnt,
+       |  ${OracleSql.rd("q2.quality_score", "quality_score")}
+       |FROM documents d
+       |JOIN dk ON dk.doc_id = d.doc_id
+       |JOIN q2 ON q2.doc_id = d.doc_id
+       |JOIN p ON p.doc_id = d.doc_id
+       |WHERE NOT dk.is_exact_dup AND NOT dk.is_tokenset_dup
+       |  AND q2.quality_score >= 0.5 AND q2.token_cnt >= 5
+       |  AND p.predicted_lang = d.lang
+       |ORDER BY d.doc_id""".stripMargin)
+
   // ---------------------------------------------------------------- multimodal
   private val mmFeatures = Q(
     (s, d) => Binary.features(s, d).toDF()
@@ -199,11 +273,13 @@ object LlmQueries {
     "dedup_simhash" -> dedupSimhash,
     "ann_topk" -> annTopk,
     "ann_lsh" -> annLsh,
+    "ann_ivf" -> annIvf,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
+    "corpus_clean" -> corpusClean,
     "mm_features" -> mmFeatures)
 }

@@ -29,6 +29,18 @@ class AnnSpec extends SparkSpec {
     assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("IVF ANN: recall@10 >= 0.8 vs brute force, candidate join is a cell equi-join") {
+    val exact = Cosine.topK(spark, sf("sf0.01"), k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivfDf = IvfIndex.approxTopK(e, q, k = 10)
+    val ivf = ivfDf.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall@10 = $recall")
+    assert(ivfDf.queryExecution.executedPlan.collect {
+      case c: CartesianProductExec => c
+    }.isEmpty)
+  }
+
   test("embedding LSH near-dup: recall >= 0.95 vs exact all-pairs, no nested-loop join") {
     val exact = Cosine.thresholdPairs(spark, sf("sf0.01"), 0.4)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
