@@ -46,6 +46,44 @@ class StreamingSpec extends SparkSpec {
     assert(n == 2, s"expected 2 unique events, got $n")
   }
 
+  test("streaming windowed agg equals the batch mirror on real testdata") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = graft.Tables.events(spark, sf("sf0.001"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .collect().map(r =>
+        Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4))).toSeq
+    val in = MemoryStream[Ev]
+    val q = EventAggregates.windowedCounts(in.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName("weq")
+      .outputMode(OutputMode.Complete()).start()
+    in.addData(rows)
+    q.processAllAvailable()
+    val streamed = spark.table("weq")
+      .select("window_start", "event_type", "n_events", "value_sum")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    q.stop()
+    val batch = graft.Tables.events(spark, sf("sf0.001"))
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(25,10)")).cast("double").as("value_sum"))
+      .select(col("window.start"), col("event_type"), col("n_events"), col("value_sum"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch,
+      s"stream/batch divergence: onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
+  }
+
+  test("salted two-phase aggregation is bit-identical to the direct aggregation") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, sf("sf0.001"))
+    val salted = graft.sqlx.Skew.saltedCountSum(ev, Seq("event_type"), "value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(graft.sqlx.Exact.dec(col("value"))).cast("double").as("value_sum"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == direct)
+  }
+
   test("sessionization closes a session after the inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Sessionize.Event]
