@@ -49,7 +49,7 @@ object QualityScores {
     * of metadata, the same scale of driver traffic Spark's own
     * RangePartitioner incurs — so no single-partition sort ever touches the
     * data itself. The interpolation formula (numpy default) is unchanged. */
-  private def withFcfBounds(df: DataFrame): DataFrame = {
+  private[fundamentals] def withFcfBounds(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val vals = df.select(col("fcf_free_cash_flow").as("v")).where(col("v").isNotNull)

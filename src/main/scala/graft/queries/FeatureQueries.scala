@@ -136,10 +136,14 @@ object FeatureQueries {
        |  ${rd("CASE WHEN volume_sma_20 <> 0 THEN CAST(volume AS DOUBLE) / volume_sma_20 END", "volume_ratio")}
        |FROM f ORDER BY symbol_id, date""".stripMargin)
 
+  // `ad` is an exact decimal running sum → ships RAW (SURVEY §6: rounding a
+  // decimal-backed value lands on decimal ties where the engines' double
+  // ROUND disagree — caught by the sf0.001 sweep); `cmf` is a division, so
+  // it stays in the round-at-4dp family.
   private val featCmfAd = Q(
     (s, d) => keyed(featureTable(s, d), Seq(
       r4(col("ohlcv_cmf")).as("cmf"),
-      r4(col("ohlcv_ad")).as("ad"))),
+      col("ohlcv_ad").as("ad"))),
     s"""WITH $barsCte,
        |f AS (
        |  SELECT symbol_id, date, volume, rn,
@@ -148,7 +152,7 @@ object FeatureQueries {
        |)
        |SELECT symbol_id, date,
        |  ${rd(s"CASE WHEN rn >= 20 AND CAST(SUM(volume) ${win(20)} AS DOUBLE) <> 0 THEN CAST(CAST(SUM(CAST(mfv6 AS DECIMAL(30,12))) ${win(20)} AS VARCHAR) AS DOUBLE) / CAST(SUM(volume) ${win(20)} AS DOUBLE) END", "cmf")},
-       |  ${rd(s"CAST(CAST(SUM(CAST(mfv6 AS DECIMAL(30,12))) OVER ($bySymbol ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE)", "ad")}
+       |  CAST(CAST(SUM(CAST(mfv6 AS DECIMAL(30,12))) OVER ($bySymbol ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE) AS ad
        |FROM f ORDER BY symbol_id, date""".stripMargin)
 
   private val featObv = Q(
