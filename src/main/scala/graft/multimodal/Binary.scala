@@ -55,4 +55,21 @@ object Binary {
     import spark.implicits._
     records(spark, dir).mapPartitions(_.grouped(batchSize).flatMap(decodeBatch))
   }
+
+  case class MMFrame(doc_id: Long, frame_idx: Int, frame_len: Int, first_byte: Int)
+
+  /** Frame sampling: chunk the payload into fixed 16-byte frames and keep
+    * every k-th — the video keyframe-extraction shape (one exploded row per
+    * sampled frame, payload never leaves its partition). The per-frame
+    * "decode" is stubbed to (length, first byte); a real deployment emits
+    * the decoded tensor per sampled frame. */
+  def frameSample(records: Dataset[MMRecord], everyK: Int = 4): Dataset[MMFrame] = {
+    import records.sparkSession.implicits._
+    records.flatMap { r =>
+      r.payload.grouped(16).zipWithIndex.collect {
+        case (chunk, i) if i % everyK == 0 =>
+          MMFrame(r.doc_id, i, chunk.length, chunk(0) & 0xff)
+      }
+    }
+  }
 }

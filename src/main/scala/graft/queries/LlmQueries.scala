@@ -266,6 +266,26 @@ object LlmQueries {
       |  CAST(octet_length(encode(text)) // 16 AS INTEGER) AS frame_count
       |FROM documents ORDER BY doc_id""".stripMargin)
 
+  /** Frame-sampling plumbing over the synthesized payload column; the
+    * oracle mirrors the byte chunking in SQL (testdata text is pure ASCII,
+    * verified, so char offsets equal byte offsets). */
+  private val mmFrames = Q(
+    (s, d) => Binary.frameSample(Binary.records(s, d)).toDF()
+      .orderBy("doc_id", "frame_idx"),
+    """WITH f AS (
+      |  SELECT doc_id, text, octet_length(encode(text)) AS blen FROM documents
+      |),
+      |idx AS (
+      |  SELECT doc_id, text, blen,
+      |         UNNEST(range(0, CAST(ceil(blen / 16.0) AS BIGINT))) AS fi
+      |  FROM f
+      |)
+      |SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+      |       CAST(LEAST(16, blen - fi * 16) AS INTEGER) AS frame_len,
+      |       ascii(substr(text, CAST(fi * 16 + 1 AS INTEGER), 1)) AS first_byte
+      |FROM idx WHERE fi % 4 = 0
+      |ORDER BY doc_id, frame_idx""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
@@ -281,5 +301,6 @@ object LlmQueries {
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
     "corpus_clean" -> corpusClean,
-    "mm_features" -> mmFeatures)
+    "mm_features" -> mmFeatures,
+    "mm_frames" -> mmFrames)
 }
