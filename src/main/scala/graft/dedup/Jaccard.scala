@@ -33,19 +33,17 @@ object Jaccard {
     docs.select(col("doc_id"), explode(array_distinct(tri)).as("shingle"))
   }
 
-  private val pairCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private val shingleCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-
   /** Memoized + persisted shingle index per (session, dir): the exact-pair
     * self-join reads it twice and the MinHash path reads it for signatures
     * AND verify — one explode instead of four. */
   def cachedShingles(spark: SparkSession, dir: String): DataFrame =
-    shingleCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$dir",
+    graft.sqlx.FrameCache.getOrElseUpdate(graft.sqlx.FrameCache.key(spark, "shingles", dir))(
       shingles(Tables.documents(spark, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   def pairs(spark: SparkSession, dir: String, threshold: Double): DataFrame =
-    pairCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$dir:$threshold",
+    graft.sqlx.FrameCache.getOrElseUpdate(
+        graft.sqlx.FrameCache.key(spark, "jaccard", dir, threshold.toString))(
       pairsFromShingles(cachedShingles(spark, dir), threshold)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 

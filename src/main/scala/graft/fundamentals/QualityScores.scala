@@ -88,12 +88,10 @@ object QualityScores {
     } finally parts.unpersist()
   }
 
-  private val cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-
   /** Score table over [[Statements.full]] output (memoized + persisted per
     * (session, dir) — three enrichment queries share one build). */
   def scores(spark: SparkSession, dir: String): DataFrame =
-    cache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$dir", {
+    graft.sqlx.FrameCache.getOrElseUpdate(graft.sqlx.FrameCache.key(spark, "scores", dir)) {
       import org.apache.spark.sql.functions.col
       // persist only the score projection: caching the wide statements frame
       // would defeat column pruning for every consumer
@@ -106,7 +104,7 @@ object QualityScores {
           "overall_quality_score", "is_high_quality", "is_investment_grade",
           "has_red_flags").map(col)): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   private def build(spark: SparkSession, dir: String): DataFrame = {
     val f = withFcfBounds(Statements.full(spark, dir))

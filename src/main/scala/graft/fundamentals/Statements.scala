@@ -100,13 +100,11 @@ object Statements {
     when(col("rn") >= 2, sqrt(variance))
   }
 
-  private val cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-
   /** All fbs_/fcf_/fis_ features in one window pass (memoized + persisted
     * per (session, dir): three statement queries + the score build share
     * one evaluation; the frame is small — one row per customer-quarter). */
   def full(spark: SparkSession, dir: String): DataFrame =
-    cache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$dir",
+    graft.sqlx.FrameCache.getOrElseUpdate(graft.sqlx.FrameCache.key(spark, "stmt", dir))(
       build(spark, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private def build(spark: SparkSession, dir: String): DataFrame = {

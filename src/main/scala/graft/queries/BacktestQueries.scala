@@ -22,10 +22,8 @@ object BacktestQueries {
       .join(features.select(col("symbol_id"), col("date"), col("close")), Seq("symbol_id", "date"))
   }
 
-  private val tradeCache =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
   private def trades(s: org.apache.spark.sql.SparkSession, d: String) =
-    tradeCache.getOrElseUpdate(s"${System.identityHashCode(s)}:$d",
+    graft.sqlx.FrameCache.getOrElseUpdate(graft.sqlx.FrameCache.key(s, "trades", d))(
       Simulator.simulate(signalsWithClose(s, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
@@ -214,13 +212,10 @@ object BacktestQueries {
        |),
        |enriched AS (SELECT * EXCLUDE (rnk) FROM j WHERE rnk = 1)""".stripMargin
 
-  private val enrichedCache =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
-
   /** Memoized + persisted enriched-trades frame: five queries (as-of join,
     * filter, scorer, top-25 report, bot orders) share one build. */
   private def enrichedSpark(s: org.apache.spark.sql.SparkSession, d: String) =
-    enrichedCache.getOrElseUpdate(s"${System.identityHashCode(s)}:$d",
+    graft.sqlx.FrameCache.getOrElseUpdate(graft.sqlx.FrameCache.key(s, "enriched", d))(
       Enrich.joinFundamentals(Enrich.tradeEntries(s, d), graft.fundamentals.QualityScores.scores(s, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 

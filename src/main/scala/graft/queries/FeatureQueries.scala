@@ -11,14 +11,11 @@ import OracleSql._
   * transform_time_series_daily_adjusted.py:160-413). */
 object FeatureQueries {
 
-  private val ftCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-
   /** bars → full windowed indicator + target table (one shuffle), memoized +
     * persisted per (session, dir): the 13 feature-family queries share one
     * build instead of re-running the window ladder each. */
   def featureTable(spark: SparkSession, dir: String): DataFrame =
-    ftCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$dir",
+    graft.sqlx.FrameCache.getOrElseUpdate(graft.sqlx.FrameCache.key(spark, "feattable", dir))(
       Targets.withTargets(Indicators.windowed(Bars.daily(Tables.events(spark, dir))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 

@@ -91,10 +91,8 @@ object LlmQueries {
 
   /** Memoized + persisted corpus bucket table per (session, dir): ann_lsh
     * and dedup_embedding_lsh share one O(N·L·B) bucketing pass. */
-  private val bucketCache =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
   private def corpusBuckets(s: org.apache.spark.sql.SparkSession, d: String) =
-    bucketCache.getOrElseUpdate(s"${System.identityHashCode(s)}:$d",
+    graft.sqlx.FrameCache.getOrElseUpdate(graft.sqlx.FrameCache.key(s, "buckets", d))(
       HyperplaneLSH.buckets(corpusEmb(s, d), dim = 64)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 

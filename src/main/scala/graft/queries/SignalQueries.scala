@@ -23,10 +23,8 @@ object SignalQueries {
   /** Spark-side feature table for signals — memoized + persisted per
     * (session, dir): eleven strategy queries and the backtest all reuse one
     * cached build instead of re-running the shuffle + recursive scan. */
-  private val featCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   def signalFeatures(s: SparkSession, d: String): DataFrame =
-    featCache.getOrElseUpdate(s"${System.identityHashCode(s)}:$d", {
+    graft.sqlx.FrameCache.getOrElseUpdate(graft.sqlx.FrameCache.key(s, "sigfeat", d)) {
       val bars = Bars.daily(Tables.events(s, d))
       // localCheckpoint (not persist): truncates the ~60-window-expression
       // lineage so the 11 strategy plans + backtest start from a
@@ -35,7 +33,7 @@ object SignalQueries {
       Recursive.withRecursive(
         Indicators.withHighLow(Indicators.windowed(bars, Seq(3, 5, 10, 20, 50))))
         .localCheckpoint()
-    })
+    }
 
   private def run(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, d) => f(signalFeatures(s, d))
