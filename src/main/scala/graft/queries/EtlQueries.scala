@@ -76,6 +76,26 @@ object EtlQueries {
        |FROM f JOIN stale w ON f.symbol_id = w.symbol_id
        |ORDER BY f.symbol_id, f.date""".stripMargin)
 
+  /** Watermark status rollup (check_watermarks.py:14-27): fresh vs stale
+    * counts within the 48h horizon plus age extremes — one global aggregate
+    * over the (tiny) watermark table. */
+  private val watermarkStatus = Q(
+    (s, d) => Watermarks.watermarkTable(s, d).agg(
+      count(lit(1)).as("total_symbols"),
+      sum(when(col("last_run_age_hours").isNotNull && col("last_run_age_hours") < 48, 1L)
+        .otherwise(0L)).as("recent_48h"),
+      sum(when(col("last_run_age_hours").isNull || col("last_run_age_hours") >= 48, 1L)
+        .otherwise(0L)).as("stale_48h"),
+      min(col("last_run_age_hours")).as("freshest_age_hours"),
+      max(col("last_run_age_hours")).as("oldest_age_hours")),
+    s"""WITH $wmCte
+       |SELECT COUNT(*) AS total_symbols,
+       |  CAST(SUM(CASE WHEN last_run_age_hours IS NOT NULL AND last_run_age_hours < 48 THEN 1 ELSE 0 END) AS BIGINT) AS recent_48h,
+       |  CAST(SUM(CASE WHEN last_run_age_hours IS NULL OR last_run_age_hours >= 48 THEN 1 ELSE 0 END) AS BIGINT) AS stale_48h,
+       |  MIN(last_run_age_hours) AS freshest_age_hours,
+       |  MAX(last_run_age_hours) AS oldest_age_hours
+       |FROM wm""".stripMargin)
+
   private val symbolUniverse = Q(
     (s, d) => SymbolUniverse.universe(s, d).orderBy("symbol_id"),
     """WITH base AS (
@@ -94,6 +114,7 @@ object EtlQueries {
 
   val all: Map[String, Q] = Map(
     "watermark_stale" -> watermarkStale,
+    "watermark_status" -> watermarkStatus,
     "watermark_incremental_features" -> watermarkIncrementalFeatures,
     "symbol_universe" -> symbolUniverse)
 }
