@@ -26,9 +26,11 @@ object IvfIndex {
     val spark = vecs.sparkSession
     import spark.implicits._
     val fv = vecs.withColumn("fv", array_to_vector(col("emb")))
-    // few iterations suffice: the coarse quantizer only has to spread cells,
-    // not converge — recall comes from nProbe, not centroid optimality
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(8)
+    // few iterations + random init suffice: the coarse quantizer only has to
+    // spread cells, not converge — recall comes from nProbe, not centroid
+    // optimality (k-means|| init alone costs more passes than the fit)
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
+      .setInitMode("random")
       .setFeaturesCol("fv").setPredictionCol("cell").fit(fv)
     val assigned = model.transform(fv).select(col("vec_id"), col("emb"), col("cell"))
     val cents = model.clusterCenters.zipWithIndex.toSeq
