@@ -15,6 +15,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // the statement/feature frames carry 100-400 columns; the default
+      // maxFields=100 silently disables whole-stage codegen for every plan
+      // that touches them, dropping the hot path to interpreted evaluation
+      .config("spark.sql.codegen.maxFields", "500")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

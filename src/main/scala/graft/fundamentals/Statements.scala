@@ -72,23 +72,23 @@ object Statements {
   }
 
   /** pandas rank(pct=True) within a partition: average-rank / non-null count.
-    * avg_rank = cnt_less + (cnt_eq + 1)/2. All three counts share ONE hash
-    * partitioning (asc count ≤, desc count ≥, plain total): Catalyst plans a
-    * single exchange + three sorts — partitioning by (part, v) for the
-    * equal-count would add a full-frame shuffle per ranked metric. Counts
-    * are exact integers, so the derived cnt_less/cnt_eq and the final
-    * double DAG are bit-identical to the direct formulation the oracle uses. */
+    * avg_rank = cnt_less + (cnt_eq + 1)/2. Everything derives from ONE
+    * ascending sort with nulls last: rank()-1 is the strictly-less count
+    * (null rows sort after every value, so they never inflate it), the
+    * default RANGE frame's running count(v) is the ≤-count, and the
+    * unordered whole-partition count(v) is the non-null total — all three
+    * are O(n) running/once-per-partition frames on the same exchange. (The
+    * previous formulation mirrored a rangeBetween(currentRow,
+    * unboundedFollowing) frame, which Spark evaluates by re-scanning to the
+    * partition end for every row — O(n²) per partition.) Counts are exact
+    * integers, so the derived cnt_less/cnt_eq and the final double DAG are
+    * bit-identical to the direct formulation the oracle uses. */
   def pctRank(v: Column, part: Seq[Column]): Column = {
-    val ws = Window.partitionBy(part: _*).orderBy(v)
+    val ws = Window.partitionBy(part: _*).orderBy(v.asc_nulls_last)
     val cntLe = count(v).over(ws) // ≤ v (default RANGE = peers incl.)
-    // ≥ v from the SAME ascending sort via the mirrored RANGE frame — both
-    // frames live in one WindowExec, so each ranked metric costs exactly one
-    // sorted pass (a desc ordering would double the sorts)
-    val cntGe = count(v).over(
-      ws.rangeBetween(Window.currentRow, Window.unboundedFollowing))
     val nTot = count(v).over(Window.partitionBy(part: _*))
-    val cntEq = cntLe + cntGe - nTot
-    val cntLess = nTot - cntGe
+    val cntLess = rank().over(ws).cast("long") - lit(1L)
+    val cntEq = cntLe - cntLess
     when(v.isNotNull, (cntLess + (cntEq + lit(1)) / lit(2.0)) / nTot)
   }
 
@@ -119,11 +119,21 @@ object Statements {
     graft.sqlx.FrameCache.getOrElseUpdate(graft.sqlx.FrameCache.key(spark, "stmt", dir))(
       build(spark, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Columns are computed GROUPED BY WINDOW PARTITIONING, not in reference
+    * order: row-level ratios first, then every symbol-ordered window
+    * (qoq/yoy/volatility) contiguously, then every (quarter, sector) rank,
+    * then the (quarter, industry) rank, then row-level flags. Interleaved
+    * in reference order, Catalyst planned 32 Window operators and 26
+    * exchanges — the 123k-row frame re-shuffled between symbol and
+    * quarter×sector partitioning ~13 times. Grouped, adjacent compatible
+    * windows collapse to one pass per partitioning. Values are unchanged
+    * (each column's expression DAG is identical); only the column order of
+    * the raw frame differs, and every consumer selects by name. */
   private def build(spark: SparkSession, dir: String): DataFrame = {
     val qcol = Seq(col("fiscal_q"))
     base(spark, dir)
-      .withColumn("rn", row_number().over(BySym))
-      // balance sheet ratios (transform_balance_sheet.py:206-244)
+      // row-level ratios (transform_balance_sheet.py:206-244,
+      // transform_cash_flow.py:222-299, transform_income_statement.py:222-276)
       .withColumn("fbs_current_ratio", sdiv(col("tca"), col("tcl")))
       .withColumn("fbs_quick_ratio", sdiv(col("tca") - col("inventory"), col("tcl")))
       .withColumn("fbs_cash_ratio", sdiv(col("cash"), col("tcl")))
@@ -131,40 +141,43 @@ object Statements {
       .withColumn("fbs_debt_to_equity", sdiv(col("total_liabilities"), col("equity")))
       .withColumn("fbs_debt_to_assets", sdiv(col("total_liabilities"), col("total_assets")))
       .withColumn("fbs_tangible_asset_ratio", sdiv(col("total_assets") - col("inventory"), col("total_assets")))
-      .withColumn("fbs_current_ratio_qoq_pct", pctChange(col("fbs_current_ratio"), 1))
-      .withColumn("fbs_quick_ratio_qoq_pct", pctChange(col("fbs_quick_ratio"), 1))
-      .withColumn("fbs_current_ratio_yoy_pct", pctChange(col("fbs_current_ratio"), 4))
-      .withColumn("fbs_current_ratio_volatility", vol4(col("fbs_current_ratio")))
-      .withColumn("fbs_current_ratio_sector_rank", pctRank(col("fbs_current_ratio"), qcol :+ col("sector")))
-      .withColumn("fbs_current_ratio_industry_rank", pctRank(col("fbs_current_ratio"), qcol :+ col("industry")))
-      .withColumn("fbs_liquidity_shock_flag",
-        when(col("fbs_current_ratio_qoq_pct") < -0.2, 1).otherwise(0))
-      // cash flow (transform_cash_flow.py:222-299)
       .withColumn("fcf_free_cash_flow", col("fcf"))
       .withColumn("fcf_ocf_to_capex_ratio", sdiv(col("ocf"), col("capex")))
       .withColumn("fcf_cash_conversion_ratio", sdiv(col("ocf"), col("net_income")))
       .withColumn("fcf_capex_intensity", sdiv(col("capex"), col("revenue")))
       .withColumn("fcf_operating_cf_margin", sdiv(col("ocf"), col("revenue")))
+      .withColumn("fis_gross_margin", sdiv(col("gross_profit"), col("revenue")))
+      .withColumn("fis_operating_margin", sdiv(col("operating_income"), col("revenue")))
+      .withColumn("fis_net_margin", sdiv(col("net_income"), col("revenue")))
+      // one symbol-partitioned window pass: rn + every qoq/yoy/volatility
+      .withColumn("rn", row_number().over(BySym))
+      .withColumn("fbs_current_ratio_qoq_pct", pctChange(col("fbs_current_ratio"), 1))
+      .withColumn("fbs_quick_ratio_qoq_pct", pctChange(col("fbs_quick_ratio"), 1))
+      .withColumn("fbs_current_ratio_yoy_pct", pctChange(col("fbs_current_ratio"), 4))
+      .withColumn("fbs_current_ratio_volatility", vol4(col("fbs_current_ratio")))
       .withColumn("fcf_operating_cf_qoq_pct", pctChange(col("ocf"), 1))
       .withColumn("fcf_free_cash_flow_qoq_pct", pctChange(col("fcf"), 1))
       .withColumn("fcf_operating_cf_yoy_pct", pctChange(col("ocf"), 4))
       .withColumn("fcf_free_cash_flow_yoy_pct", pctChange(col("fcf"), 4))
       .withColumn("fcf_operating_cf_volatility", vol4(col("ocf")))
-      .withColumn("fcf_operating_cf_sector_rank", pctRank(col("ocf"), qcol :+ col("sector")))
-      .withColumn("fcf_free_cash_flow_sector_rank", pctRank(col("fcf"), qcol :+ col("sector")))
-      .withColumn("fcf_negative_free_cash_flow_flag", when(col("fcf") < 0.0, 1).otherwise(0))
-      .withColumn("fcf_cash_burn_flag", when(col("fcf") < 0.0 && col("ocf") < 0.0, 1).otherwise(0))
-      // income statement (transform_income_statement.py:222-276)
-      .withColumn("fis_gross_margin", sdiv(col("gross_profit"), col("revenue")))
-      .withColumn("fis_operating_margin", sdiv(col("operating_income"), col("revenue")))
-      .withColumn("fis_net_margin", sdiv(col("net_income"), col("revenue")))
       .withColumn("fis_revenue_qoq_pct", pctChange(col("revenue"), 1))
       .withColumn("fis_net_income_qoq_pct", pctChange(col("net_income"), 1))
       .withColumn("fis_revenue_yoy_pct", pctChange(col("revenue"), 4))
       .withColumn("fis_net_income_yoy_pct", pctChange(col("net_income"), 4))
       .withColumn("fis_revenue_volatility", vol4(col("revenue")))
+      // one (quarter, sector) window pass: every sector percentile rank
+      .withColumn("fbs_current_ratio_sector_rank", pctRank(col("fbs_current_ratio"), qcol :+ col("sector")))
+      .withColumn("fcf_operating_cf_sector_rank", pctRank(col("ocf"), qcol :+ col("sector")))
+      .withColumn("fcf_free_cash_flow_sector_rank", pctRank(col("fcf"), qcol :+ col("sector")))
       .withColumn("fis_net_margin_sector_rank", pctRank(col("fis_net_margin"), qcol :+ col("sector")))
       .withColumn("fis_operating_margin_sector_rank", pctRank(col("fis_operating_margin"), qcol :+ col("sector")))
+      // one (quarter, industry) window pass
+      .withColumn("fbs_current_ratio_industry_rank", pctRank(col("fbs_current_ratio"), qcol :+ col("industry")))
+      // row-level flags
+      .withColumn("fbs_liquidity_shock_flag",
+        when(col("fbs_current_ratio_qoq_pct") < -0.2, 1).otherwise(0))
+      .withColumn("fcf_negative_free_cash_flow_flag", when(col("fcf") < 0.0, 1).otherwise(0))
+      .withColumn("fcf_cash_burn_flag", when(col("fcf") < 0.0 && col("ocf") < 0.0, 1).otherwise(0))
       .withColumn("fis_negative_net_income_flag", when(col("net_income") < 0.0, 1).otherwise(0))
       .withColumn("fis_revenue_decline_flag", when(col("fis_revenue_yoy_pct") < 0.0, 1).otherwise(0))
   }

@@ -13,6 +13,7 @@ object Profile {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.maxFields", "500")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def t(name: String)(f: => Long): Unit = {
@@ -29,6 +30,9 @@ object Profile {
       ribbonPeriods = Seq(3, 5, 10, 20), trendSma = 20).count() }
     t("simulate") { graft.SparkEntry.queries("backtest_trades")(spark, d).count() }
     t("metrics") { graft.SparkEntry.queries("backtest_metrics")(spark, d).count() }
+    t("enriched-first") { graft.SparkEntry.queries("trades_fundamentals_join")(spark, d).count() }
+    t("bot-orders") { graft.SparkEntry.queries("bot_order_candidates")(spark, d).count() }
+    t("ann-ivf") { graft.SparkEntry.queries("ann_ivf")(spark, d).count() }
     t("jaccard-pairs") { graft.dedup.Jaccard.pairs(spark, d, 0.2).count() }
     t("ann-buckets") { graft.Tables.embeddings(spark, d).count() }
     spark.stop()
