@@ -1,42 +1,114 @@
 package graft.ann
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest neighbour — the second scale path
-  * beside [[HyperplaneLSH]]: a seeded k-means coarse quantizer assigns every
-  * vector to a cell; a query scores only the vectors in its `nProbe` closest
-  * cells, exactly (codegen'd dot product), then ranks top-k.
+  * beside [[HyperplaneLSH]]: a coarse quantizer assigns every vector to a
+  * cell; a query scores only the vectors in its `nProbe` closest cells,
+  * exactly (codegen'd dot product), then ranks top-k.
   *
-  * At 100 TB the assignment is one broadcast-centroid map pass, the index is
-  * just `(cell, vec)` — ideally written bucketed/partitioned BY cell so a
-  * probe reads nProbe/nCells of the data — and the candidate join is a
-  * bucket equi-join on cell id, never all-pairs. Centroids are trained on a
-  * sample (k-means cost is O(sample·k·d)); the seeded fit keeps runs
-  * reproducible.
+  * The quantizer is trained FAISS-style: a bounded, deterministic,
+  * content-hash sample of the corpus is collected to the driver and Lloyd's
+  * iterations run locally (k-means cost is O(sample·k·d) and a coarse
+  * quantizer only has to spread cells — recall comes from nProbe, not
+  * centroid optimality). Distributing the fit (MLlib) spends more time on
+  * per-iteration job scheduling than the arithmetic itself, at every scale:
+  * the sample is capped, so driver memory is bounded at 100 TB too.
+  *
+  * Assignment is then ONE map pass with the centroid table in the task
+  * closure (k·d doubles — a few KB). The per-row argmin is a UDF by choice:
+  * its body IS the k·d distance arithmetic, so codegen'd expression trees
+  * would save only the row-boundary overhead. At 100 TB the index is just
+  * `(cell, vec)` — ideally written bucketed BY cell so a probe reads
+  * nProbe/nCells of the data — and the candidate join is a bucket
+  * equi-join on cell id, never all-pairs.
   */
 object IvfIndex {
 
-  /** Train the coarse quantizer and assign each vector to its cell.
+  /** Train the coarse quantizer on a ≤maxTrain deterministic sample and
+    * assign each vector to its cell.
     * Returns (assignments: vec_id, emb, cell; centroids: cell, centroid). */
-  def assign(vecs: DataFrame, nCells: Int, seed: Long = 42L): (DataFrame, DataFrame) = {
+  def assign(vecs: DataFrame, nCells: Int, seed: Long = 42L,
+             maxTrain: Int = 65536): (DataFrame, DataFrame) = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    val fv = vecs.withColumn("fv", array_to_vector(col("emb")))
-    // few iterations + random init suffice: the coarse quantizer only has to
-    // spread cells, not converge — recall comes from nProbe, not centroid
-    // optimality (k-means|| init alone costs more passes than the fit)
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
-      .setInitMode("random")
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(fv)
-    val assigned = model.transform(fv).select(col("vec_id"), col("emb"), col("cell"))
-    val cents = model.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toArray.toSeq) }
+    val total = vecs.count()
+    val stride = math.max(1L, total / maxTrain)
+    // content-hash stride: the training set is a pure function of the data
+    // and seed, independent of partitioning and row order
+    val sample = vecs
+      .where(pmod(xxhash64(col("vec_id"), lit(seed)), lit(stride)) === 0L)
+      .select(col("vec_id"), col("emb"))
+      .as[(Long, Seq[Double])].collect()
+      .sortBy(_._1).map(_._2.toArray)
+    val centroids = lloyd(sample, nCells, seed, iters = 5)
+    val nearest = udf { (emb: Seq[Double]) =>
+      val x = emb.toArray
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val ce = centroids(c)
+        var d2 = 0.0
+        var i = 0
+        while (i < ce.length) { val df = x(i) - ce(i); d2 += df * df; i += 1 }
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      best
+    }
+    val assigned = vecs.select(col("vec_id"), col("emb"), nearest(col("emb")).as("cell"))
+    val cents = centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid")
     (assigned, cents)
+  }
+
+  /** Seeded local Lloyd's: init = k shuffled sample points, empty cells keep
+    * their centroid. Deterministic for a given (sample, k, seed). */
+  private def lloyd(xs: Array[Array[Double]], k: Int, seed: Long,
+                    iters: Int): Array[Array[Double]] = {
+    require(xs.nonEmpty, "empty quantizer training sample")
+    val d = xs(0).length
+    val rnd = new scala.util.Random(seed)
+    var cents = rnd.shuffle(xs.indices.toVector)
+      .take(math.min(k, xs.length)).map(i => xs(i).clone).toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](d))
+      val cnts = new Array[Long](cents.length)
+      xs.foreach { x =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          val ce = cents(c)
+          var d2 = 0.0
+          var i = 0
+          while (i < d) { val df = x(i) - ce(i); d2 += df * df; i += 1 }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        cnts(best) += 1
+        val s = sums(best)
+        var i = 0
+        while (i < d) { s(i) += x(i); i += 1 }
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (cnts(c) == 0L) cents(c)
+        else {
+          val s = sums(c)
+          val out = new Array[Double](d)
+          var i = 0
+          while (i < d) { out(i) = s(i) / cnts(c); i += 1 }
+          out
+        }
+      }
+      it += 1
+    }
+    cents
   }
 
   /** Approximate top-k: probe the nProbe closest cells per query (cosine to
