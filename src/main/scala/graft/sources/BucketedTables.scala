@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed parquet sink/source — the co-location primitive for 100 TB
+  * pipelines.
+  *
+  * Writing a table `bucketBy(n, key)` pre-shuffles it ONCE at write time;
+  * every later equi-join or aggregation on the bucket key then reads
+  * bucket i of each side into the same task and plans NO exchange. For the
+  * feature/fundamentals pipeline that means the per-symbol tables (bars,
+  * features, scores, signals) are written bucketed by symbol_id and every
+  * downstream symbol-keyed join in the daily run is shuffle-free — the
+  * same role the reference's per-symbol database partitioning plays
+  * (db_manager.py's symbol-keyed upserts), expressed as a storage layout
+  * instead of a loop.
+  *
+  * `sortBy` additionally orders each bucket file on disk so sort-merge
+  * joins skip their sort, and time-ordered scans ([[graft.plans.SortedGroupScan]]
+  * consumers) start from already-ordered input.
+  *
+  * Spark only honours bucket metadata through the catalog, so this sink
+  * goes through `saveAsTable` — at cluster scale that's the metastore;
+  * locally it's the embedded catalog under `spark.sql.warehouse.dir`.
+  */
+object BucketedTables {
+
+  /** Write `df` as a bucketed (and per-bucket sorted) parquet table. */
+  def write(df: DataFrame, table: String, bucketCols: Seq[String],
+            numBuckets: Int, sortCols: Seq[String] = Nil,
+            mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(bucketCols.nonEmpty, "bucketBy needs at least one column")
+    val w = df.write.mode(mode).format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val ws = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    ws.saveAsTable(table)
+  }
+
+  /** Read a bucketed table back (bucket metadata comes from the catalog, so
+    * joins/aggs on the bucket key plan without an exchange). */
+  def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+}
