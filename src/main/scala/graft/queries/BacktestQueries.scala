@@ -233,6 +233,43 @@ object BacktestQueries {
        |SELECT * FROM enriched
        |ORDER BY symbol_id, entry_date, trade_strategy""".stripMargin)
 
+  /** The SAME as-of semantics as [[tradesFundamentalsJoin]] through the
+    * zero-join union+window operator ([[graft.operators.AsOfJoin]]) — the
+    * both-sides-large scale path — checked against the identical oracle:
+    * two independent physical strategies, one bit-exact answer. */
+  private val asofJoinUnion = Q(
+    (s, d) => {
+      val f = graft.fundamentals.QualityScores.scores(s, d).select(
+        col("symbol_id"), col("fiscal_q"),
+        date_add(col("fiscal_q"), Enrich.PublicationLagDays).as("publication_date"),
+        date_add(date_add(col("fiscal_q"), Enrich.PublicationLagDays),
+          Enrich.LookforwardDays).as("valid_until_date"),
+        round(col("overall_quality_score"), 4).as("overall_quality_score"),
+        round(col("balance_sheet_quality_score"), 4).as("balance_sheet_quality_score"),
+        round(col("cash_flow_quality_score"), 4).as("cash_flow_quality_score"),
+        round(col("income_statement_quality_score"), 4).as("income_statement_quality_score"),
+        col("is_high_quality"), col("is_investment_grade"), col("has_red_flags"))
+      graft.operators.AsOfJoin.backward(
+          Enrich.tradeEntries(s, d), f, keys = Seq("symbol_id"),
+          leftTime = "entry_date", rightTime = "publication_date",
+          payload = Seq("fiscal_q", "publication_date", "valid_until_date",
+            "overall_quality_score", "balance_sheet_quality_score",
+            "cash_flow_quality_score", "income_statement_quality_score",
+            "is_high_quality", "is_investment_grade", "has_red_flags"),
+          toleranceDays = Some(Enrich.LookforwardDays))
+        .select("symbol_id", "entry_date", "trade_strategy", "signal_strength",
+          "fiscal_q", "publication_date", "valid_until_date",
+          "overall_quality_score", "balance_sheet_quality_score",
+          "cash_flow_quality_score", "income_statement_quality_score",
+          "is_high_quality", "is_investment_grade", "has_red_flags")
+        .orderBy("symbol_id", "entry_date", "trade_strategy")
+    },
+    s"""${FundamentalQueries.scoresPrelude},
+       |$tradesCte,
+       |$scoresJoinCte
+       |SELECT * FROM enriched
+       |ORDER BY symbol_id, entry_date, trade_strategy""".stripMargin)
+
   private val tradesFilterThreshold = Q(
     (s, d) => Enrich.filterByPrediction(enrichedSpark(s, d)).orderBy("trade_strategy"),
     s"""${FundamentalQueries.scoresPrelude},
@@ -394,6 +431,7 @@ object BacktestQueries {
     "backtest_trades" -> backtestTrades,
     "backtest_metrics" -> backtestMetrics,
     "trades_fundamentals_join" -> tradesFundamentalsJoin,
+    "asof_join_union" -> asofJoinUnion,
     "trades_filter_threshold" -> tradesFilterThreshold,
     "signal_scorer" -> signalScorer,
     "top_signals_report" -> topSignalsReport,

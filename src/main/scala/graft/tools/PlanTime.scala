@@ -13,8 +13,18 @@ object PlanTime {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.codegen.maxFields", "500")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val stages = new scala.collection.mutable.ArrayBuffer[(Int, String, Long, Int)]
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        val ms = (for {s <- i.submissionTime; c <- i.completionTime} yield c - s).getOrElse(-1L)
+        stages += ((i.stageId, i.name.takeWhile(_ != '\n').take(60), ms, i.numTasks))
+      }
+    })
     def t[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       println(f"PLANTIME $name%-20s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
@@ -36,6 +46,11 @@ object PlanTime {
     // is codegen compile / JIT, not row processing
     val tiny = graft.fundamentals.Statements.full(spark, "/root/testdata/sf0.001")
     t("full-tiny-1st") { tiny.count() }
+    println("STAGES (id, name, ms, tasks):")
+    stages.sortBy(-_._3).take(20).foreach { case (id, n, ms, nt) =>
+      println(f"STAGE $id%5d $ms%7d ms $nt%4d tasks  $n")
+    }
+    println("STAGETOTAL " + stages.map(_._3).sum + " ms over " + stages.size + " stages")
     val plan = full.queryExecution.executedPlan.toString
     println("PLANSTATS windows=" + "\\bWindow\\b".r.findAllIn(plan).length +
       " sorts=" + "\\bSort\\b".r.findAllIn(plan).length +
