@@ -270,6 +270,42 @@ object BacktestQueries {
        |SELECT * FROM enriched
        |ORDER BY symbol_id, entry_date, trade_strategy""".stripMargin)
 
+  /** Trailing half-year activity windows via the binned interval join
+    * ([[graft.operators.IntervalJoin]]): quarter-start sliding windows of 6
+    * months, each trade entry covered by two overlapping windows — a
+    * genuine non-equi range join that Spark would otherwise plan as a
+    * nested loop. The oracle states the raw range predicate directly. */
+  private val rangeJoinWindows = Q(
+    (s, d) => {
+      val wins = Tables.orders(s, d)
+        .select(make_date(year(col("o_orderdate")),
+          (quarter(col("o_orderdate")) - 1) * 3 + 1, lit(1)).as("win_start"))
+        .distinct()
+        .withColumn("win_end", add_months(col("win_start"), 6))
+      graft.operators.IntervalJoin.pointInInterval(
+          Enrich.tradeEntries(s, d), wins, "entry_date", "win_start", "win_end")
+        .groupBy("win_start", "win_end")
+        .agg(count(lit(1)).as("n_trades"),
+          countDistinct(col("symbol_id")).as("n_symbols"),
+          sum(graft.sqlx.Exact.dec(col("signal_strength"))).cast("double").as("sum_strength"))
+        .orderBy("win_start")
+    },
+    s"""WITH $tradesCte,
+       |w AS (
+       |  SELECT win_start, CAST(win_start + INTERVAL 6 MONTH AS DATE) AS win_end
+       |  FROM (SELECT DISTINCT make_date(CAST(year(o_orderdate) AS INT),
+       |                  (CAST(quarter(o_orderdate) AS INT) - 1) * 3 + 1, 1) AS win_start
+       |        FROM orders)
+       |)
+       |SELECT w.win_start, w.win_end,
+       |  COUNT(*) AS n_trades,
+       |  CAST(COUNT(DISTINCT t.symbol_id) AS BIGINT) AS n_symbols,
+       |  CAST(CAST(SUM(CAST(t.signal_strength AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS sum_strength
+       |FROM trades t JOIN w
+       |  ON t.entry_date >= w.win_start AND t.entry_date < w.win_end
+       |GROUP BY w.win_start, w.win_end
+       |ORDER BY w.win_start""".stripMargin)
+
   private val tradesFilterThreshold = Q(
     (s, d) => Enrich.filterByPrediction(enrichedSpark(s, d)).orderBy("trade_strategy"),
     s"""${FundamentalQueries.scoresPrelude},
@@ -432,6 +468,7 @@ object BacktestQueries {
     "backtest_metrics" -> backtestMetrics,
     "trades_fundamentals_join" -> tradesFundamentalsJoin,
     "asof_join_union" -> asofJoinUnion,
+    "range_join_windows" -> rangeJoinWindows,
     "trades_filter_threshold" -> tradesFilterThreshold,
     "signal_scorer" -> signalScorer,
     "top_signals_report" -> topSignalsReport,
