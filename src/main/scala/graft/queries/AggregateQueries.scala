@@ -246,7 +246,33 @@ object AggregateQueries {
       .drop("rn").orderBy("series", "date"),
     seriesOracle(EconomicTypes, "econ"))
 
+  /** Order volume per market segment through the salted skew join
+    * ([[graft.operators.SkewJoin]]) — same answer as the plain equi-join
+    * the oracle states, via the hot-key-spreading physical strategy. */
+  private val skewJoinSegments = Q(
+    (s, d) => {
+      val orders = graft.Tables.orders(s, d)
+        .select(col("o_custkey").as("symbol_id"), col("o_totalprice"))
+      val uni = graft.etl.SymbolUniverse.universe(s, d)
+        .select(col("symbol_id"), col("segment"))
+      graft.operators.SkewJoin.saltedInner(orders, uni, Seq("symbol_id"), salts = 8)
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("symbol_id")).as("n_symbols"),
+          sum(graft.sqlx.Exact.dec(col("o_totalprice"))).cast("double").as("total_value"))
+        .orderBy("segment")
+    },
+    // the upsert overlay only bumps acctbal/version, so universe segment
+    // IS customer c_mktsegment
+    s"""SELECT c.c_mktsegment AS segment,
+       |  COUNT(*) AS n_orders,
+       |  CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_symbols,
+       |  ${decAggSql("o.o_totalprice")} AS total_value
+       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin)
+
   val all: Map[String, Q] = Map(
+    "skew_join_segments" -> skewJoinSegments,
     "insider_txn" -> insiderTxn,
     "insider_agg" -> insiderAgg,
     "sentiment_agg" -> sentimentAgg,
