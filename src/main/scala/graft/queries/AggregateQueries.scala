@@ -271,7 +271,25 @@ object AggregateQueries {
        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
        |GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** Sketch aggregations — the 100 TB substitutes for exact distinct/
+    * quantiles: HyperLogLog++ distinct users and a Greenwald-Khanna-style
+    * quantile sketch per event type, one pass, constant memory per group,
+    * mergeable across partitions (vs. the full shuffle-and-sort an exact
+    * distinct or percentile costs). Deterministic but algorithm-specific,
+    * so no cross-engine oracle — SketchSpec bounds the error vs the exact
+    * answers instead (rows-only registration, SURVEY §6). */
+  private val sketchEventStats = Q(
+    (s, d) => graft.Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_value"),
+        percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95_value"))
+      .orderBy("event_type"),
+    None)
+
   val all: Map[String, Q] = Map(
+    "sketch_event_stats" -> sketchEventStats,
     "skew_join_segments" -> skewJoinSegments,
     "insider_txn" -> insiderTxn,
     "insider_agg" -> insiderAgg,
