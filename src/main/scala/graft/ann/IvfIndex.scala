@@ -27,15 +27,20 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  /** Train the coarse quantizer on a ≤maxTrain deterministic sample and
-    * assign each vector to its cell.
+  /** Train the coarse quantizer on a ~≤maxTrain deterministic sample and
+    * assign each vector to its cell. The stride derives from one cheap
+    * count() of the key column (columnar scan of a single int column; an
+    * index build amortizes it — callers that already know the corpus size
+    * can pre-count and cache).
     * Returns (assignments: vec_id, emb, cell; centroids: cell, centroid). */
   def assign(vecs: DataFrame, nCells: Int, seed: Long = 42L,
              maxTrain: Int = 65536): (DataFrame, DataFrame) = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val total = vecs.count()
-    val stride = math.max(1L, total / maxTrain)
+    // ceil: a floor stride of total/maxTrain keeps up to 2*maxTrain-1 rows
+    // (e.g. total = 2*maxTrain - 1 -> stride 1 keeps everything)
+    val stride = math.max(1L, (total + maxTrain - 1) / maxTrain)
     // content-hash stride: the training set is a pure function of the data
     // and seed, independent of partitioning and row order
     val sample = vecs

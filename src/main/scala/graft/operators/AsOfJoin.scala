@@ -6,8 +6,7 @@ import org.apache.spark.sql.functions._
 
 /** Backward as-of join with NO join operator: union both sides, then one
   * key-partitioned window pass ordered by (time, side) carries the most
-  * recent right-side payload forward into each left row
-  * (`last(_, ignoreNulls)` over an unbounded-preceding running frame).
+  * recent right-side row forward into each left row.
   *
   * This is the scale shape for as-of semantics when BOTH sides are large:
   * a broadcast range join (graft.backtest.Enrich.joinFundamentals) needs a
@@ -15,6 +14,11 @@ import org.apache.spark.sql.functions._
   * predicate; the union form costs exactly one shuffle + one sort of
   * |left| + |right| rows — the same bill as any keyed aggregation — and
   * never materializes a (left × candidate) intermediate.
+  *
+  * The right row travels as ONE nullable struct (null marks left rows), so
+  * a genuine NULL inside the matched row's payload survives — a per-column
+  * `last(_, ignoreNulls)` would skip it and silently resurrect the value
+  * from an OLDER right row.
   *
   * Semantics: for each left row, the latest right row of the same key with
   * `rightTime <= leftTime` (a right row is visible at its own timestamp).
@@ -30,7 +34,8 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** @param payload right-side columns to carry into left rows (may include
-    *                the right time column itself).
+    *                the right time column itself; must not collide with
+    *                left column names).
     * @param toleranceDays if set, a match only counts while
     *                      `datediff(leftTime, matchedRightTime) < toleranceDays`. */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
@@ -38,45 +43,50 @@ object AsOfJoin {
                toleranceDays: Option[Int] = None): DataFrame = {
     require(payload.nonEmpty, "as-of join needs at least one payload column")
     val leftOther = left.columns.filterNot(c => keys.contains(c) || c == leftTime).toSeq
-    val rightSchema = right.select(payload.map(col): _*).schema
+    val collisions = payload.intersect(leftOther ++ keys :+ leftTime)
+    require(collisions.isEmpty,
+      s"payload columns collide with left columns: ${collisions.mkString(", ")}")
+
+    // the whole right row as one nullable struct; field _asof_mt carries the
+    // match timestamp for the tolerance check even when it's not in payload
+    val payStruct = struct(
+      col(rightTime).as("_asof_mt") +: payload.map(col): _*)
+    val structType = right.select(payStruct.as("p")).schema.head.dataType
     val leftSchema = left.select(leftOther.map(col): _*).schema
 
-    // identical shape on both sides: keys, event time, side tag, left
-    // columns (null on right rows), payload columns (null on left rows)
-    val pPay = payload.map(c => s"_asof_$c")
     val l = left.select(
       keys.map(col) ++
-        Seq(col(leftTime).as("_asof_t"), lit(1).as("_asof_side")) ++
-        leftOther.map(col) ++
-        pPay.zip(rightSchema.fields).map { case (a, f) =>
-          lit(null).cast(f.dataType).as(a) }: _*)
+        Seq(col(leftTime).as("_asof_t"), lit(1).as("_asof_side"),
+          lit(null).cast(structType).as("_asof_p")) ++
+        leftOther.map(col): _*)
     val r = right.select(
       keys.map(col) ++
-        Seq(col(rightTime).as("_asof_t"), lit(0).as("_asof_side")) ++
-        leftSchema.fields.map(f => lit(null).cast(f.dataType).as(f.name)) ++
-        payload.zip(pPay).map { case (c, a) => col(c).as(a) }: _*)
+        Seq(col(rightTime).as("_asof_t"), lit(0).as("_asof_side"),
+          payStruct.as("_asof_p")) ++
+        leftSchema.fields.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
 
     // right rows sort before left rows at the same timestamp: a right row
     // is visible to left rows of its own instant (rightTime <= leftTime)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_asof_t").asc, col("_asof_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matchedT = last(col(s"_asof_$rightTime"), ignoreNulls = true).over(w)
-    def carried(a: String): Column = {
-      val v = last(col(a), ignoreNulls = true).over(w)
-      toleranceDays match {
-        case Some(days) => when(datediff(col("_asof_t"), matchedT) < days, v)
-        case None => v
-      }
+    val lastP = last(col("_asof_p"), ignoreNulls = true).over(w)
+    val carried = toleranceDays match {
+      case Some(days) =>
+        when(datediff(col("_asof_t"), lastP.getField("_asof_mt")) < days, lastP)
+      case None => lastP
     }
     l.unionByName(r)
       .select(
         keys.map(col) ++
           Seq(col("_asof_t"), col("_asof_side")) ++
-          leftOther.map(col) ++
-          payload.zip(pPay).map { case (c, a) => carried(a).as(c) }: _*)
+          leftOther.map(col) :+
+          carried.as("_asof_c"): _*)
       .where(col("_asof_side") === 1)
-      .drop("_asof_side")
-      .withColumnRenamed("_asof_t", leftTime)
+      .select(
+        keys.map(col) ++
+          Seq(col("_asof_t").as(leftTime)) ++
+          leftOther.map(col) ++
+          payload.map(c => col("_asof_c").getField(c).as(c)): _*)
   }
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
-import graft.SparkSpec
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.{PlanCheck, SparkSpec}
 import org.apache.spark.sql.execution.joins.BaseJoinExec
 import org.apache.spark.sql.functions._
 
@@ -43,18 +42,39 @@ class AsOfJoinSpec extends SparkSpec {
     assert(actual.sameElements(expected),
       s"first divergence: ${actual.zip(expected).find(p => p._1 != p._2)}")
 
-    def joins(p: org.apache.spark.sql.execution.SparkPlan): Seq[BaseJoinExec] = {
-      val nested = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-        case _ => Nil
-      }
-      (p match { case j: BaseJoinExec => Seq(j); case _ => Nil }) ++
-        (p.children ++ nested).flatMap(joins)
-    }
-    joined.collect()
-    assert(joins(joined.queryExecution.executedPlan).isEmpty,
+    assert(!PlanCheck.executedNodes(joined).exists(_.isInstanceOf[BaseJoinExec]),
       "as-of union form must plan no join operator")
+  }
+
+  test("a genuine NULL in the matched row's payload is NOT papered over by an older value") {
+    import spark.implicits._
+    val left = Seq((1L, java.sql.Date.valueOf("2024-03-01"))).toDF("k", "t")
+    val right = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-01"), Some(5.0)),
+      (1L, java.sql.Date.valueOf("2024-02-01"), None)).toDF("k", "rt", "v")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "t", "rt",
+      payload = Seq("rt", "v")).collect()
+    assert(out.length == 1)
+    assert(out(0).getDate(2).toString == "2024-02-01", s"must match Feb row: ${out(0)}")
+    assert(out(0).isNullAt(3), s"Feb row's NULL v must survive, not Jan's 5.0: ${out(0)}")
+  }
+
+  test("tolerance works without the right time column in payload") {
+    import spark.implicits._
+    val left = Seq((1L, java.sql.Date.valueOf("2024-06-01"))).toDF("k", "t")
+    val right = Seq((1L, java.sql.Date.valueOf("2024-01-01"), 7.0)).toDF("k", "rt", "v")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "t", "rt",
+      payload = Seq("v"), toleranceDays = Some(30)).collect()
+    assert(out.length == 1 && out(0).isNullAt(2), s"expired match must void: ${out(0)}")
+  }
+
+  test("payload colliding with a left column fails fast") {
+    import spark.implicits._
+    val left = Seq((1L, java.sql.Date.valueOf("2024-06-01"), 1.0)).toDF("k", "t", "v")
+    val right = Seq((1L, java.sql.Date.valueOf("2024-01-01"), 7.0)).toDF("k", "rt", "v")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(left, right, Seq("k"), "t", "rt", payload = Seq("v"))
+    }
   }
 
   test("tolerance voids stale matches but keeps the left row") {

@@ -1,22 +1,12 @@
 package graft.operators
 
-import graft.SparkSpec
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.{PlanCheck, SparkSpec}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.functions._
 
 /** Binned interval join: exact vs the naive range join, and never a
   * nested-loop/cartesian plan. */
 class IntervalJoinSpec extends SparkSpec {
-
-  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
-    val nested = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-      case _ => Nil
-    }
-    p +: (p.children ++ nested).flatMap(allNodes)
-  }
 
   test("binned interval join equals the naive range join and plans no nested loop") {
     val d = sf("sf0.001")
@@ -40,7 +30,7 @@ class IntervalJoinSpec extends SparkSpec {
     assert(got.sameElements(naive))
     assert(naive.length > points.count(), "windows should overlap (each point in 2 windows)")
 
-    val bad = allNodes(binned.queryExecution.executedPlan).collect {
+    val bad = PlanCheck.allNodes(binned.queryExecution.executedPlan).collect {
       case j: BroadcastNestedLoopJoinExec => j
       case c: CartesianProductExec => c
     }

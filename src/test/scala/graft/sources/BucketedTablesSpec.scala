@@ -1,8 +1,7 @@
 package graft.sources
 
-import graft.SparkSpec
+import graft.{PlanCheck, SparkSpec}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
 
 /** Bucketed tables must make symbol-keyed joins and aggregations
@@ -10,16 +9,8 @@ import org.apache.spark.sql.functions._
   * the bucket key skips its exchange. */
 class BucketedTablesSpec extends SparkSpec {
 
-  private def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
-    df.collect() // finalize AQE so the executed plan is the real one
-    def count(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
-      case a: AdaptiveSparkPlanExec => count(a.executedPlan)
-      case s: ShuffleExchangeExec => 1 + s.children.map(count).sum
-      case other => other.children.map(count).sum +
-        other.subqueries.map(count).sum
-    }
-    count(df.queryExecution.executedPlan)
-  }
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+    PlanCheck.executedNodes(df).count(_.isInstanceOf[ShuffleExchangeExec])
 
   test("join of two tables bucketed by the same key plans no shuffle") {
     val bars = graft.features.Bars.daily(graft.Tables.events(spark, sf("sf0.001")))
@@ -36,6 +27,10 @@ class BucketedTablesSpec extends SparkSpec {
     val joined = a.join(b, "symbol_id")
     assert(shuffles(joined) == 0,
       s"bucketed equi-join should be shuffle-free:\n${joined.queryExecution.executedPlan}")
+    // sanity: the same join on unbucketed frames DOES shuffle, so the
+    // counter is proven able to see exchanges through AQE stage boundaries
+    assert(shuffles(bars.join(feats, "symbol_id")) > 0,
+      "control: unbucketed join should show shuffles to the counter")
     // same rows as the plain (shuffled) join
     val plain = bars.join(feats, "symbol_id")
     assert(joined.count() == plain.count())
