@@ -180,6 +180,19 @@ object LlmQueries {
       |  CAST(length(text) AS INTEGER) AS char_count
       |FROM documents ORDER BY doc_id""".stripMargin)
 
+  /** Vocab build over the corpus (training-data pipeline staple): top-100
+    * tokens by occurrence, with document frequencies. */
+  private val vocabTopTokens = Q(
+    (s, d) => Corpus.vocab(s, d, k = 100),
+    """SELECT token,
+      |  COUNT(*) AS n_occurrences,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+      |      FROM documents)
+      |GROUP BY token
+      |ORDER BY n_occurrences DESC, token
+      |LIMIT 100""".stripMargin)
+
   private val textFingerprint = Q(
     (s, d) => Corpus.fingerprint(s, d).orderBy("doc_id"),
     """SELECT doc_id,
@@ -298,6 +311,7 @@ object LlmQueries {
     "text_quality" -> textQuality,
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
+    "vocab_top_tokens" -> vocabTopTokens,
     "corpus_clean" -> corpusClean,
     "mm_features" -> mmFeatures,
     "mm_frames" -> mmFrames)

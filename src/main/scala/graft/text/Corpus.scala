@@ -81,6 +81,21 @@ object Corpus {
       .select("doc_id", "token_count", "uniq_token_count", "bpe_piece_count", "char_count")
   }
 
+  /** Vocabulary construction: corpus-wide token frequencies, top-k by
+    * occurrence count (ties broken by token). The aggregation is a plain
+    * hash groupBy over the exploded tokens (map-side partials shrink the
+    * shuffle to |vocab| per partition) and the top-k is a
+    * TakeOrderedAndProject — per-partition heaps merged on the driver,
+    * never a global sort shuffle. */
+  def vocab(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(k)
+
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("fingerprint", graft.dedup.Exact.normalizedExact(col("text")))
