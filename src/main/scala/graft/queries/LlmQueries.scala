@@ -180,6 +180,31 @@ object LlmQueries {
       |  CAST(length(text) AS INTEGER) AS char_count
       |FROM documents ORDER BY doc_id""".stripMargin)
 
+  /** Deterministic train/val/test split (90/5/5 by doc_id modulus — a pure
+    * row-local function of the key, so the split is reproducible across
+    * runs, engines and partitionings, and any shard can be recomputed
+    * independently at 100 TB; no sampling state, no rand()). Rollup of
+    * per-split sizes and quality aggregates as the registered check. */
+  private val corpusSplit = Q(
+    (s, d) => Tables.documents(s, d)
+      .withColumn("split",
+        when(col("doc_id") % 20 < 18, "train")
+          .when(col("doc_id") % 20 === 18, "val")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("bigint").as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("split"),
+    """SELECT CASE WHEN doc_id % 20 < 18 THEN 'train'
+      |            WHEN doc_id % 20 = 18 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      |FROM documents
+      |GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** Vocab build over the corpus (training-data pipeline staple): top-100
     * tokens by occurrence, with document frequencies. */
   private val vocabTopTokens = Q(
@@ -312,6 +337,7 @@ object LlmQueries {
     "text_tokens" -> textTokens,
     "text_fingerprint" -> textFingerprint,
     "vocab_top_tokens" -> vocabTopTokens,
+    "corpus_split" -> corpusSplit,
     "corpus_clean" -> corpusClean,
     "mm_features" -> mmFeatures,
     "mm_frames" -> mmFrames)
