@@ -13,7 +13,6 @@ object PlanTime {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.codegen.maxFields", "500")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val stages = new scala.collection.mutable.ArrayBuffer[(Int, String, Long, Int)]
