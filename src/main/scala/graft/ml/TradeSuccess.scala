@@ -1,11 +1,13 @@
 package graft.ml
 
-import org.apache.spark.ml.Pipeline
-import org.apache.spark.ml.classification.GBTClassifier
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.{GBTClassificationModel, GBTClassifier}
 import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
 import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.collection.concurrent.TrieMap
 
 /** Trade-success prediction (trade_success_predictor.py:124-294): the
   * reference trains an XGBoost classifier on feature rows to predict
@@ -15,6 +17,13 @@ import org.apache.spark.sql.functions._
   * Train/test split is by symbol hash (no temporal leakage across split —
   * a whole symbol is either train or test), AUC via
   * BinaryClassificationEvaluator. Seeded, deterministic.
+  *
+  * The fitted pipeline is the product surface, not just a spec artifact:
+  * [[scoreTrades]] re-creates filter_trades_by_prediction.py:179-270's
+  * predict_and_filter (model probabilities on backtested trades) and
+  * [[featureImportances]] re-creates trade_success_predictor.py's
+  * feature-importance export. Training is memoized per (session, dir) so
+  * every model-scored query shares one fit.
   */
 object TradeSuccess {
   val FeatureCols: Seq[String] = Seq(
@@ -44,16 +53,73 @@ object TradeSuccess {
     new Pipeline().setStages(Array(assembler, gbt))
   }
 
+  /** A fitted pipeline plus its train/held-out AUC. */
+  final case class Fitted(model: PipelineModel, aucTrain: Double, aucTest: Double) {
+    def gbt: GBTClassificationModel =
+      model.stages.last.asInstanceOf[GBTClassificationModel]
+  }
+
+  private val fittedCache = TrieMap.empty[String, Fitted]
+
+  private def isTest = pmod(hash(col("symbol_id")), lit(5)) === 0
+
+  /** Fit once per (session, dir); every model-scored query and spec shares
+    * the same fitted pipeline — training is the expensive step and the GBT
+    * is seeded, so one fit is both cheaper and more consistent. */
+  def fitted(spark: SparkSession, dir: String): Fitted =
+    fittedCache.getOrElseUpdate(graft.sqlx.FrameCache.key(spark, "gbt", dir), {
+      val data = trainingFrame(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val model = pipeline().fit(data.where(!isTest))
+      val eval = new BinaryClassificationEvaluator()
+        .setLabelCol("label").setRawPredictionCol("rawPrediction")
+        .setMetricName("areaUnderROC")
+      val aucTrain = eval.evaluate(model.transform(data.where(!isTest)))
+      val aucTest = eval.evaluate(model.transform(data.where(isTest)))
+      data.unpersist(false)
+      Fitted(model, aucTrain, aucTest)
+    })
+
   /** Train on ~80% of symbols, return (predictions on held-out, AUC). */
   def trainAndEvaluate(spark: SparkSession, dir: String): (DataFrame, Double) = {
-    val data = trainingFrame(spark, dir)
-    val test = data.where(pmod(hash(col("symbol_id")), lit(5)) === 0)
-    val train = data.where(pmod(hash(col("symbol_id")), lit(5)) =!= 0)
-    val model = pipeline().fit(train)
-    val pred = model.transform(test)
-    val auc = new BinaryClassificationEvaluator()
-      .setLabelCol("label").setRawPredictionCol("rawPrediction")
-      .setMetricName("areaUnderROC").evaluate(pred)
-    (pred, auc)
+    val f = fitted(spark, dir)
+    (f.model.transform(trainingFrame(spark, dir).where(isTest)), f.aucTest)
+  }
+
+  /** Score an arbitrary frame carrying [[FeatureCols]] with the fitted
+    * model: adds `success_probability` = P(label=1) and drops the ML vector
+    * columns (parquet-unfriendly, and downstream queries only need the
+    * probability). */
+  def scoreFrame(model: PipelineModel, frame: DataFrame): DataFrame =
+    model.transform(frame)
+      .withColumn("success_probability",
+        vector_to_array(col("probability")).getItem(1))
+      .drop("features", "rawPrediction", "probability", "prediction")
+
+  /** Model-scored trades (filter_trades_by_prediction.py:179-215's
+    * predict_and_filter, pre-threshold): join each simulated trade to its
+    * entry-date feature row (inner — the model cannot score rows with
+    * incomplete features; the reference zero-fills instead, which would
+    * fabricate scores for unknown states) and attach the fitted GBT's
+    * success probability. One broadcast-free equi-join on
+    * (symbol_id, date) — both sides are already symbol-partitioned. */
+  def scoreTrades(trades: DataFrame, spark: SparkSession, dir: String): DataFrame = {
+    val feats = trainingFrame(spark, dir)
+      .withColumnRenamed("date", "entry_date").drop("label")
+    scoreFrame(fitted(spark, dir).model,
+      trades.join(feats, Seq("symbol_id", "entry_date")))
+  }
+
+  /** Feature-importance + AUC export (trade_success_predictor.py:124-294
+    * exports exactly this report). The importance vector is driver-local
+    * model metadata, so the ranking is computed driver-side — no global
+    * window over data. */
+  def featureImportances(spark: SparkSession, dir: String): DataFrame = {
+    val f = fitted(spark, dir)
+    val ranked = FeatureCols.zip(f.gbt.featureImportances.toArray)
+      .sortBy { case (name, imp) => (-imp, name) }.zipWithIndex
+      .map { case ((name, imp), i) => (i + 1, name, imp, f.aucTrain, f.aucTest) }
+    spark.createDataFrame(ranked)
+      .toDF("rank", "feature", "importance", "auc_train", "auc_test")
   }
 }

@@ -27,6 +27,9 @@ object BacktestQueries {
       Simulator.simulate(signalsWithClose(s, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Simulated-trade frame shared with the model-scored queries (MlQueries). */
+  def simulatedTrades(s: org.apache.spark.sql.SparkSession, d: String) = trades(s, d)
+
   /** DuckDB mirror of the full simulation: all 11 strategies' signal flags
     * (SignalQueries.allFlagsSubquery) joined to signal-day closes, then a
     * recursive CTE stepping the reference's exact trade state machine per

@@ -110,6 +110,61 @@ object MlQueries {
          |ORDER BY symbol_id, date""".stripMargin
     })
 
+  /** Model-scored trades, memoized: the fitted GBT's success probability on
+    * every simulated trade with complete entry-date features. Shared by the
+    * filter/top-25 queries and ModelScoringSpec. */
+  def scoredTrades(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.sqlx.FrameCache.getOrElseUpdate(graft.sqlx.FrameCache.key(s, "scoredTrades", d))(
+      graft.ml.TradeSuccess.scoreTrades(BacktestQueries.simulatedTrades(s, d), s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Probability threshold for the registered model filter. The reference
+    * defaults to 0.8 on a model trained on real market outcomes
+    * (filter_trades_by_prediction.py:29); on the synthetic testdata the
+    * GBT's probabilities concentrate near 0.5, so the registered query
+    * keeps the reference's ≥-threshold semantics at 0.5 to stay
+    * non-degenerate. */
+  val ModelThreshold = 0.5
+
+  /** filter_trades_by_prediction.py:179-270 end-to-end with the REAL model:
+    * probability-filter the simulated trades, then the reference's
+    * per-strategy performance rollup (+ mean success probability, which its
+    * report also prints). Rows-only: GBT split choices are not portable to
+    * a SQL oracle; ModelScoringSpec asserts the filter ≡
+    * filter-by-model-probability on the same frame and the AUC bound. */
+  private val tradesFilterModel = Q(
+    (s, d) => {
+      val filtered = scoredTrades(s, d)
+        .where(col("success_probability") >= ModelThreshold)
+      val avgProb = filtered.groupBy("trade_strategy")
+        .agg(avg("success_probability").as("avg_success_probability"))
+      graft.backtest.Metrics.perStrategy(filtered)
+        .join(broadcast(avgProb), Seq("trade_strategy"))
+        .orderBy(col("total_return").desc, col("trade_strategy"))
+    }, None)
+
+  /** Model-scored top-25 report (create_top25_viz_input.py over model
+    * probabilities instead of the sigmoid stand-in). TakeOrdered top-k —
+    * no global sort shuffle. */
+  private val topSignalsModel = Q(
+    (s, d) => {
+      scoredTrades(s, d)
+        .orderBy(col("success_probability").desc, col("symbol_id"),
+          col("entry_date"), col("trade_strategy"))
+        .limit(25)
+        .select("symbol_id", "entry_date", "trade_strategy",
+          "success_probability", "pnl", "pnl_pct", "holding_days")
+    }, None)
+
+  /** Feature importances + train/held-out AUC
+    * (trade_success_predictor.py:124-294's export). Deterministic schema:
+    * (rank, feature, importance, auc_train, auc_test), 10 rows. */
+  private val modelFeatureImportance = Q(
+    (s, d) => graft.ml.TradeSuccess.featureImportances(s, d), None)
+
   val all: Map[String, Q] = Map(
-    "ml_training_frame" -> mlTrainingFrame)
+    "ml_training_frame" -> mlTrainingFrame,
+    "trades_filter_model" -> tradesFilterModel,
+    "top_signals_model" -> topSignalsModel,
+    "model_feature_importance" -> modelFeatureImportance)
 }
