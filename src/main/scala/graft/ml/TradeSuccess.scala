@@ -34,10 +34,9 @@ object TradeSuccess {
   val LabelCol = "target_direction_5d"
 
   def trainingFrame(spark: SparkSession, dir: String): DataFrame = {
-    // reuse the memoized signal feature frame (superset ladder — the model's
-    // ten features are all present) instead of rebuilding bars + windows
-    val feats = graft.features.Targets.withTargets(
-      graft.queries.SignalQueries.signalFeatures(spark, dir))
+    // reuse the memoized feature table (superset ladder — the model's ten
+    // features are all present) instead of rebuilding bars + windows
+    val feats = graft.queries.FeatureQueries.featureTable(spark, dir)
     feats.na.drop(FeatureCols :+ LabelCol)
       .select((col(LabelCol).cast("double").as("label") +:
         col("symbol_id").as("symbol_id") +: col("date").as("date") +:
@@ -68,7 +67,15 @@ object TradeSuccess {
     * is seeded, so one fit is both cheaper and more consistent. */
   def fitted(spark: SparkSession, dir: String): Fitted =
     fittedCache.getOrElseUpdate(graft.sqlx.FrameCache.key(spark, "gbt", dir), {
-      val data = trainingFrame(spark, dir)
+      // GBT boosting runs ~3 jobs per iteration over the training frame;
+      // with the frame far smaller than the raw data (na.drop + 10 columns)
+      // the per-task scheduling overhead dominates on many small
+      // partitions. Compact to a handful before the ~60 boosting jobs —
+      // on a real cluster this is rows/1e6 partitions, never fewer tasks
+      // than the frame needs.
+      val parts = math.max(2, math.min(spark.sparkContext.defaultParallelism / 4,
+        (trainingFrame(spark, dir).count() / 1000000L).toInt + 2))
+      val data = trainingFrame(spark, dir).coalesce(parts)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val model = pipeline().fit(data.where(!isTest))
       val eval = new BinaryClassificationEvaluator()

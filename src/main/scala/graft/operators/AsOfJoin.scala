@@ -24,8 +24,11 @@ import org.apache.spark.sql.functions._
   * `rightTime <= leftTime` (a right row is visible at its own timestamp).
   * `toleranceDays` optionally voids matches older than the window —
   * payloads null out, the left row survives (left-join semantics).
-  * Right rows should be unique per (keys, rightTime); with duplicates the
-  * carried payload is the last in union order, which is not deterministic.
+  * Duplicate (keys, rightTime) right rows are resolved DETERMINISTICALLY:
+  * the row with the greatest `tieBreak` column wins (last-by-ordinal), or
+  * the lexicographically-greatest payload struct when no tie-break is
+  * given — never the physical union order, so results are stable across
+  * partitionings and task retries.
   *
   * Reference behavior: join_fundamentals_to_trades.py:49-185 (publication-
   * lag as-of with a validity window) — proven equivalent to the

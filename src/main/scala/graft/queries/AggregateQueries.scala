@@ -288,8 +288,31 @@ object AggregateQueries {
       .orderBy("event_type"),
     None)
 
+  /** Exact companion to the sketch query: the same grouping with the
+    * deterministic aggregates (count, exact distinct, min/max bounds for
+    * the quantile range) hash-checked against DuckDB — anchoring the
+    * sketch query's keys and counts while the probabilistic columns stay
+    * covered by SketchSpec's error bounds. All four aggregates are
+    * map-side-combinable single-shuffle ops — scale-safe, unlike an exact
+    * percentile (whose state is O(distinct values) per group). */
+  private val sketchEventStatsExact = Q(
+    (s, d) => graft.Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy("event_type"),
+    """SELECT event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  MIN(value) AS min_value,
+      |  MAX(value) AS max_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "sketch_event_stats" -> sketchEventStats,
+    "sketch_event_stats_exact" -> sketchEventStatsExact,
     "skew_join_segments" -> skewJoinSegments,
     "insider_txn" -> insiderTxn,
     "insider_agg" -> insiderAgg,

@@ -11,12 +11,17 @@ import OracleSql._
   * transform_time_series_daily_adjusted.py:160-413). */
 object FeatureQueries {
 
-  /** bars → full windowed indicator + target table (one shuffle), memoized +
-    * persisted per (session, dir): the 13 feature-family queries share one
-    * build instead of re-running the window ladder each. */
+  /** Full windowed indicator + target table, memoized + persisted per
+    * (session, dir). Derived from the memoized signal-feature frame
+    * (SignalQueries.signalFeatures) rather than rebuilding the window
+    * ladder: the windowed columns are produced by the identical expressions
+    * (signalFeatures is a superset — extra sma_3/high-low/recursive columns
+    * the feat_* projections ignore), so results stay bit-exact while the
+    * ladder is built once per session instead of twice (bench: the
+    * alphabetically-first feat_* query used to pay a second full build). */
   def featureTable(spark: SparkSession, dir: String): DataFrame =
     graft.sqlx.FrameCache.getOrElseUpdate(graft.sqlx.FrameCache.key(spark, "feattable", dir))(
-      Targets.withTargets(Indicators.windowed(Bars.daily(Tables.events(spark, dir))))
+      Targets.withTargets(SignalQueries.signalFeatures(spark, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private def keyed(df: DataFrame, cols: Seq[org.apache.spark.sql.Column]): DataFrame =

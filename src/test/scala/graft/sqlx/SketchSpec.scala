@@ -30,4 +30,19 @@ class SketchSpec extends SparkSpec {
       assert(math.abs(aP95 - p95) <= math.abs(p95) * 0.02 + 1e-6, s"$et p95 $aP95 vs $p95")
     }
   }
+
+  test("exact companion anchors the sketch query: same keys/counts, quantiles inside [min,max]") {
+    val approx = graft.SparkEntry.queries("sketch_event_stats")(spark, sf("sf0.01"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3), r.getDouble(4))).toMap
+    val exact = graft.SparkEntry.queries("sketch_event_stats_exact")(spark, sf("sf0.01"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3), r.getDouble(4))).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (et, (nExact, minV, maxV)) =>
+      val (nApprox, p50, p95) = approx(et)
+      assert(nApprox == nExact, s"$et row counts diverge: $nApprox vs $nExact")
+      assert(p50 >= minV && p50 <= maxV && p95 >= minV && p95 <= maxV,
+        s"$et quantiles outside exact [min,max]")
+    }
+  }
 }
