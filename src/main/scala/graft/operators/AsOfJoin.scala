@@ -40,10 +40,16 @@ object AsOfJoin {
     *                the right time column itself; must not collide with
     *                left column names).
     * @param toleranceDays if set, a match only counts while
-    *                      `datediff(leftTime, matchedRightTime) < toleranceDays`. */
+    *                      `datediff(leftTime, matchedRightTime) < toleranceDays`.
+    * @param tieBreak optional right-side column ordering duplicate
+    *                 (keys, rightTime) rows — the greatest value wins. Ties
+    *                 on it (and the no-tie-break default) fall through to
+    *                 the payload struct's lexicographic order, so the result
+    *                 is total-ordered and deterministic either way. */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String, payload: Seq[String],
-               toleranceDays: Option[Int] = None): DataFrame = {
+               toleranceDays: Option[Int] = None,
+               tieBreak: Option[String] = None): DataFrame = {
     require(payload.nonEmpty, "as-of join needs at least one payload column")
     val leftOther = left.columns.filterNot(c => keys.contains(c) || c == leftTime).toSeq
     val collisions = payload.intersect(leftOther ++ keys :+ leftTime)
@@ -55,23 +61,34 @@ object AsOfJoin {
     val payStruct = struct(
       col(rightTime).as("_asof_mt") +: payload.map(col): _*)
     val structType = right.select(payStruct.as("p")).schema.head.dataType
+    // dedup sort key: among equal (keys, rightTime) right rows the GREATEST
+    // ord sorts last, and last() carries it — a pure window ordering, no
+    // extra shuffle or pre-aggregation of the right side
+    val ordCol = tieBreak match {
+      case Some(tb) => struct(col(tb).as("_asof_tb"), payStruct.as("_asof_ps"))
+      case None => payStruct
+    }
+    val ordType = right.select(ordCol.as("o")).schema.head.dataType
     val leftSchema = left.select(leftOther.map(col): _*).schema
 
     val l = left.select(
       keys.map(col) ++
         Seq(col(leftTime).as("_asof_t"), lit(1).as("_asof_side"),
-          lit(null).cast(structType).as("_asof_p")) ++
+          lit(null).cast(structType).as("_asof_p"),
+          lit(null).cast(ordType).as("_asof_o")) ++
         leftOther.map(col): _*)
     val r = right.select(
       keys.map(col) ++
         Seq(col(rightTime).as("_asof_t"), lit(0).as("_asof_side"),
-          payStruct.as("_asof_p")) ++
+          payStruct.as("_asof_p"), ordCol.as("_asof_o")) ++
         leftSchema.fields.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
 
     // right rows sort before left rows at the same timestamp: a right row
-    // is visible to left rows of its own instant (rightTime <= leftTime)
+    // is visible to left rows of its own instant (rightTime <= leftTime);
+    // _asof_o only orders right rows among themselves (sides never compare
+    // on it), putting the winning duplicate last
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_asof_t").asc, col("_asof_side").asc)
+      .orderBy(col("_asof_t").asc, col("_asof_side").asc, col("_asof_o").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val lastP = last(col("_asof_p"), ignoreNulls = true).over(w)
     val carried = toleranceDays match {

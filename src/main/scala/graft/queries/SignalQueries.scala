@@ -96,6 +96,14 @@ object SignalQueries {
        |)""".stripMargin
   }
 
+  /** One lag strategy's full parameterization — single source of truth for
+    * the per-strategy oracle, the flag-only union (backtest) and the scored
+    * union (chart signal overlay). */
+  private[queries] final case class LagStrategy(
+      name: String, where: String, lags: Seq[(String, String)],
+      extra: Seq[(String, String)], buy: String, sell: String,
+      buyStr: String, sellStr: String)
+
   /** Standard lag-strategy oracle: filter → lag layer → buy/elif-sell → emit. */
   private def lagOracle(name: String, where: String, lags: Seq[(String, String)],
                         extra: Seq[(String, String)], buy: String, sell: String,
