@@ -43,6 +43,17 @@ object TradeSuccess {
         FeatureCols.map(col)): _*)
   }
 
+  /** Complete-feature rows WITHOUT requiring a label: scoring a candidate
+    * needs the ten features but not the forward return — requiring the
+    * label (as [[trainingFrame]] must) would silently drop every row in the
+    * final `lead` horizon, which is exactly where live scoring candidates
+    * (daily recommendations) sit. */
+  def scoringFrame(spark: SparkSession, dir: String): DataFrame = {
+    val feats = graft.queries.FeatureQueries.featureTable(spark, dir)
+    feats.na.drop(FeatureCols)
+      .select((col("symbol_id") +: col("date") +: FeatureCols.map(col)): _*)
+  }
+
   def pipeline(maxIter: Int = 20): Pipeline = {
     val assembler = new VectorAssembler()
       .setInputCols(FeatureCols.toArray).setOutputCol("features")

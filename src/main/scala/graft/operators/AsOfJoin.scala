@@ -51,6 +51,9 @@ object AsOfJoin {
                toleranceDays: Option[Int] = None,
                tieBreak: Option[String] = None): DataFrame = {
     require(payload.nonEmpty, "as-of join needs at least one payload column")
+    val reserved = (left.columns ++ right.columns).filter(_.startsWith("_asof_")).distinct
+    require(reserved.isEmpty,
+      s"input columns use the reserved _asof_ prefix: ${reserved.mkString(", ")}")
     val leftOther = left.columns.filterNot(c => keys.contains(c) || c == leftTime).toSeq
     val collisions = payload.intersect(leftOther ++ keys :+ leftTime)
     require(collisions.isEmpty,
@@ -61,34 +64,36 @@ object AsOfJoin {
     val payStruct = struct(
       col(rightTime).as("_asof_mt") +: payload.map(col): _*)
     val structType = right.select(payStruct.as("p")).schema.head.dataType
-    // dedup sort key: among equal (keys, rightTime) right rows the GREATEST
-    // ord sorts last, and last() carries it — a pure window ordering, no
-    // extra shuffle or pre-aggregation of the right side
-    val ordCol = tieBreak match {
-      case Some(tb) => struct(col(tb).as("_asof_tb"), payStruct.as("_asof_ps"))
-      case None => payStruct
-    }
-    val ordType = right.select(ordCol.as("o")).schema.head.dataType
     val leftSchema = left.select(leftOther.map(col): _*).schema
+    // dedup sort key: among equal (keys, rightTime) right rows the GREATEST
+    // (tieBreak, payload) sorts last, and last() carries it — ordering on
+    // the existing _asof_p column (plus a bare _asof_tb when a tie-break is
+    // given) rather than a second materialized struct, so the right payload
+    // crosses the shuffle once, not twice
+    val tbNull = tieBreak.toSeq.map(tb =>
+      lit(null).cast(right.schema(tb).dataType).as("_asof_tb"))
+    val tbRight = tieBreak.toSeq.map(tb => col(tb).as("_asof_tb"))
 
     val l = left.select(
       keys.map(col) ++
         Seq(col(leftTime).as("_asof_t"), lit(1).as("_asof_side"),
-          lit(null).cast(structType).as("_asof_p"),
-          lit(null).cast(ordType).as("_asof_o")) ++
+          lit(null).cast(structType).as("_asof_p")) ++
+        tbNull ++
         leftOther.map(col): _*)
     val r = right.select(
       keys.map(col) ++
         Seq(col(rightTime).as("_asof_t"), lit(0).as("_asof_side"),
-          payStruct.as("_asof_p"), ordCol.as("_asof_o")) ++
+          payStruct.as("_asof_p")) ++
+        tbRight ++
         leftSchema.fields.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
 
     // right rows sort before left rows at the same timestamp: a right row
     // is visible to left rows of its own instant (rightTime <= leftTime);
-    // _asof_o only orders right rows among themselves (sides never compare
-    // on it), putting the winning duplicate last
+    // _asof_tb/_asof_p only order right rows among themselves (sides never
+    // compare on them), putting the winning duplicate last
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_asof_t").asc, col("_asof_side").asc, col("_asof_o").asc)
+      .orderBy(Seq(col("_asof_t").asc, col("_asof_side").asc) ++
+        tieBreak.toSeq.map(_ => col("_asof_tb").asc) :+ col("_asof_p").asc: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val lastP = last(col("_asof_p"), ignoreNulls = true).over(w)
     val carried = toleranceDays match {

@@ -326,8 +326,9 @@ object BacktestQueries {
        |FROM p WHERE success_probability >= 0.6
        |GROUP BY trade_strategy ORDER BY trade_strategy""".stripMargin)
 
-  /** Universe upsert + composite scoring shared by the scorer/bot oracles. */
-  private val scoredCte: String =
+  /** Universe upsert CTE (SymbolUniverse mirror) — shared with the daily
+    * recommendation oracle (RecommendQueries). */
+  private[queries] val universeCte: String =
     """ubase AS (
       |  SELECT c_custkey AS symbol_id, c_name AS symbol, c_mktsegment AS segment,
       |         c_acctbal AS acctbal, 1 AS version
@@ -339,7 +340,11 @@ object BacktestQueries {
       |),
       |uu AS (SELECT * FROM ubase UNION ALL SELECT * FROM uinc),
       |ur AS (SELECT *, row_number() OVER (PARTITION BY symbol_id ORDER BY version DESC) AS rnk FROM uu),
-      |universe AS (SELECT symbol_id, symbol FROM ur WHERE rnk = 1),
+      |universe AS (SELECT symbol_id, symbol, segment FROM ur WHERE rnk = 1)""".stripMargin
+
+  /** Universe upsert + composite scoring shared by the scorer/bot oracles. */
+  private val scoredCte: String =
+    s"""$universeCte,
       |scored AS (
       |  SELECT e.*, u.symbol,
       |         e.signal_strength * 0.5 + COALESCE(e.overall_quality_score, 50.0) * 0.5 AS composite_score

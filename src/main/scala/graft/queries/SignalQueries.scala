@@ -77,6 +77,7 @@ object SignalQueries {
        |  SELECT symbol_id, date, rn, high, low, close, volume,
        |    n8/d8 AS ema_8, n21/d21 AS ema_21,
        |    CASE WHEN rn >= 15 AND g14 + l14 <> 0 THEN 100.0 * g14 / (g14 + l14) END AS rsi_14,
+       |    n12/d12 - n26/d26 AS macd, ns/ds AS macd_signal,
        |    (n12/d12 - n26/d26) - ns/ds AS macd_histogram,
        |    $smaDefs,
        |    CASE WHEN rn >= 14 AND MAX(high) ${win(14)} - MIN(low) ${win(14)} <> 0
@@ -97,49 +98,127 @@ object SignalQueries {
   }
 
   /** One lag strategy's full parameterization — single source of truth for
-    * the per-strategy oracle, the flag-only union (backtest) and the scored
-    * union (chart signal overlay). */
+    * the per-strategy oracle ([[lagOracle]]), the flag-only union
+    * ([[allFlagsSubquery]], backtest) and the scored union
+    * ([[allScoredSubquery]], chart signal overlay + daily scorer). */
   private[queries] final case class LagStrategy(
       name: String, where: String, lags: Seq[(String, String)],
       extra: Seq[(String, String)], buy: String, sell: String,
       buyStr: String, sellStr: String)
 
+  /** The 10 standard lag strategies (rsi_divergence has its own shape);
+    * trend_following last to keep [[allFlagsSubquery]]'s union order, with
+    * the divergence subquery spliced second-to-last. */
+  private[queries] val LagStrategies: Seq[LagStrategy] = Seq(
+    LagStrategy("ema_crossover", "ema_8 IS NOT NULL AND ema_21 IS NOT NULL",
+      Seq("ema_8" -> "p8", "ema_21" -> "p21"), Nil,
+      "p8 <= p21 AND ema_8 > ema_21", "p8 >= p21 AND ema_8 < ema_21",
+      "least(100.0, abs(ema_8 - ema_21) / ema_21 * 100.0)",
+      "least(100.0, abs(ema_8 - ema_21) / ema_21 * 100.0)"),
+    LagStrategy("rsi_mean_reversion", "rsi_14 IS NOT NULL",
+      Seq("rsi_14" -> "prsi"), Nil,
+      "prsi <= 30.0 AND rsi_14 > 30.0", "prsi >= 70.0 AND rsi_14 < 70.0",
+      "rsi_14", "100.0 - rsi_14"),
+    LagStrategy("rsi_crossing", "rsi_14 IS NOT NULL",
+      Seq("rsi_14" -> "prsi"), Nil,
+      "prsi <= 30.0 AND rsi_14 > 30.0 AND rsi_14 < 70.0",
+      "prsi >= 70.0 AND rsi_14 < 70.0 AND rsi_14 > 30.0",
+      "rsi_14", "100.0 - rsi_14"),
+    LagStrategy("macd_histogram_reversal", "macd_histogram IS NOT NULL",
+      Seq("macd_histogram" -> "ph"), Nil,
+      "ph <= 0.0 AND macd_histogram > 0.0", "ph >= 0.0 AND macd_histogram < 0.0",
+      "least(100.0, abs(macd_histogram) * 10.0)",
+      "least(100.0, abs(macd_histogram) * 10.0)"),
+    LagStrategy("bollinger_breakout",
+      "close IS NOT NULL AND bb_upper IS NOT NULL AND bb_lower IS NOT NULL",
+      Seq("close" -> "pc", "bb_upper" -> "pu", "bb_lower" -> "pl"), Nil,
+      "pc <= pu AND close > bb_upper", "pc >= pl AND close < bb_lower",
+      "least(100.0, (close - bb_upper) / bb_upper * 100.0)",
+      "least(100.0, (bb_lower - close) / bb_lower * 100.0)"),
+    LagStrategy("volume_spike",
+      "close IS NOT NULL AND volume IS NOT NULL AND volume_sma_20 IS NOT NULL AND volume_sma_20 <> 0",
+      Seq("close" -> "pc"), Seq("CAST(volume AS DOUBLE) / volume_sma_20" -> "vr"),
+      "vr > 2.0 AND (close - pc) / pc * 100.0 > 2.0",
+      "vr > 2.0 AND (close - pc) / pc * 100.0 < -2.0",
+      "least(100.0, vr * 10.0)", "least(100.0, vr * 10.0)"),
+    LagStrategy("williams_extremes", "willr_14 IS NOT NULL",
+      Seq("willr_14" -> "pw"), Nil,
+      "pw <= -80.0 AND willr_14 > -80.0", "pw >= -20.0 AND willr_14 < -20.0",
+      "least(100.0, abs(willr_14 + 50.0) * 2.0)",
+      "least(100.0, abs(willr_14 + 50.0) * 2.0)"),
+    LagStrategy("ma_ribbon",
+      "close IS NOT NULL AND sma_3 IS NOT NULL AND sma_5 IS NOT NULL AND sma_10 IS NOT NULL AND sma_20 IS NOT NULL",
+      Nil, Nil,
+      "close > sma_3 AND sma_3 > sma_5 AND sma_5 > sma_10 AND sma_10 > sma_20",
+      "close < sma_3 AND sma_3 < sma_5 AND sma_5 < sma_10 AND sma_10 < sma_20",
+      "least(100.0, (close - sma_20) / sma_20 * 100.0)",
+      "least(100.0, (sma_20 - close) / sma_20 * 100.0)"),
+    LagStrategy("price_breakout", "high_20 IS NOT NULL AND low_20 IS NOT NULL",
+      Seq("high_20" -> "phh", "low_20" -> "pll"), Nil,
+      "high > phh", "low < pll",
+      "least(100.0, (high - phh) / phh * 100.0)",
+      "least(100.0, (pll - low) / pll * 100.0)"),
+    LagStrategy("trend_following",
+      "close IS NOT NULL AND sma_20 IS NOT NULL AND ema_8 IS NOT NULL AND ema_21 IS NOT NULL AND rsi_14 IS NOT NULL",
+      Nil, Nil,
+      "close > sma_20 AND ema_8 > ema_21 AND rsi_14 > 50.0",
+      "close < sma_20 AND ema_8 < ema_21 AND rsi_14 < 50.0",
+      "least(100.0, rsi_14)", "least(100.0, 100.0 - rsi_14)"))
+
+  private def byName(name: String): LagStrategy =
+    LagStrategies.find(_.name == name)
+      .getOrElse(sys.error(s"unknown lag strategy: $name"))
+
+  private def lagDefs(ls: LagStrategy): Seq[String] =
+    ls.lags.map { case (c, a) => s"lag($c) OVER ($bySymbol) AS $a" } ++
+      ls.extra.map { case (e, a) => s"$e AS $a" }
+
   /** Standard lag-strategy oracle: filter → lag layer → buy/elif-sell → emit. */
-  private def lagOracle(name: String, where: String, lags: Seq[(String, String)],
-                        extra: Seq[(String, String)], buy: String, sell: String,
-                        buyStr: String, sellStr: String): String = {
-    val lagDefs = lags.map { case (c, a) => s"lag($c) OVER ($bySymbol) AS $a" }
-    val extraDefs = extra.map { case (e, a) => s"$e AS $a" }
-    val defs = (lagDefs ++ extraDefs) match {
+  private def lagOracle(ls: LagStrategy): String = {
+    val defs = lagDefs(ls) match {
       case Nil => ""
       case ds => ds.mkString(",\n    ", ",\n    ", "")
     }
     s"""$featCte,
        |src AS (
        |  SELECT *$defs
-       |  FROM feat WHERE $where
+       |  FROM feat WHERE ${ls.where}
        |),
-       |s1 AS (SELECT *, CASE WHEN $buy THEN TRUE ELSE FALSE END AS buy_signal FROM src),
-       |s2 AS (SELECT *, CASE WHEN (NOT buy_signal) AND ($sell) THEN TRUE ELSE FALSE END AS sell_signal FROM s1)
-       |SELECT symbol_id, date, buy_signal, sell_signal, '$name' AS trade_strategy,
-       |  CAST(ROUND(CASE WHEN buy_signal THEN $buyStr ELSE $sellStr END, 4) + 0.0 AS DOUBLE) AS signal_strength
+       |s1 AS (SELECT *, CASE WHEN ${ls.buy} THEN TRUE ELSE FALSE END AS buy_signal FROM src),
+       |s2 AS (SELECT *, CASE WHEN (NOT buy_signal) AND (${ls.sell}) THEN TRUE ELSE FALSE END AS sell_signal FROM s1)
+       |SELECT symbol_id, date, buy_signal, sell_signal, '${ls.name}' AS trade_strategy,
+       |  CAST(ROUND(CASE WHEN buy_signal THEN ${ls.buyStr} ELSE ${ls.sellStr} END, 4) + 0.0 AS DOUBLE) AS signal_strength
        |FROM s2 WHERE buy_signal OR sell_signal
        |ORDER BY symbol_id, date, buy_signal""".stripMargin
   }
 
   /** Buy/sell-flag subquery (no strength) for one lag strategy — reused by
     * the backtest oracle to reconstruct `Strategies.all` in SQL. */
-  private def flagSubquery(name: String, where: String, lags: Seq[(String, String)],
-                           extra: Seq[(String, String)], buy: String, sell: String): String = {
-    val defs = (lags.map { case (c, a) => s"lag($c) OVER ($bySymbol) AS $a" } ++
-      extra.map { case (e, a) => s"$e AS $a" }) match {
+  private def flagSubquery(ls: LagStrategy): String = {
+    val defs = lagDefs(ls) match {
       case Nil => ""
       case ds => ds.mkString(", ", ", ", "")
     }
-    s"""SELECT symbol_id, date, buy_signal, sell_signal, '$name' AS trade_strategy
-       |  FROM (SELECT *, CASE WHEN (NOT buy_signal) AND ($sell) THEN TRUE ELSE FALSE END AS sell_signal
-       |        FROM (SELECT *, CASE WHEN $buy THEN TRUE ELSE FALSE END AS buy_signal
-       |              FROM (SELECT *$defs FROM feat WHERE $where)))
+    s"""SELECT symbol_id, date, buy_signal, sell_signal, '${ls.name}' AS trade_strategy
+       |  FROM (SELECT *, CASE WHEN (NOT buy_signal) AND (${ls.sell}) THEN TRUE ELSE FALSE END AS sell_signal
+       |        FROM (SELECT *, CASE WHEN ${ls.buy} THEN TRUE ELSE FALSE END AS buy_signal
+       |              FROM (SELECT *$defs FROM feat WHERE ${ls.where})))
+       |  WHERE buy_signal OR sell_signal""".stripMargin
+  }
+
+  /** Like [[flagSubquery]] but carrying the strategy's 4dp-rounded
+    * signal_strength — the SQL mirror of one strategy inside
+    * `Strategies.all` WITH strength (chart overlay / daily scorer). */
+  private def scoredSubquery(ls: LagStrategy): String = {
+    val defs = lagDefs(ls) match {
+      case Nil => ""
+      case ds => ds.mkString(", ", ", ", "")
+    }
+    s"""SELECT symbol_id, date, buy_signal, sell_signal, '${ls.name}' AS trade_strategy,
+       |    CAST(ROUND(CASE WHEN buy_signal THEN ${ls.buyStr} ELSE ${ls.sellStr} END, 4) + 0.0 AS DOUBLE) AS signal_strength
+       |  FROM (SELECT *, CASE WHEN (NOT buy_signal) AND (${ls.sell}) THEN TRUE ELSE FALSE END AS sell_signal
+       |        FROM (SELECT *, CASE WHEN ${ls.buy} THEN TRUE ELSE FALSE END AS buy_signal
+       |              FROM (SELECT *$defs FROM feat WHERE ${ls.where})))
        |  WHERE buy_signal OR sell_signal""".stripMargin
   }
 
@@ -165,146 +244,77 @@ object SignalQueries {
        |        WHERE w_cnt = 5 AND w_max = close)
        |  WHERE close > pp AND rsi_14 < pr""".stripMargin
 
+  /** rsi_divergence with 4dp-rounded strength, for [[allScoredSubquery]]. */
+  private val divergenceScoredSubquery: String =
+    s"""SELECT symbol_id, date, TRUE AS buy_signal, FALSE AS sell_signal,
+       |       'rsi_divergence' AS trade_strategy,
+       |       CAST(ROUND(least(100.0, rsi_14 - pr), 4) + 0.0 AS DOUBLE) AS signal_strength
+       |  FROM (SELECT symbol_id, date, close, rsi_14,
+       |          lag(close) OVER ($bySymbol) AS pp, lag(rsi_14) OVER ($bySymbol) AS pr
+       |        FROM (SELECT symbol_id, date, close, rsi_14,
+       |                MIN(close) OVER ($bySymbol ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS w_min,
+       |                COUNT(close) OVER ($bySymbol ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS w_cnt
+       |              FROM feat WHERE close IS NOT NULL AND rsi_14 IS NOT NULL)
+       |        WHERE w_cnt = 5 AND w_min = close)
+       |  WHERE close < pp AND rsi_14 > pr
+       |  UNION ALL
+       |  SELECT symbol_id, date, FALSE, TRUE, 'rsi_divergence',
+       |       CAST(ROUND(least(100.0, pr - rsi_14), 4) + 0.0 AS DOUBLE)
+       |  FROM (SELECT symbol_id, date, close, rsi_14,
+       |          lag(close) OVER ($bySymbol) AS pp, lag(rsi_14) OVER ($bySymbol) AS pr
+       |        FROM (SELECT symbol_id, date, close, rsi_14,
+       |                MAX(close) OVER ($bySymbol ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS w_max,
+       |                COUNT(close) OVER ($bySymbol ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS w_cnt
+       |              FROM feat WHERE close IS NOT NULL AND rsi_14 IS NOT NULL)
+       |        WHERE w_cnt = 5 AND w_max = close)
+       |  WHERE close > pp AND rsi_14 < pr""".stripMargin
+
   /** All 11 strategies' flags, UNION ALL — the SQL mirror of
     * `Strategies.all(features, Seq(3,5,10,20), 20)` minus strength. */
-  private[queries] val allFlagsSubquery: String = Seq(
-    flagSubquery("ema_crossover", "ema_8 IS NOT NULL AND ema_21 IS NOT NULL",
-      Seq("ema_8" -> "p8", "ema_21" -> "p21"), Nil,
-      "p8 <= p21 AND ema_8 > ema_21", "p8 >= p21 AND ema_8 < ema_21"),
-    flagSubquery("rsi_mean_reversion", "rsi_14 IS NOT NULL",
-      Seq("rsi_14" -> "prsi"), Nil,
-      "prsi <= 30.0 AND rsi_14 > 30.0", "prsi >= 70.0 AND rsi_14 < 70.0"),
-    flagSubquery("rsi_crossing", "rsi_14 IS NOT NULL",
-      Seq("rsi_14" -> "prsi"), Nil,
-      "prsi <= 30.0 AND rsi_14 > 30.0 AND rsi_14 < 70.0",
-      "prsi >= 70.0 AND rsi_14 < 70.0 AND rsi_14 > 30.0"),
-    flagSubquery("macd_histogram_reversal", "macd_histogram IS NOT NULL",
-      Seq("macd_histogram" -> "ph"), Nil,
-      "ph <= 0.0 AND macd_histogram > 0.0", "ph >= 0.0 AND macd_histogram < 0.0"),
-    flagSubquery("bollinger_breakout",
-      "close IS NOT NULL AND bb_upper IS NOT NULL AND bb_lower IS NOT NULL",
-      Seq("close" -> "pc", "bb_upper" -> "pu", "bb_lower" -> "pl"), Nil,
-      "pc <= pu AND close > bb_upper", "pc >= pl AND close < bb_lower"),
-    flagSubquery("volume_spike",
-      "close IS NOT NULL AND volume IS NOT NULL AND volume_sma_20 IS NOT NULL AND volume_sma_20 <> 0",
-      Seq("close" -> "pc"), Seq("CAST(volume AS DOUBLE) / volume_sma_20" -> "vr"),
-      "vr > 2.0 AND (close - pc) / pc * 100.0 > 2.0",
-      "vr > 2.0 AND (close - pc) / pc * 100.0 < -2.0"),
-    flagSubquery("williams_extremes", "willr_14 IS NOT NULL",
-      Seq("willr_14" -> "pw"), Nil,
-      "pw <= -80.0 AND willr_14 > -80.0", "pw >= -20.0 AND willr_14 < -20.0"),
-    flagSubquery("ma_ribbon",
-      "close IS NOT NULL AND sma_3 IS NOT NULL AND sma_5 IS NOT NULL AND sma_10 IS NOT NULL AND sma_20 IS NOT NULL",
-      Nil, Nil,
-      "close > sma_3 AND sma_3 > sma_5 AND sma_5 > sma_10 AND sma_10 > sma_20",
-      "close < sma_3 AND sma_3 < sma_5 AND sma_5 < sma_10 AND sma_10 < sma_20"),
-    flagSubquery("price_breakout", "high_20 IS NOT NULL AND low_20 IS NOT NULL",
-      Seq("high_20" -> "phh", "low_20" -> "pll"), Nil,
-      "high > phh", "low < pll"),
-    divergenceFlagSubquery,
-    flagSubquery("trend_following",
-      "close IS NOT NULL AND sma_20 IS NOT NULL AND ema_8 IS NOT NULL AND ema_21 IS NOT NULL AND rsi_14 IS NOT NULL",
-      Nil, Nil,
-      "close > sma_20 AND ema_8 > ema_21 AND rsi_14 > 50.0",
-      "close < sma_20 AND ema_8 < ema_21 AND rsi_14 < 50.0")
-  ).mkString("\n  UNION ALL\n  ")
+  private[queries] val allFlagsSubquery: String =
+    (LagStrategies.init.map(flagSubquery) ++
+      Seq(divergenceFlagSubquery, flagSubquery(LagStrategies.last)))
+      .mkString("\n  UNION ALL\n  ")
+
+  /** All 11 strategies' flags AND 4dp-rounded strength, UNION ALL — the full
+    * SQL mirror of `Strategies.all(features, Seq(3,5,10,20), 20)`, shared by
+    * the signal-overlay chart frame and the daily recommendation scorer. */
+  private[queries] val allScoredSubquery: String =
+    (LagStrategies.init.map(scoredSubquery) ++
+      Seq(divergenceScoredSubquery, scoredSubquery(LagStrategies.last)))
+      .mkString("\n  UNION ALL\n  ")
 
   private val sigEmaCrossover = Q(
-    run(Strategies.emaCrossover),
-    lagOracle("ema_crossover",
-      "ema_8 IS NOT NULL AND ema_21 IS NOT NULL",
-      Seq("ema_8" -> "p8", "ema_21" -> "p21"), Nil,
-      "p8 <= p21 AND ema_8 > ema_21",
-      "p8 >= p21 AND ema_8 < ema_21",
-      "least(100.0, abs(ema_8 - ema_21) / ema_21 * 100.0)",
-      "least(100.0, abs(ema_8 - ema_21) / ema_21 * 100.0)"))
+    run(Strategies.emaCrossover), lagOracle(byName("ema_crossover")))
 
   private val sigRsiMeanReversion = Q(
-    run(Strategies.rsiMeanReversion),
-    lagOracle("rsi_mean_reversion",
-      "rsi_14 IS NOT NULL",
-      Seq("rsi_14" -> "prsi"), Nil,
-      "prsi <= 30.0 AND rsi_14 > 30.0",
-      "prsi >= 70.0 AND rsi_14 < 70.0",
-      "rsi_14", "100.0 - rsi_14"))
+    run(Strategies.rsiMeanReversion), lagOracle(byName("rsi_mean_reversion")))
 
   private val sigRsiCrossing = Q(
-    run(Strategies.rsiCrossing),
-    lagOracle("rsi_crossing",
-      "rsi_14 IS NOT NULL",
-      Seq("rsi_14" -> "prsi"), Nil,
-      "prsi <= 30.0 AND rsi_14 > 30.0 AND rsi_14 < 70.0",
-      "prsi >= 70.0 AND rsi_14 < 70.0 AND rsi_14 > 30.0",
-      "rsi_14", "100.0 - rsi_14"))
+    run(Strategies.rsiCrossing), lagOracle(byName("rsi_crossing")))
 
   private val sigMacdReversal = Q(
-    run(Strategies.macdReversal),
-    lagOracle("macd_histogram_reversal",
-      "macd_histogram IS NOT NULL",
-      Seq("macd_histogram" -> "ph"), Nil,
-      "ph <= 0.0 AND macd_histogram > 0.0",
-      "ph >= 0.0 AND macd_histogram < 0.0",
-      "least(100.0, abs(macd_histogram) * 10.0)",
-      "least(100.0, abs(macd_histogram) * 10.0)"))
+    run(Strategies.macdReversal), lagOracle(byName("macd_histogram_reversal")))
 
   private val sigBollingerBreakout = Q(
-    run(Strategies.bollingerBreakout),
-    lagOracle("bollinger_breakout",
-      "close IS NOT NULL AND bb_upper IS NOT NULL AND bb_lower IS NOT NULL",
-      Seq("close" -> "pc", "bb_upper" -> "pu", "bb_lower" -> "pl"), Nil,
-      "pc <= pu AND close > bb_upper",
-      "pc >= pl AND close < bb_lower",
-      "least(100.0, (close - bb_upper) / bb_upper * 100.0)",
-      "least(100.0, (bb_lower - close) / bb_lower * 100.0)"))
+    run(Strategies.bollingerBreakout), lagOracle(byName("bollinger_breakout")))
 
   private val sigVolumeSpike = Q(
-    run(Strategies.volumeSpike),
-    lagOracle("volume_spike",
-      "close IS NOT NULL AND volume IS NOT NULL AND volume_sma_20 IS NOT NULL AND volume_sma_20 <> 0",
-      Seq("close" -> "pc"),
-      Seq("CAST(volume AS DOUBLE) / volume_sma_20" -> "vr"),
-      "vr > 2.0 AND (close - pc) / pc * 100.0 > 2.0",
-      "vr > 2.0 AND (close - pc) / pc * 100.0 < -2.0",
-      "least(100.0, vr * 10.0)", "least(100.0, vr * 10.0)"))
+    run(Strategies.volumeSpike), lagOracle(byName("volume_spike")))
 
   private val sigWilliamsExtremes = Q(
-    run(Strategies.williamsExtremes),
-    lagOracle("williams_extremes",
-      "willr_14 IS NOT NULL",
-      Seq("willr_14" -> "pw"), Nil,
-      "pw <= -80.0 AND willr_14 > -80.0",
-      "pw >= -20.0 AND willr_14 < -20.0",
-      "least(100.0, abs(willr_14 + 50.0) * 2.0)",
-      "least(100.0, abs(willr_14 + 50.0) * 2.0)"))
+    run(Strategies.williamsExtremes), lagOracle(byName("williams_extremes")))
 
   private val sigMaRibbon = Q(
     run(f => Strategies.maRibbon(f, Seq(3, 5, 10, 20))),
-    lagOracle("ma_ribbon",
-      "close IS NOT NULL AND sma_3 IS NOT NULL AND sma_5 IS NOT NULL AND sma_10 IS NOT NULL AND sma_20 IS NOT NULL",
-      Nil, Nil,
-      "close > sma_3 AND sma_3 > sma_5 AND sma_5 > sma_10 AND sma_10 > sma_20",
-      "close < sma_3 AND sma_3 < sma_5 AND sma_5 < sma_10 AND sma_10 < sma_20",
-      "least(100.0, (close - sma_20) / sma_20 * 100.0)",
-      "least(100.0, (sma_20 - close) / sma_20 * 100.0)"))
+    lagOracle(byName("ma_ribbon")))
 
   private val sigPriceBreakout = Q(
-    run(Strategies.priceBreakout(_)),
-    lagOracle("price_breakout",
-      "high_20 IS NOT NULL AND low_20 IS NOT NULL",
-      Seq("high_20" -> "phh", "low_20" -> "pll"), Nil,
-      "high > phh",
-      "low < pll",
-      "least(100.0, (high - phh) / phh * 100.0)",
-      "least(100.0, (pll - low) / pll * 100.0)"))
+    run(Strategies.priceBreakout(_)), lagOracle(byName("price_breakout")))
 
   private val sigTrendFollowing = Q(
     run(f => Strategies.trendFollowing(f, smaPeriod = 20)),
-    lagOracle("trend_following",
-      "close IS NOT NULL AND sma_20 IS NOT NULL AND ema_8 IS NOT NULL AND ema_21 IS NOT NULL AND rsi_14 IS NOT NULL",
-      Nil, Nil,
-      "close > sma_20 AND ema_8 > ema_21 AND rsi_14 > 50.0",
-      "close < sma_20 AND ema_8 < ema_21 AND rsi_14 < 50.0",
-      "least(100.0, rsi_14)", "least(100.0, 100.0 - rsi_14)"))
+    lagOracle(byName("trend_following")))
 
   private val sigRsiDivergence = Q(
     run(Strategies.rsiDivergence),
