@@ -11,7 +11,8 @@ object SparkEntry {
     FeatureQueries.all ++ RecursiveQueries.all ++ SignalQueries.all ++
       FundamentalQueries.all ++ AggregateQueries.all ++ LlmQueries.all ++
       EtlQueries.all ++ BacktestQueries.all ++ StreamingBatchQueries.all ++
-      MlQueries.all ++ ChartQueries.all ++ RecommendQueries.all
+      MlQueries.all ++ ChartQueries.all ++ RecommendQueries.all ++
+      BucketedQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's namesake output end-to-end: bars → windowed + recursive

@@ -21,9 +21,9 @@ import org.apache.spark.sql.functions._
   * closure (k·d doubles — a few KB). The per-row argmin is a UDF by choice:
   * its body IS the k·d distance arithmetic, so codegen'd expression trees
   * would save only the row-boundary overhead. At 100 TB the index is just
-  * `(cell, vec)` — ideally written bucketed BY cell so a probe reads
-  * nProbe/nCells of the data — and the candidate join is a bucket
-  * equi-join on cell id, never all-pairs.
+  * `(cell, vec)` written partitioned BY cell ([[writeIndex]]) so a probe
+  * ([[approxTopKStored]]) reads nProbe/nCells of the data via partition
+  * pruning — and the candidate join is a cell equi-join, never all-pairs.
   */
 object IvfIndex {
 
@@ -116,18 +116,12 @@ object IvfIndex {
     cents
   }
 
-  /** Approximate top-k: probe the nProbe closest cells per query (cosine to
-    * centroid), exact-rescore the cells' members, rank. The default probes
-    * half the cells because the synthetic testdata is isotropic gaussian —
-    * IVF's worst case (no cluster structure, neighbours scatter uniformly);
-    * real embedding corpora cluster, where nProbe ≪ nCells recovers the
-    * same recall at a fraction of the scan. */
-  def approxTopK(vecs: DataFrame, queries: DataFrame, k: Int,
-                 nCells: Int = 16, nProbe: Int = 8): DataFrame = {
-    val spark = vecs.sparkSession
+  /** Probed (query, cell) pairs: the nProbe closest centroids per query by
+    * cosine — a broadcast cross of the driver-sized centroid table. */
+  private def probeCells(queries: DataFrame, cents: DataFrame, nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
     import graft.functions.GraftFunctions.dot
-    val (assigned, cents) = assign(vecs, nCells)
-    val qcells = queries.crossJoin(broadcast(cents))
+    queries.crossJoin(broadcast(cents))
       .withColumn("cdist",
         -dot(spark, col("qemb"), col("centroid")) /
           (sqrt(dot(spark, col("qemb"), col("qemb"))) *
@@ -136,6 +130,12 @@ object IvfIndex {
         Window.partitionBy("query_id").orderBy(col("cdist"), col("cell"))))
       .where(col("prb") <= nProbe)
       .select("query_id", "qemb", "cell")
+  }
+
+  /** Exact re-score of the probed cells' members + per-query top-k. */
+  private def rescoreTopK(qcells: DataFrame, assigned: DataFrame, k: Int): DataFrame = {
+    val spark = assigned.sparkSession
+    import graft.functions.GraftFunctions.dot
     val vn = assigned.withColumn("nrm", sqrt(dot(spark, col("emb"), col("emb"))))
     val scored = qcells.join(vn, Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
@@ -147,5 +147,45 @@ object IvfIndex {
       // pair surfaces from exactly one probed cell
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Approximate top-k: probe the nProbe closest cells per query (cosine to
+    * centroid), exact-rescore the cells' members, rank. The default probes
+    * half the cells because the synthetic testdata is isotropic gaussian —
+    * IVF's worst case (no cluster structure, neighbours scatter uniformly);
+    * real embedding corpora cluster, where nProbe ≪ nCells recovers the
+    * same recall at a fraction of the scan. */
+  def approxTopK(vecs: DataFrame, queries: DataFrame, k: Int,
+                 nCells: Int = 16, nProbe: Int = 8): DataFrame = {
+    val (assigned, cents) = assign(vecs, nCells)
+    rescoreTopK(probeCells(queries, cents, nProbe), assigned, k)
+  }
+
+  /** Materialize the index in the layout the header promises: assignments
+    * written `partitionBy(cell)` (one directory per cell) with the centroid
+    * table beside them. A stored probe then reads only the probed cells'
+    * files — at 100 TB the probe scan is nProbe/nCells of the index, not a
+    * reshuffle of the whole assigned-vector frame per query batch. */
+  def writeIndex(vecs: DataFrame, path: String, nCells: Int = 16,
+                 seed: Long = 42L, maxTrain: Int = 65536): Unit = {
+    val (assigned, cents) = assign(vecs, nCells, seed, maxTrain)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/assigned")
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Probe a stored index. The union of probed cells is collected first —
+    * bounded by nCells, i.e. centroid metadata, never data — and pushed as
+    * a literal IN over the partition column, so Spark's partition pruning
+    * drops every unprobed cell directory at planning time (asserted by
+    * IvfStoreSpec on the scan's partition count). */
+  def approxTopKStored(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queries: DataFrame, k: Int, nProbe: Int = 8): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val qcells = probeCells(queries, cents, nProbe)
+    val probed = qcells.select("cell").distinct().collect()
+      .map(_.getInt(0)).sorted.toSeq
+    val assigned = spark.read.parquet(s"$path/assigned")
+      .where(col("cell").isin(probed: _*))
+    rescoreTopK(qcells, assigned, k)
   }
 }

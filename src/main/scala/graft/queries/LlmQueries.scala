@@ -110,12 +110,19 @@ object LlmQueries {
         precomputedBuckets = Some(corpusBuckets(s, d))).orderBy("query_id", "rank")
     }, None)
 
+  /** The registered IVF query exercises the FULL product path: build the
+    * index, persist it partitioned by cell, probe it bucket-pruned
+    * (IvfIndex.writeIndex/approxTopKStored) — the scan reads only the
+    * probed cells' files, which is the 100 TB shape; the in-memory
+    * approxTopK stays as the equality baseline in IvfStoreSpec. */
   private val annIvf = Q(
     (s, d) => {
       val e = corpusEmb(s, d)
       val q = e.where(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
-      graft.ann.IvfIndex.approxTopK(e, q, k = 10).orderBy("query_id", "rank")
+      val path = s"${sys.props("java.io.tmpdir")}/graft-ivf-${Integer.toHexString(d.hashCode)}"
+      graft.ann.IvfIndex.writeIndex(e, path)
+      graft.ann.IvfIndex.approxTopKStored(s, path, q, k = 10).orderBy("query_id", "rank")
     }, None)
 
   // ---------------------------------------------------------------- text
