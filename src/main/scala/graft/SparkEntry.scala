@@ -12,7 +12,7 @@ object SparkEntry {
       FundamentalQueries.all ++ AggregateQueries.all ++ LlmQueries.all ++
       EtlQueries.all ++ BacktestQueries.all ++ StreamingBatchQueries.all ++
       MlQueries.all ++ ChartQueries.all ++ RecommendQueries.all ++
-      BucketedQueries.all
+      BucketedQueries.all ++ CorpusOpsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's namesake output end-to-end: bars → windowed + recursive

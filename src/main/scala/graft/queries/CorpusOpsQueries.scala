@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.dedup.{ConnectedComponents, Jaccard}
+import graft.operators.Packing
+import graft.text.Decontaminate
+
+/** Corpus-pipeline composition queries — the operators a training-data
+  * pipeline runs AFTER pair generation and splitting:
+  *
+  *  - `dedup_clusters`: transitive closure of the exact-Jaccard near-dup
+  *    pairs via large-star/small-star connected components, assigning every
+  *    document a cluster id (= min doc_id in its cluster) and a canonical
+  *    flag. Oracle: DuckDB recursive CTE over the same pair set.
+  *  - `corpus_pack`: concatenate-and-chunk sequence packing of the corpus
+  *    into fixed 512-token context windows (one row per doc × window
+  *    overlap). Oracle: global window cumsum + generate_series.
+  *  - `decontaminate`: n-gram-overlap decontamination of the train+val
+  *    splits against the `corpus_split` test split (doc_id % 20 = 19).
+  *    Oracle: shingle left join + per-doc rollup.
+  *
+  * All three reuse the session-cached shingle index / jaccard pair frames,
+  * so the dedup family shares one explode and one inverted-index self-join
+  * per session.
+  */
+object CorpusOpsQueries {
+
+  private val WindowTokens = 512
+  private val ContaminationThreshold = 0.5
+  private val HoldoutMod = 19 // the `corpus_split` test split
+
+  /** Shared DuckDB CTE chain: word-trigram shingles → exact Jaccard pairs
+    * at the dedup threshold (mirrors LlmQueries.dedupJaccard). */
+  private def jaccardPairsCte(threshold: Double): String =
+    s"""toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, list_transform(generate_series(1, len(w) - 2),
+       |                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS ss
+       |    FROM toks), UNNEST(ss) AS t(s)
+       |),
+       |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+       |ip AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+       |),
+       |jp AS (
+       |  SELECT doc_a, doc_b
+       |  FROM ip JOIN cnt ca ON ca.doc_id = ip.doc_a JOIN cnt cb ON cb.doc_id = ip.doc_b
+       |  WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) >= $threshold
+       |)""".stripMargin
+
+  private val dedupClusters = Q(
+    (s, d) => {
+      val pairs = Jaccard.pairs(s, d, LlmQueries.JaccardThreshold)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val cc = ConnectedComponents.components(pairs)
+        .withColumnRenamed("node", "doc_id")
+      Tables.documents(s, d).select("doc_id")
+        .join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster_id"))
+        .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("cluster_id")))
+        .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+        .orderBy("doc_id")
+    },
+    s"""WITH RECURSIVE ${jaccardPairsCte(LlmQueries.JaccardThreshold)},
+       |sym AS (SELECT doc_a AS u, doc_b AS v FROM jp UNION SELECT doc_b, doc_a FROM jp),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM sym
+       |  UNION
+       |  SELECT r.u, s2.v FROM reach r JOIN sym s2 ON r.v = s2.u
+       |),
+       |root AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u),
+       |lab AS (
+       |  SELECT dd.doc_id, COALESCE(r.cluster_id, dd.doc_id) AS cluster_id
+       |  FROM documents dd LEFT JOIN root r ON r.doc_id = dd.doc_id
+       |)
+       |SELECT doc_id, cluster_id,
+       |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       |  doc_id = cluster_id AS is_canonical
+       |FROM lab ORDER BY doc_id""".stripMargin)
+
+  private val corpusPack = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), size(split(trim(col("text")), " ")).as("n_tokens"))
+      Packing.packWindows(docs, "doc_id", "n_tokens", WindowTokens)
+        .orderBy("window_id", "doc_id")
+    },
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |),
+       |o AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+       |  FROM t WHERE n_tokens > 0
+       |),
+       |x AS (SELECT *, start_offset + n_tokens AS end_offset FROM o),
+       |wn AS (
+       |  SELECT doc_id, n_tokens, start_offset, end_offset,
+       |    UNNEST(generate_series(start_offset // $WindowTokens,
+       |                           (end_offset - 1) // $WindowTokens)) AS window_id
+       |  FROM x
+       |)
+       |SELECT doc_id, window_id, start_offset, n_tokens,
+       |  CAST(LEAST(end_offset, (window_id + 1) * $WindowTokens)
+       |       - GREATEST(start_offset, window_id * $WindowTokens) AS BIGINT) AS tokens_in_window,
+       |  window_id = start_offset // $WindowTokens AS is_head
+       |FROM wn ORDER BY window_id, doc_id""".stripMargin)
+
+  private val decontaminate = Q(
+    (s, d) => Decontaminate.overlap(
+        Tables.documents(s, d), col("doc_id") % 20 === HoldoutMod,
+        ContaminationThreshold,
+        precomputedShingles = Some(Jaccard.cachedShingles(s, d)))
+      .orderBy("doc_id"),
+    s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, list_transform(generate_series(1, len(w) - 2),
+       |                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS ss
+       |    FROM toks), UNNEST(ss) AS t(s)
+       |),
+       |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = $HoldoutMod),
+       |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> $HoldoutMod),
+       |agg AS (
+       |  SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       |         CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+       |  FROM tr LEFT JOIN bench b ON tr.s = b.s GROUP BY tr.doc_id
+       |)
+       |SELECT d.doc_id,
+       |  COALESCE(n_shingles, 0) AS n_shingles,
+       |  COALESCE(n_contaminated, 0) AS n_contaminated,
+       |  CAST(COALESCE(n_contaminated, 0) AS DOUBLE)
+       |    / CAST(GREATEST(COALESCE(n_shingles, 0), 1) AS DOUBLE) AS contamination_ratio,
+       |  CAST(COALESCE(n_contaminated, 0) AS DOUBLE)
+       |    / CAST(GREATEST(COALESCE(n_shingles, 0), 1) AS DOUBLE) >= $ContaminationThreshold AS is_contaminated
+       |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+       |WHERE d.doc_id % 20 <> $HoldoutMod
+       |ORDER BY d.doc_id""".stripMargin)
+
+  val all: Map[String, Q] = Map(
+    "dedup_clusters" -> dedupClusters,
+    "corpus_pack" -> corpusPack,
+    "decontaminate" -> decontaminate)
+}

@@ -25,11 +25,24 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object BucketedTables {
 
-  /** Write `df` as a bucketed (and per-bucket sorted) parquet table. */
+  /** Write `df` as a bucketed (and per-bucket sorted) parquet table.
+    * Idempotent across JVM sessions: with the local in-memory catalog,
+    * table REGISTRATIONS die with the JVM but warehouse DIRECTORIES
+    * persist, so a fresh session's overwrite would hit
+    * LOCATION_ALREADY_EXISTS on a directory no catalog entry owns —
+    * clear any such orphaned location first (a no-op on a real metastore,
+    * where the catalog entry exists and Overwrite handles it). */
   def write(df: DataFrame, table: String, bucketCols: Seq[String],
             numBuckets: Int, sortCols: Seq[String] = Nil,
             mode: SaveMode = SaveMode.Overwrite): Unit = {
     require(bucketCols.nonEmpty, "bucketBy needs at least one column")
+    val spark = df.sparkSession
+    if (mode == SaveMode.Overwrite && !spark.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     val w = df.write.mode(mode).format("parquet")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     val ws = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w

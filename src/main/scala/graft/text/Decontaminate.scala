@@ -1,0 +1,51 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.dedup.Jaccard
+
+/** Benchmark decontamination — the training-data hygiene pass that flags
+  * corpus documents overlapping an evaluation/holdout set: any training
+  * document sharing too many n-grams with a benchmark document leaks the
+  * benchmark into training. Standard practice in LLM data pipelines
+  * (n-gram-overlap decontamination as described in the GPT-3 and PaLM
+  * dataset papers): build the holdout's distinct n-gram set, then score
+  * each remaining document by the fraction of its distinct n-grams that
+  * appear in the holdout set.
+  *
+  * Scale shape: the holdout n-gram set is small by construction (eval sets
+  * are thousands of documents, the corpus is billions), so it broadcasts
+  * and the corpus side is scored in one map-side pass — no shuffle of the
+  * corpus n-grams at all. The per-doc rollup then shuffles only
+  * (doc_id, counts). If a holdout ever outgrew broadcast, the same plan
+  * degrades gracefully to a shuffled left join on the n-gram key.
+  */
+object Decontaminate {
+
+  /** Per-document n-gram overlap against the `isHoldout` subset of `docs`
+    * (word-trigram shingles, shared with [[graft.dedup.Jaccard]]). Returns
+    * one row per NON-holdout doc: n_shingles, n_contaminated,
+    * contamination_ratio, is_contaminated (ratio ≥ `threshold`). Documents
+    * too short to shingle score 0. */
+  def overlap(docs: DataFrame, isHoldout: Column, threshold: Double,
+              precomputedShingles: Option[DataFrame] = None): DataFrame = {
+    val sh = precomputedShingles.getOrElse(Jaccard.shingles(docs))
+    val holdIds = docs.where(isHoldout).select("doc_id")
+    val benchShingles = sh.join(holdIds, "doc_id").select("shingle").distinct()
+      .withColumn("_hit", lit(true))
+    val trainSh = sh.join(holdIds, Seq("doc_id"), "left_anti")
+    val agg = trainSh
+      .join(broadcast(benchShingles), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_hit"), 1L).otherwise(0L)).as("n_contaminated"))
+    docs.where(!isHoldout).select("doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contamination_ratio",
+        col("n_contaminated").cast("double") / greatest(col("n_shingles"), lit(1L)).cast("double"))
+      .withColumn("is_contaminated", col("contamination_ratio") >= threshold)
+  }
+}
