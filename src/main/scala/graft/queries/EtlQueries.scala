@@ -112,9 +112,66 @@ object EtlQueries {
       |SELECT symbol_id, symbol, segment, acctbal, version FROM r WHERE rnk = 1
       |ORDER BY symbol_id""".stripMargin)
 
+  /** Pipeline status / gap analysis (rebuild_signals_from_scratch.py:32-108):
+    * per-stage row counts, symbol counts and date ranges for raw bars →
+    * indicator features → trading signals, plus the raw-vs-transform
+    * staleness gap and its NEEDS_UPDATE/UP_TO_DATE verdict. Three 1-row
+    * aggregates cross-joined — every side is scalar metadata, so the "join"
+    * is three broadcasts regardless of table size. */
+  private val pipelineStatus = Q(
+    (s, d) => {
+      val bars = graft.features.Bars.daily(graft.Tables.events(s, d))
+      val feats = SignalQueries.signalFeatures(s, d)
+      val sigs = graft.signals.Strategies.all(feats,
+        ribbonPeriods = Seq(3, 5, 10, 20), trendSma = 20)
+      val raw = bars.agg(
+        count(lit(1)).as("raw_rows"), countDistinct(col("symbol_id")).as("raw_symbols"),
+        min(col("date")).as("raw_min_date"), max(col("date")).as("raw_max_date"))
+      val tr = feats.agg(
+        count(lit(1)).as("feat_rows"), countDistinct(col("symbol_id")).as("feat_symbols"),
+        min(col("date")).as("feat_min_date"), max(col("date")).as("feat_max_date"),
+        count(col("ohlcv_ema_8")).as("feat_with_indicators"))
+      val sg = sigs.agg(
+        count(lit(1)).as("signal_rows"), countDistinct(col("symbol_id")).as("signal_symbols"),
+        min(col("date")).as("signal_min_date"), max(col("date")).as("signal_max_date"),
+        countDistinct(col("trade_strategy")).as("signal_strategies"))
+      raw.crossJoin(tr).crossJoin(sg)
+        .withColumn("gap_days",
+          datediff(col("raw_max_date"), col("feat_max_date")).cast("long"))
+        .withColumn("status",
+          when(col("gap_days") > 0, "NEEDS_UPDATE").otherwise("UP_TO_DATE"))
+    },
+    s"""${SignalQueries.featCte},
+       |sigall AS (
+       |  ${SignalQueries.allFlagsSubquery}
+       |),
+       |r0 AS (
+       |  SELECT COUNT(*) AS raw_rows, CAST(COUNT(DISTINCT symbol_id) AS BIGINT) AS raw_symbols,
+       |         MIN(date) AS raw_min_date, MAX(date) AS raw_max_date
+       |  FROM b
+       |),
+       |t0 AS (
+       |  SELECT COUNT(*) AS feat_rows, CAST(COUNT(DISTINCT symbol_id) AS BIGINT) AS feat_symbols,
+       |         MIN(date) AS feat_min_date, MAX(date) AS feat_max_date,
+       |         CAST(COUNT(ema_8) AS BIGINT) AS feat_with_indicators
+       |  FROM feat
+       |),
+       |s0 AS (
+       |  SELECT COUNT(*) AS signal_rows, CAST(COUNT(DISTINCT symbol_id) AS BIGINT) AS signal_symbols,
+       |         MIN(date) AS signal_min_date, MAX(date) AS signal_max_date,
+       |         CAST(COUNT(DISTINCT trade_strategy) AS BIGINT) AS signal_strategies
+       |  FROM sigall
+       |)
+       |SELECT r0.*, t0.*, s0.*,
+       |  CAST(date_diff('day', feat_max_date, raw_max_date) AS BIGINT) AS gap_days,
+       |  CASE WHEN date_diff('day', feat_max_date, raw_max_date) > 0
+       |       THEN 'NEEDS_UPDATE' ELSE 'UP_TO_DATE' END AS status
+       |FROM r0, t0, s0""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "watermark_stale" -> watermarkStale,
     "watermark_status" -> watermarkStatus,
     "watermark_incremental_features" -> watermarkIncrementalFeatures,
-    "symbol_universe" -> symbolUniverse)
+    "symbol_universe" -> symbolUniverse,
+    "pipeline_status" -> pipelineStatus)
 }

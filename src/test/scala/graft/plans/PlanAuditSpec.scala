@@ -67,6 +67,41 @@ class PlanAuditSpec extends SparkSpec {
       s"global (empty-partition) window in quality-score plan:\n${windows.mkString("\n")}")
   }
 
+  test("corpus ops prune the documents scan to the columns they use") {
+    // packing needs only (doc_id, text→token count); lang/source/n_chars
+    // must not be read — at 100 TB the text column dominates, but reading
+    // metadata columns the query never touches is still a scan-width bug
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), size(split(trim(col("text")), " ")).as("n_tokens"))
+    val packed = graft.operators.Packing.packWindows(docs, "doc_id", "n_tokens", 512)
+    scans(executed(packed)).foreach { s =>
+      assert(s.requiredSchema.fieldNames.toSet == Set("doc_id", "text"),
+        s"packing read=${s.requiredSchema.fieldNames.mkString(",")}")
+    }
+    val dec = graft.text.Decontaminate.overlap(
+      graft.Tables.documents(spark, sf("sf0.001")), col("doc_id") % 20 === 19, 0.5)
+    scans(executed(dec)).foreach { s =>
+      assert(s.requiredSchema.fieldNames.toSet.subsetOf(Set("doc_id", "text")),
+        s"decontaminate read=${s.requiredSchema.fieldNames.mkString(",")}")
+    }
+  }
+
+  test("packing: the global-offset cumsum never plans a single-partition window") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), size(split(trim(col("text")), " ")).as("n_tokens"))
+    val packed = graft.operators.Packing.packWindows(docs, "doc_id", "n_tokens", 512)
+    val globals = allNodes(executed(packed)).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty, s"global window in packing plan:\n${globals.mkString("\n")}")
+  }
+
+  test("candlestick prep pushes the date-range predicate to the events scan") {
+    val df = graft.queries.ChartQueries.all("candlestick_prep").run(spark, sf("sf0.001"))
+    val pushed = scans(executed(df)).map(_.metadata.getOrElse("PushedFilters", "")).mkString
+    assert(pushed.contains("ts"), s"expected ts range pushdown, got: $pushed")
+  }
+
   test("no registered query degenerates into a CartesianProduct except declared all-pairs baselines") {
     val allowed = Set("dedup_embedding", "ann_topk") // documented exact all-pairs baselines
     graft.SparkEntry.registry.foreach { case (name, q) =>
