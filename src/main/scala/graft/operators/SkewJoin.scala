@@ -32,7 +32,7 @@ object SkewJoin {
                   salts: Int = 16): DataFrame = {
     require(salts > 0, "salts must be positive")
     val salted = big.withColumn("__salt",
-      pmod(hash(big.columns.map(col): _*), lit(salts)))
+      pmod(hash(big.columns.toIndexedSeq.map(col): _*), lit(salts)))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, (keys :+ "__salt").toSeq).drop("__salt")

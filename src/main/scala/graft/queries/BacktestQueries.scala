@@ -18,7 +18,7 @@ object BacktestQueries {
     * histories) joined with signal-day closes. */
   private def signalsWithClose(s: org.apache.spark.sql.SparkSession, d: String) = {
     val features = SignalQueries.signalFeatures(s, d) // memoized/persisted
-    Strategies.all(features, ribbonPeriods = Seq(3, 5, 10, 20), trendSma = 20)
+    SignalQueries.allSignals(s, d)
       .join(features.select(col("symbol_id"), col("date"), col("close")), Seq("symbol_id", "date"))
   }
 
@@ -138,7 +138,7 @@ object BacktestQueries {
     (s, d) => {
       import graft.sqlx.Exact.r4
       val m = Metrics.perStrategy(trades(s, d))
-      m.select(col("trade_strategy") +: m.columns.filterNot(_ == "trade_strategy").map {
+      m.select(col("trade_strategy") +: m.columns.toIndexedSeq.filterNot(_ == "trade_strategy").map {
         case c @ ("total_trades" | "winning_trades" | "losing_trades") => col(c)
         case c => r4(col(c)).as(c)
       }: _*).orderBy("trade_strategy")

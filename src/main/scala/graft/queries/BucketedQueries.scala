@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.signals.Strategies
 import graft.sources.BucketedTables
 import graft.sqlx.Exact
 import OracleSql.rd
@@ -29,7 +28,7 @@ object BucketedQueries {
     BucketedTables.write(features, featT, Seq("symbol_id"), numBuckets = 8,
       sortCols = Seq("symbol_id", "date"))
     BucketedTables.write(
-      Strategies.all(features, ribbonPeriods = Seq(3, 5, 10, 20), trendSma = 20),
+      SignalQueries.allSignals(s, d),
       sigT, Seq("symbol_id"), numBuckets = 8)
 
     val ft = BucketedTables.read(s, featT)

@@ -4,7 +4,6 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.features.Bars
-import graft.signals.Strategies
 import graft.sqlx.Exact.r4
 import OracleSql._
 
@@ -69,7 +68,7 @@ object ChartQueries {
           r4(col("ohlcv_macd")).as("macd"),
           r4(col("ohlcv_macd_signal")).as("macd_signal"),
           r4(col("ohlcv_macd_histogram")).as("macd_histogram"))
-      val sigs = Strategies.all(f, ribbonPeriods = Seq(3, 5, 10, 20), trendSma = 20)
+      val sigs = SignalQueries.allSignals(s, d)
         .withColumn("signal_strength", r4(col("signal_strength")))
       px.join(sigs, Seq("symbol_id", "date"), "left")
         .orderBy(col("symbol_id"), col("date"),

@@ -122,8 +122,7 @@ object EtlQueries {
     (s, d) => {
       val bars = graft.features.Bars.daily(graft.Tables.events(s, d))
       val feats = SignalQueries.signalFeatures(s, d)
-      val sigs = graft.signals.Strategies.all(feats,
-        ribbonPeriods = Seq(3, 5, 10, 20), trendSma = 20)
+      val sigs = SignalQueries.allSignals(s, d)
       val raw = bars.agg(
         count(lit(1)).as("raw_rows"), countDistinct(col("symbol_id")).as("raw_symbols"),
         min(col("date")).as("raw_min_date"), max(col("date")).as("raw_max_date"))

@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.backtest.{Enrich, Recommend}
 import graft.etl.SymbolUniverse
-import graft.signals.Strategies
 import graft.sqlx.Exact.r4
 import OracleSql._
 
@@ -35,7 +34,7 @@ object RecommendQueries {
     * everything before the probability step, shared by both queries. */
   private def gatedBase(s: SparkSession, d: String): DataFrame = {
     val features = SignalQueries.signalFeatures(s, d)
-    val sigs = Strategies.all(features, ribbonPeriods = Seq(3, 5, 10, 20), trendSma = 20)
+    val sigs = SignalQueries.allSignals(s, d)
       .withColumn("signal_strength", r4(col("signal_strength")))
     val latest = Recommend.latestBuySignals(sigs, features)
     // quality + universe are per-symbol tables — broadcast, no shuffle of

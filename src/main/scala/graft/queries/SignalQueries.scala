@@ -35,6 +35,19 @@ object SignalQueries {
         .localCheckpoint()
     }
 
+  /** Memoized union of all 11 strategies over the shared feature frame —
+    * one execution per (session, dir) serves the chart frame, the daily
+    * recommendation scorer, the pipeline status report, the backtest
+    * simulation input and the bucketed signal table, instead of each
+    * consumer re-running the 11-branch union. localCheckpoint (like
+    * [[signalFeatures]]) also truncates the 11-way union's lineage so
+    * downstream task binaries stay small. */
+  def allSignals(s: SparkSession, d: String): DataFrame =
+    graft.sqlx.FrameCache.getOrElseUpdate(graft.sqlx.FrameCache.key(s, "sigall", d)) {
+      Strategies.all(signalFeatures(s, d), ribbonPeriods = Seq(3, 5, 10, 20), trendSma = 20)
+        .localCheckpoint()
+    }
+
   private def run(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, d) => f(signalFeatures(s, d))
       .withColumn("signal_strength", r4(col("signal_strength")))

@@ -20,7 +20,7 @@ object Skew {
   def saltedCountSum(df: DataFrame, keys: Seq[String], valueCol: String,
                      salts: Int = 16): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col): _*), lit(salts)))
+      pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(salts)))
     val partial = salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(count(lit(1)).as("__pcnt"), sum(Exact.dec(col(valueCol))).as("__psum"))
