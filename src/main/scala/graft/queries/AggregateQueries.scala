@@ -310,7 +310,49 @@ object AggregateQueries {
       |  MAX(value) AS max_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 
+  // ---------------------------------------------------------------- profile
+  /** lineitem's columns with their Spark simpleString type labels — shared
+    * by the Spark profiler (which derives them from the schema) and the
+    * generated oracle below. */
+  private val ProfileCols: Seq[(String, String)] = Seq(
+    "l_orderkey" -> "bigint", "l_partkey" -> "bigint", "l_suppkey" -> "bigint",
+    "l_linenumber" -> "int", "l_quantity" -> "double", "l_extendedprice" -> "double",
+    "l_discount" -> "double", "l_tax" -> "double",
+    "l_returnflag" -> "string", "l_linestatus" -> "string",
+    "l_shipdate" -> "timestamp_ntz")
+
+  private def profileSelect(c: String, dt: String): String = {
+    val numeric = Set("bigint", "int", "double")
+    val (minN, maxN, mean) =
+      if (numeric(dt))
+        (s"MIN($c)::DOUBLE", s"MAX($c)::DOUBLE",
+          s"CAST(ROUND(${decAggSql(c)} / CAST(COUNT($c) AS DOUBLE), 4) + 0.0 AS DOUBLE)")
+      else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+    val (minS, maxS) =
+      if (dt == "string") (s"MIN($c)", s"MAX($c)")
+      else ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+    val (minD, maxD) =
+      if (dt.startsWith("timestamp") || dt == "date")
+        (s"CAST(MIN($c) AS DATE)", s"CAST(MAX($c) AS DATE)")
+      else ("CAST(NULL AS DATE)", "CAST(NULL AS DATE)")
+    s"""SELECT 'lineitem' AS table_name, '$c' AS column_name, '$dt' AS data_type,
+       |  COUNT(*) AS n_rows, CAST(COUNT($c) AS BIGINT) AS n_nonnull,
+       |  COUNT(*) - COUNT($c) AS n_nulls,
+       |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+       |  $minN AS min_num, $maxN AS max_num, $mean AS mean,
+       |  $minS AS min_str, $maxS AS max_str,
+       |  $minD AS min_date, $maxD AS max_date
+       |FROM lineitem""".stripMargin
+  }
+
+  private val tableProfile = Q(
+    (s, d) => graft.relational.Profile.table(graft.Tables.lineitem(s, d), "lineitem")
+      .orderBy("column_name"),
+    ProfileCols.map { case (c, dt) => profileSelect(c, dt) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"))
+
   val all: Map[String, Q] = Map(
+    "table_profile" -> tableProfile,
     "sketch_event_stats" -> sketchEventStats,
     "sketch_event_stats_exact" -> sketchEventStatsExact,
     "skew_join_segments" -> skewJoinSegments,
