@@ -79,6 +79,29 @@ object Jaccard {
     score(inter, counts, threshold)
   }
 
+  /** Incremental near-dup pairs: new-batch documents (`newIds`) against the
+    * FULL corpus (existing + the batch itself), without recomputing the
+    * corpus-wide pair set — the daily-increment form of [[pairsFromShingles]]
+    * (same incremental contract as graft.etl.Watermarks' gated recompute).
+    * One side of the inverted-index join is only the increment's shingles,
+    * so cost is O(|increment shingles| × df), independent of how many
+    * corpus-internal pairs exist. Emits (doc_a, doc_b) with doc_b in the
+    * batch and doc_a either existing (any id) or an earlier batch doc
+    * (doc_a < doc_b, so within-batch pairs appear once). */
+  def pairsForIncrement(sh: DataFrame, newIds: DataFrame, threshold: Double): DataFrame = {
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val ids = newIds.select(col("doc_id"))
+    val shNew = sh.join(ids, "doc_id")
+    val shAll = sh.join(ids.withColumn("_new", lit(true)), Seq("doc_id"), "left")
+    val inter = shAll.as("a").join(shNew.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") =!= col("b.doc_id") &&
+          (col("a._new").isNull || col("a.doc_id") < col("b.doc_id")))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    score(inter, counts, threshold)
+  }
+
   /** Exact Jaccard restricted to candidate (doc_a < doc_b) pairs — the LSH
     * verify path. Joins candidates to doc_a's shingles (fan-out = shingles
     * per doc), then hash-joins on (doc_b, shingle) to count the overlap:

@@ -143,8 +143,43 @@ object CorpusOpsQueries {
        |WHERE d.doc_id % 20 <> $HoldoutMod
        |ORDER BY d.doc_id""".stripMargin)
 
+  /** Incremental dedup: documents with doc_id % 7 = 3 play the daily
+    * increment; find their near-dups against the existing corpus AND within
+    * the batch, touching only the increment's shingles on one join side
+    * (Jaccard.pairsForIncrement) — never the corpus-wide pair set. */
+  private val dedupIncremental = Q(
+    (s, d) => Jaccard.pairsForIncrement(
+        Jaccard.cachedShingles(s, d),
+        Tables.documents(s, d).where(col("doc_id") % 7 === 3).select("doc_id"),
+        LlmQueries.JaccardThreshold)
+      .orderBy("doc_a", "doc_b"),
+    s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, list_transform(generate_series(1, len(w) - 2),
+       |                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS ss
+       |    FROM toks), UNNEST(ss) AS t(s)
+       |),
+       |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+       |newids AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 3),
+       |ip AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM sh a
+       |  JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+       |  JOIN newids nb ON b.doc_id = nb.doc_id
+       |  LEFT JOIN newids na ON a.doc_id = na.doc_id
+       |  WHERE na.doc_id IS NULL OR a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b, inter, ca.n AS na, cb.n AS nb,
+       |       CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) AS jaccard
+       |FROM ip JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+       |WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) >= ${LlmQueries.JaccardThreshold}
+       |ORDER BY doc_a, doc_b""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "dedup_clusters" -> dedupClusters,
     "corpus_pack" -> corpusPack,
-    "decontaminate" -> decontaminate)
+    "decontaminate" -> decontaminate,
+    "dedup_incremental" -> dedupIncremental)
 }

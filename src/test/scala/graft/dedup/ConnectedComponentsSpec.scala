@@ -50,6 +50,26 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(cc(edges: _*) == cc(edges.reverse: _*))
   }
 
+  test("incremental pairs equal the full pair set restricted to the batch") {
+    val docs = graft.Tables.documents(spark, sf("sf0.01"))
+    val sh = Jaccard.shingles(docs)
+    val newIds = docs.where(col("doc_id") % 7 === 3).select("doc_id")
+    val newSet = newIds.as[Long].collect().toSet
+    val full = Jaccard.pairsFromShingles(sh, 0.2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // expected: every full pair with at least one batch member, oriented so
+    // doc_b is the batch doc (flip when only doc_a is new)
+    val expected = full.collect {
+      case (a, b) if newSet(b) => (a, b)
+      case (a, b) if newSet(a) => (b, a)
+    }
+    val got = Jaccard.pairsForIncrement(sh, newIds, 0.2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(expected.nonEmpty, "batch should intersect some planted pairs")
+    assert(got == expected,
+      s"missed ${(expected -- got).size}, invented ${(got -- expected).size}")
+  }
+
   test("star rounds preserve connectivity invariants on a random graph") {
     val rnd = new scala.util.Random(42)
     val edges = Seq.fill(200)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
