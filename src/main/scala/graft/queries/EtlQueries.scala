@@ -167,10 +167,39 @@ object EtlQueries {
        |       THEN 'NEEDS_UPDATE' ELSE 'UP_TO_DATE' END AS status
        |FROM r0, t0, s0""".stripMargin)
 
+  /** Date-partitioned event store: write events partitionBy(date) — the
+    * reference's raw time-series table as a storage layout — then run the
+    * incremental day-range rollup against the store. The scan reads ONLY
+    * the three selected days' directories (PartitionedStoreSpec asserts
+    * numPartitions == 3); at 100 TB this is the difference between an
+    * incremental day job scanning three days and scanning years. */
+  private val eventsDayScan = Q(
+    (s, d) => {
+      import graft.sqlx.Exact
+      val path = s"${sys.props("java.io.tmpdir")}/graft-events-bydate-${Integer.toHexString(d.hashCode)}"
+      val ev = graft.Tables.events(s, d).withColumn("date", col("ts").cast("date"))
+      graft.sources.PartitionedTables.write(ev, path, Seq("date"))
+      graft.sources.PartitionedTables.read(s, path)
+        .where(col("date").between(lit("2024-01-12").cast("date"), lit("2024-01-14").cast("date")))
+        .groupBy("date", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          Exact.decSumAgg(col("value")).as("value_sum"))
+        .orderBy("date", "event_type")
+    },
+    """SELECT CAST(ts AS DATE) AS date, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS value_sum
+      |FROM events
+      |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-12' AND DATE '2024-01-14'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "watermark_stale" -> watermarkStale,
     "watermark_status" -> watermarkStatus,
     "watermark_incremental_features" -> watermarkIncrementalFeatures,
     "symbol_universe" -> symbolUniverse,
-    "pipeline_status" -> pipelineStatus)
+    "pipeline_status" -> pipelineStatus,
+    "events_day_scan" -> eventsDayScan)
 }
