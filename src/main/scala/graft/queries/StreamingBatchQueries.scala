@@ -98,8 +98,40 @@ object StreamingBatchQueries {
       |SELECT event_id, user_id, ts_us, event_type, value
       |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin)
 
+  /** Batch mirror of the stream-static enrichment
+    * (EventAggregates.enrichedSegmentCounts): events broadcast-joined to
+    * the symbol universe's segment, rolled up per (window, segment). The
+    * universe upsert never touches keys or segments, so the oracle joins
+    * customer directly. */
+  private val streamEnrich = Q(
+    (s, d) => {
+      val dim = graft.etl.SymbolUniverse.universe(s, d)
+        .select(col("symbol_id").as("user_id"), col("segment"))
+      Tables.events(s, d)
+        .join(broadcast(dim), Seq("user_id"))
+        .groupBy(window(col("ts"), "10 minutes"), col("segment"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(dec(col("value"))).cast("double").as("value_sum"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          unix_micros(col("window.end")).as("window_end_us"),
+          col("segment"), col("n_events"), col("value_sum"), col("n_users"))
+        .orderBy("window_start_us", "segment")
+    },
+    """SELECT epoch_us(time_bucket(INTERVAL 10 MINUTE, ts)) AS window_start_us,
+      |       epoch_us(time_bucket(INTERVAL 10 MINUTE, ts) + INTERVAL 10 MINUTE) AS window_end_us,
+      |       c_mktsegment AS segment,
+      |       COUNT(*) AS n_events,
+      |       CAST(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS value_sum,
+      |       COUNT(DISTINCT user_id) AS n_users
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2, 3
+      |ORDER BY window_start_us, segment""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "stream_window_agg" -> streamWindowAgg,
     "sessionization" -> sessionization,
-    "stream_dedup" -> streamDedup)
+    "stream_dedup" -> streamDedup,
+    "stream_enrich" -> streamEnrich)
 }

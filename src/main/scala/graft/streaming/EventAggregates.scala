@@ -31,4 +31,23 @@ object EventAggregates {
     events
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrichment: each micro-batch broadcast-joins the STATIC
+    * dimension (`dim`: user_id → segment) — no streaming state, no
+    * stream-stream join semantics, the standard way to attach reference
+    * data to a flow — then rolls up per (10-minute window, segment) under
+    * the same watermark bound. At scale the dimension is the per-symbol
+    * universe (tiny next to the event stream), exactly the broadcast shape
+    * the batch queries use. */
+  def enrichedSegmentCounts(events: DataFrame, dim: DataFrame,
+                            watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy(window(col("ts"), "10 minutes"), col("segment"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(25,10)")).cast("double").as("value_sum"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("segment"), col("n_events"), col("value_sum"))
 }

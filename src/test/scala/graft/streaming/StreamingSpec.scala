@@ -46,6 +46,26 @@ class StreamingSpec extends SparkSpec {
     assert(n == 2, s"expected 2 unique events, got $n")
   }
 
+  test("stream-static enrichment broadcast-joins the dimension per micro-batch") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "AUTOMOBILE"), (2L, "MACHINERY")).toDF("user_id", "segment")
+    val in = MemoryStream[Ev]
+    val q = EventAggregates.enrichedSegmentCounts(in.toDF(), dim, "10 minutes")
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode(OutputMode.Complete()).start()
+    in.addData(
+      Ev(1, ts(1), 1, "click", 1.0), Ev(2, ts(2), 1, "view", 2.0),
+      Ev(3, ts(3), 2, "click", 4.0),
+      Ev(4, ts(4), 99, "click", 8.0)) // no dimension row → dropped by the join
+    q.processAllAvailable()
+    val out = spark.table("enrich").collect()
+      .map(r => r.getAs[String]("segment") ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("value_sum"))).toMap
+    q.stop()
+    assert(out == Map("AUTOMOBILE" -> ((2L, 3.0)), "MACHINERY" -> ((1L, 4.0))))
+  }
+
   test("streaming windowed agg equals the batch mirror on real testdata") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
