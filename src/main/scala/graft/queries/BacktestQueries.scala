@@ -236,6 +236,22 @@ object BacktestQueries {
        |SELECT * FROM enriched
        |ORDER BY symbol_id, entry_date, trade_strategy""".stripMargin)
 
+  /** The reference's CSV handoff (filter_trades_by_prediction.py writes the
+    * filtered trades CSV; visualize_signals.py:152-185 reads it back): the
+    * enriched-trades frame written through [[graft.sources.CsvTables]] and
+    * read back with its explicit schema. Checked against the SAME oracle as
+    * [[tradesFundamentalsJoin]] — a hash-exact roundtrip across the text
+    * format (shortest-round-trip doubles, ISO dates, typed booleans). */
+  private val tradesCsvRoundtrip = Q(
+    (s, d) => {
+      val src = tradesFundamentalsJoin.run(s, d)
+      val path = s"${sys.props("java.io.tmpdir")}/graft-trades-csv-${Integer.toHexString(d.hashCode)}"
+      graft.sources.CsvTables.write(src, path)
+      graft.sources.CsvTables.read(s, path, src.schema)
+        .orderBy("symbol_id", "entry_date", "trade_strategy")
+    },
+    tradesFundamentalsJoin.oracle.get)
+
   /** The SAME as-of semantics as [[tradesFundamentalsJoin]] through the
     * zero-join union+window operator ([[graft.operators.AsOfJoin]]) — the
     * both-sides-large scale path — checked against the identical oracle:
@@ -475,6 +491,7 @@ object BacktestQueries {
     "backtest_trades" -> backtestTrades,
     "backtest_metrics" -> backtestMetrics,
     "trades_fundamentals_join" -> tradesFundamentalsJoin,
+    "trades_csv_roundtrip" -> tradesCsvRoundtrip,
     "asof_join_union" -> asofJoinUnion,
     "range_join_windows" -> rangeJoinWindows,
     "trades_filter_threshold" -> tradesFilterThreshold,
