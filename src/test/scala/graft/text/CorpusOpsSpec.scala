@@ -52,6 +52,31 @@ class CorpusOpsSpec extends SparkSpec {
     } finally packed.unpersist()
   }
 
+  test("randomized differential: packing matches an in-memory oracle") {
+    val rnd = new scala.util.Random(7)
+    // sparse ids, skewed sizes, giant docs spanning many windows
+    val docs = (1 to 300).map(_ => rnd.nextInt(100000).toLong).distinct.sorted
+      .map(id => (id, (rnd.nextInt(3) match {
+        case 0 => rnd.nextInt(20) + 1
+        case 1 => rnd.nextInt(500) + 1
+        case _ => rnd.nextInt(4000) + 1
+      }).toLong))
+    val ws = 512
+    val got = Packing.packWindows(docs.toDF("doc_id", "n_tokens"), "doc_id", "n_tokens", ws)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toSet
+    var off = 0L
+    val expected = docs.flatMap { case (id, n) =>
+      val start = off; off += n
+      (start / ws to (start + n - 1) / ws).map { w =>
+        (id, w, start, n,
+          math.min(start + n, (w + 1) * ws) - math.max(start, w * ws),
+          w == start / ws)
+      }
+    }.toSet
+    assert(got == expected)
+  }
+
   test("decontamination flags a planted holdout copy and scores disjoint docs zero") {
     // ids: %20==19 → holdout. 19 is the benchmark doc; 1 is its verbatim
     // copy (ratio 1.0); 2 shares a suffix (partial); 3 is disjoint (0.0).
