@@ -6,9 +6,9 @@ import org.apache.spark.sql.types._
 
 /** Per-column table profiling — the ANALYZE/data-audit step a pipeline runs
   * before training or migration: row count, null count, distinct count,
-  * min/max and mean per column, computed in ONE scan of the table (a single
-  * aggregation over all columns' stat expressions, then a driver-side
-  * unpivot of the one result row into per-column rows — the unpivot touches
+  * min/max and mean per column. All non-distinct stats come from a single
+  * aggregation over all columns' stat expressions; the one result row is
+  * then unpivoted driver-side into per-column rows (the unpivot touches
   * metadata, never data).
   *
   * Distinct counts: `exact = true` melts the table into (column, canonical
@@ -61,7 +61,7 @@ object Profile {
       }
       base ++ typed
     }
-    // one scan; the 1-row result is checkpointed so the per-column selects
+    // the 1-row stats result is checkpointed so the per-column selects
     // below re-read a materialized row instead of re-running the aggregate
     val row = df.agg(statCols.head, statCols.tail: _*).localCheckpoint()
 
