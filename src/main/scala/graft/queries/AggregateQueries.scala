@@ -183,7 +183,7 @@ object AggregateQueries {
       s"CASE WHEN $v IS NOT NULL THEN ($le - $eq + ($eq + 1) / 2.0) / $n END"
     }
     def pcSql(k: Int) =
-      s"ROUND(CASE WHEN lag(value, $k) OVER ($bySeries) <> 0 THEN (value - lag(value, $k) OVER ($bySeries)) / lag(value, $k) OVER ($bySeries) END, 6) + 0.0"
+      s"CAST(ROUND(CAST(CAST(CASE WHEN lag(value, $k) OVER ($bySeries) <> 0 THEN (value - lag(value, $k) OVER ($bySeries)) / lag(value, $k) OVER ($bySeries) END AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) + 0.0"
     val inList = types.map(t => s"'$t'").mkString(", ")
     val n14 = nOf(14)
     val g6 = "CASE WHEN r6 > 0 THEN r6 ELSE 0 END"
@@ -191,7 +191,7 @@ object AggregateQueries {
     val rsi = s"100.0 - (100.0 / (1.0 + ((${lsum(g6, 14)} / 1000000.0) / $n14) / ((${lsum(l6, 14)} / 1000000.0) / $n14 + 1e-06)))"
     s"""WITH s AS (
        |  SELECT event_type AS series, CAST(ts AS DATE) AS date,
-       |         ROUND(${decAggSql("value")} / COUNT(*), 6) AS value
+       |         CAST(ROUND(CAST(CAST(${decAggSql("value")} / COUNT(*) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS value
        |  FROM events WHERE event_type IN ($inList) GROUP BY 1, 2
        |),
        |b AS (SELECT s.*, row_number() OVER ($bySeries) AS rn,
@@ -326,7 +326,7 @@ object AggregateQueries {
     val (minN, maxN, mean) =
       if (numeric(dt))
         (s"MIN($c)::DOUBLE", s"MAX($c)::DOUBLE",
-          s"CAST(ROUND(${decAggSql(c)} / CAST(COUNT($c) AS DOUBLE), 4) + 0.0 AS DOUBLE)")
+          s"CAST(ROUND(CAST(CAST(${decAggSql(c)} / CAST(COUNT($c) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 4) + 0.0 AS DOUBLE)")
       else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
     val (minS, maxS) =
       if (dt == "string") (s"MIN($c)", s"MAX($c)")

@@ -162,18 +162,18 @@ object BacktestQueries {
        |  COUNT(*) AS total_trades,
        |  CAST(SUM(CASE WHEN pnl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS winning_trades,
        |  CAST(SUM(CASE WHEN pnl <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS losing_trades,
-       |  CAST(ROUND(SUM(CASE WHEN pnl > 0 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE) * 100.0, 4) + 0.0 AS DOUBLE) AS win_rate,
+       |  CAST(ROUND(CAST(CAST(SUM(CASE WHEN pnl > 0 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE) * 100.0 AS VARCHAR) AS DECIMAL(38,20)), 4) + 0.0 AS DOUBLE) AS win_rate,
        |  CAST(ROUND(SUM(CAST(pnl AS DECIMAL(25,10))), 4) + 0.0 AS DOUBLE) AS total_return,
        |  CAST(ROUND(CAST(ROUND(SUM(CAST(pnl AS DECIMAL(25,10))), 4) AS DOUBLE) / 100000.0 * 100.0, 4) + 0.0 AS DOUBLE) AS total_return_pct,
        |  CAST(ROUND(CAST(ROUND(SUM(CAST(pnl AS DECIMAL(25,10))), 4) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) + 0.0 AS DOUBLE) AS avg_trade_return,
        |  CAST(ROUND(CAST(CAST(SUM(CAST(pnl_pct AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) + 0.0 AS DOUBLE) AS avg_trade_return_pct,
-       |  CAST(ROUND(MIN(drawdown) * 100.0, 4) + 0.0 AS DOUBLE) AS max_drawdown,
+       |  CAST(ROUND(CAST(CAST(MIN(drawdown) * 100.0 AS VARCHAR) AS DECIMAL(38,20)), 4) + 0.0 AS DOUBLE) AS max_drawdown,
        |  CAST(ROUND(CASE WHEN COUNT(*) > 1 AND SQRT(CASE WHEN (CAST(CAST(SUM(CAST(pnl_pct * pnl_pct AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) - CAST(CAST(SUM(CAST(pnl_pct AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) * CAST(CAST(SUM(CAST(pnl_pct AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE) > 0.0 THEN (CAST(CAST(SUM(CAST(pnl_pct * pnl_pct AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) - CAST(CAST(SUM(CAST(pnl_pct AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) * CAST(CAST(SUM(CAST(pnl_pct AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE) ELSE 0.0 END) <> 0.0
        |       THEN (CAST(CAST(SUM(CAST(pnl_pct AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / SQRT(CASE WHEN (CAST(CAST(SUM(CAST(pnl_pct * pnl_pct AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) - CAST(CAST(SUM(CAST(pnl_pct AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) * CAST(CAST(SUM(CAST(pnl_pct AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE) > 0.0 THEN (CAST(CAST(SUM(CAST(pnl_pct * pnl_pct AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) - CAST(CAST(SUM(CAST(pnl_pct AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) * CAST(CAST(SUM(CAST(pnl_pct AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE) ELSE 0.0 END) * SQRT(252.0) ELSE 0.0 END, 4) + 0.0 AS DOUBLE) AS sharpe_ratio,
        |  CAST(ROUND(CASE WHEN abs(CAST(ROUND(SUM(CAST(CASE WHEN pnl < 0 THEN pnl ELSE 0.0 END AS DECIMAL(25,10))), 4) AS DOUBLE)) <> 0.0
        |       THEN CAST(ROUND(SUM(CAST(CASE WHEN pnl > 0 THEN pnl ELSE 0.0 END AS DECIMAL(25,10))), 4) AS DOUBLE)
        |            / abs(CAST(ROUND(SUM(CAST(CASE WHEN pnl < 0 THEN pnl ELSE 0.0 END AS DECIMAL(25,10))), 4) AS DOUBLE)) ELSE 0.0 END, 4) + 0.0 AS DOUBLE) AS profit_factor,
-       |  CAST(ROUND(CAST(SUM(holding_days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) + 0.0 AS DOUBLE) AS avg_holding_days,
+       |  CAST(ROUND(CAST(CAST(CAST(SUM(holding_days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 4) + 0.0 AS DOUBLE) AS avg_holding_days,
        |  CAST(ROUND(SUM(CAST(commission AS DECIMAL(25,10))), 4) + 0.0 AS DOUBLE) AS total_commission,
        |  CAST(ROUND(SUM(CAST(CASE WHEN pnl > 0 THEN pnl ELSE 0.0 END AS DECIMAL(25,10))), 4) + 0.0 AS DOUBLE) AS gross_profit,
        |  CAST(abs(ROUND(SUM(CAST(CASE WHEN pnl < 0 THEN pnl ELSE 0.0 END AS DECIMAL(25,10))), 4)) AS DOUBLE) AS gross_loss
@@ -193,10 +193,10 @@ object BacktestQueries {
        |  SELECT symbol_id AS f_symbol_id, fiscal_q,
        |         fiscal_q + ${Enrich.PublicationLagDays} AS publication_date,
        |         (fiscal_q + ${Enrich.PublicationLagDays}) + ${Enrich.LookforwardDays} AS valid_until_date,
-       |         CAST(ROUND(overall_quality_score, 4) + 0.0 AS DOUBLE) AS overall_quality_score,
-       |         CAST(ROUND(balance_sheet_quality_score, 4) + 0.0 AS DOUBLE) AS balance_sheet_quality_score,
-       |         CAST(ROUND(cash_flow_quality_score, 4) + 0.0 AS DOUBLE) AS cash_flow_quality_score,
-       |         CAST(ROUND(income_statement_quality_score, 4) + 0.0 AS DOUBLE) AS income_statement_quality_score,
+       |         CAST(ROUND(CAST(CAST(overall_quality_score AS VARCHAR) AS DECIMAL(38,20)), 4) + 0.0 AS DOUBLE) AS overall_quality_score,
+       |         CAST(ROUND(CAST(CAST(balance_sheet_quality_score AS VARCHAR) AS DECIMAL(38,20)), 4) + 0.0 AS DOUBLE) AS balance_sheet_quality_score,
+       |         CAST(ROUND(CAST(CAST(cash_flow_quality_score AS VARCHAR) AS DECIMAL(38,20)), 4) + 0.0 AS DOUBLE) AS cash_flow_quality_score,
+       |         CAST(ROUND(CAST(CAST(income_statement_quality_score AS VARCHAR) AS DECIMAL(38,20)), 4) + 0.0 AS DOUBLE) AS income_statement_quality_score,
        |         is_high_quality, is_investment_grade, has_red_flags
        |  FROM scores
        |),
@@ -331,7 +331,7 @@ object BacktestQueries {
        |$tradesCte,
        |$scoresJoinCte,
        |p AS (
-       |  SELECT *, ROUND(1.0 / (1.0 + exp(-(signal_strength - 50.0) / 20.0)), 6) + 0.0 AS success_probability
+       |  SELECT *, CAST(ROUND(CAST(CAST(1.0 / (1.0 + exp(-(signal_strength - 50.0) / 20.0)) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) + 0.0 AS success_probability
        |  FROM enriched
        |)
        |SELECT trade_strategy,
@@ -472,7 +472,7 @@ object BacktestQueries {
        |$tradesCte,
        |$scoresJoinCte,
        |p AS (
-       |  SELECT *, ROUND(1.0 / (1.0 + exp(-(signal_strength - 50.0) / 20.0)), 6) + 0.0 AS success_probability
+       |  SELECT *, CAST(ROUND(CAST(CAST(1.0 / (1.0 + exp(-(signal_strength - 50.0) / 20.0)) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) + 0.0 AS success_probability
        |  FROM enriched
        |),
        |top AS (

@@ -149,7 +149,7 @@ object FeatureQueries {
     s"""WITH $barsCte,
        |f AS (
        |  SELECT symbol_id, date, volume, rn,
-       |    ROUND(CASE WHEN high - low <> 0 THEN ((close - low) - (high - close)) / (high - low) ELSE 0.0 END * CAST(volume AS DOUBLE), 6) AS mfv6
+       |    CAST(ROUND(CAST(CAST(CASE WHEN high - low <> 0 THEN ((close - low) - (high - close)) / (high - low) ELSE 0.0 END * CAST(volume AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS mfv6
        |  FROM b
        |)
        |SELECT symbol_id, date,

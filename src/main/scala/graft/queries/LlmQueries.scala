@@ -69,7 +69,7 @@ object LlmQueries {
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
       |q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id % 100 = 0),
       |s AS (
-      |  SELECT query_id, vec_id, ROUND(list_cosine_similarity(qemb, emb), 6) AS cosine
+      |  SELECT query_id, vec_id, CAST(ROUND(CAST(CAST(list_cosine_similarity(qemb, emb) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS cosine
       |  FROM e CROSS JOIN q WHERE vec_id <> query_id
       |),
       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank FROM s)
@@ -80,9 +80,9 @@ object LlmQueries {
     (s, d) => Cosine.thresholdPairs(s, d, EmbDedupThreshold).orderBy("vec_a", "vec_b"),
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |       ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+       |       CAST(ROUND(CAST(CAST(list_cosine_similarity(a.emb, b.emb) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS cosine
        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-       |WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 6) >= $EmbDedupThreshold
+       |WHERE CAST(ROUND(CAST(CAST(list_cosine_similarity(a.emb, b.emb) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) >= $EmbDedupThreshold
        |ORDER BY vec_a, vec_b""".stripMargin)
 
   private def corpusEmb(s: org.apache.spark.sql.SparkSession, d: String) =

@@ -88,7 +88,7 @@ object RecommendQueries {
        |lastq AS (
        |  SELECT symbol_id AS q_symbol_id, overall_quality_score FROM (
        |    SELECT symbol_id,
-       |           CAST(ROUND(overall_quality_score, 4) + 0.0 AS DOUBLE) AS overall_quality_score,
+       |           CAST(ROUND(CAST(CAST(overall_quality_score AS VARCHAR) AS DECIMAL(38,20)), 4) + 0.0 AS DOUBLE) AS overall_quality_score,
        |           row_number() OVER (PARTITION BY symbol_id ORDER BY fiscal_q DESC) AS rn
        |    FROM scores
        |  ) WHERE rn = 1
@@ -103,7 +103,7 @@ object RecommendQueries {
        |),
        |probd AS (
        |  SELECT gated.*,
-       |         ROUND(1.0 / (1.0 + exp(-(signal_strength - 50.0) / 20.0)), 6) + 0.0 AS success_probability
+       |         CAST(ROUND(CAST(CAST(1.0 / (1.0 + exp(-(signal_strength - 50.0) / 20.0)) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) + 0.0 AS success_probability
        |  FROM gated
        |)
        |SELECT symbol_id, symbol, date AS signal_date, trade_strategy, close,

@@ -18,7 +18,7 @@ object Q {
 
 /** Shared DuckDB oracle SQL fragments. The SQL mirrors the Spark expression
   * DAG op-for-op: exact decimal sums + identical IEEE scalar math ⇒
-  * bit-identical doubles after ROUND(x, 4) (see graft.sqlx.Exact).
+  * bit-identical doubles after 4dp rounding (see graft.sqlx.Exact and [[OracleSql.rnd]]).
   */
 object OracleSql {
   /** OHLCV bars from events (SURVEY.md §1.1 mapping). Pure value selection —
@@ -54,5 +54,16 @@ object OracleSql {
   def decSum(expr: String, p: Int): String =
     s"CAST(CAST(SUM(CAST($expr AS DECIMAL(25,10))) ${win(p)} AS VARCHAR) AS DOUBLE)"
 
-  def rd(expr: String, as: String): String = s"CAST(ROUND($expr, 4) + 0.0 AS DOUBLE) AS $as"
+  /** Exact mirror of Spark's round(x, n) for doubles. Spark HALF_UPs the
+    * SHORTEST DECIMAL REPR (BigDecimal.valueOf) while DuckDB's ROUND(double)
+    * rounds the exact binary value — on doubles whose shortest repr lands
+    * exactly on a .xxxx5 tie (day-one EMAs equal to a close price, clean
+    * return ratios) the two disagree by one final digit. Routing through
+    * VARCHAR (shortest repr) into DECIMAL(38,20) and rounding THAT decimal
+    * reproduces Spark's digits bit-for-bit (validated on tie cases + 3k
+    * random doubles); `+ 0.0` keeps the −0 normalization. */
+  def rnd(expr: String, scale: Int): String =
+    s"CAST(ROUND(CAST(CAST($expr AS VARCHAR) AS DECIMAL(38,20)), $scale) + 0.0 AS DOUBLE)"
+
+  def rd(expr: String, as: String): String = s"${rnd(expr, 4)} AS $as"
 }

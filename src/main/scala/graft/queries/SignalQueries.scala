@@ -200,7 +200,7 @@ object SignalQueries {
        |s1 AS (SELECT *, CASE WHEN ${ls.buy} THEN TRUE ELSE FALSE END AS buy_signal FROM src),
        |s2 AS (SELECT *, CASE WHEN (NOT buy_signal) AND (${ls.sell}) THEN TRUE ELSE FALSE END AS sell_signal FROM s1)
        |SELECT symbol_id, date, buy_signal, sell_signal, '${ls.name}' AS trade_strategy,
-       |  CAST(ROUND(CASE WHEN buy_signal THEN ${ls.buyStr} ELSE ${ls.sellStr} END, 4) + 0.0 AS DOUBLE) AS signal_strength
+       |  CAST(ROUND(CAST(CAST(CASE WHEN buy_signal THEN ${ls.buyStr} ELSE ${ls.sellStr} END AS VARCHAR) AS DECIMAL(38,20)), 4) + 0.0 AS DOUBLE) AS signal_strength
        |FROM s2 WHERE buy_signal OR sell_signal
        |ORDER BY symbol_id, date, buy_signal""".stripMargin
   }
@@ -228,7 +228,7 @@ object SignalQueries {
       case ds => ds.mkString(", ", ", ", "")
     }
     s"""SELECT symbol_id, date, buy_signal, sell_signal, '${ls.name}' AS trade_strategy,
-       |    CAST(ROUND(CASE WHEN buy_signal THEN ${ls.buyStr} ELSE ${ls.sellStr} END, 4) + 0.0 AS DOUBLE) AS signal_strength
+       |    CAST(ROUND(CAST(CAST(CASE WHEN buy_signal THEN ${ls.buyStr} ELSE ${ls.sellStr} END AS VARCHAR) AS DECIMAL(38,20)), 4) + 0.0 AS DOUBLE) AS signal_strength
        |  FROM (SELECT *, CASE WHEN (NOT buy_signal) AND (${ls.sell}) THEN TRUE ELSE FALSE END AS sell_signal
        |        FROM (SELECT *, CASE WHEN ${ls.buy} THEN TRUE ELSE FALSE END AS buy_signal
        |              FROM (SELECT *$defs FROM feat WHERE ${ls.where})))
@@ -261,7 +261,7 @@ object SignalQueries {
   private val divergenceScoredSubquery: String =
     s"""SELECT symbol_id, date, TRUE AS buy_signal, FALSE AS sell_signal,
        |       'rsi_divergence' AS trade_strategy,
-       |       CAST(ROUND(least(100.0, rsi_14 - pr), 4) + 0.0 AS DOUBLE) AS signal_strength
+       |       CAST(ROUND(CAST(CAST(least(100.0, rsi_14 - pr) AS VARCHAR) AS DECIMAL(38,20)), 4) + 0.0 AS DOUBLE) AS signal_strength
        |  FROM (SELECT symbol_id, date, close, rsi_14,
        |          lag(close) OVER ($bySymbol) AS pp, lag(rsi_14) OVER ($bySymbol) AS pr
        |        FROM (SELECT symbol_id, date, close, rsi_14,
@@ -272,7 +272,7 @@ object SignalQueries {
        |  WHERE close < pp AND rsi_14 > pr
        |  UNION ALL
        |  SELECT symbol_id, date, FALSE, TRUE, 'rsi_divergence',
-       |       CAST(ROUND(least(100.0, pr - rsi_14), 4) + 0.0 AS DOUBLE)
+       |       CAST(ROUND(CAST(CAST(least(100.0, pr - rsi_14) AS VARCHAR) AS DECIMAL(38,20)), 4) + 0.0 AS DOUBLE)
        |  FROM (SELECT symbol_id, date, close, rsi_14,
        |          lag(close) OVER ($bySymbol) AS pp, lag(rsi_14) OVER ($bySymbol) AS pr
        |        FROM (SELECT symbol_id, date, close, rsi_14,
@@ -359,7 +359,7 @@ object SignalQueries {
        |)
        |SELECT symbol_id, date, buy_signal, sell_signal,
        |  'rsi_divergence' AS trade_strategy,
-       |  CAST(ROUND(strength, 4) + 0.0 AS DOUBLE) AS signal_strength
+       |  CAST(ROUND(CAST(CAST(strength AS VARCHAR) AS DECIMAL(38,20)), 4) + 0.0 AS DOUBLE) AS signal_strength
        |FROM sig ORDER BY symbol_id, date, buy_signal""".stripMargin)
 
   val all: Map[String, Q] = Map(

@@ -43,10 +43,17 @@ object Exact {
     sum(c.cast(DecimalType(precision, scale))).over(w).cast("double")
 
   /** Render a double so the SQL literal parses back to the identical bits
-    * (17 significant digits round-trips IEEE 754 doubles). */
+    * (17 significant digits round-trips IEEE 754 doubles). The digits go
+    * through a VARCHAR cast, never a bare numeric literal: DuckDB types a
+    * bare 17-digit literal as DECIMAL, and its DECIMAL→DOUBLE conversion is
+    * double-rounded — β constants came back 1 ULP off Spark's, which made
+    * the recursive EMA/MACD chains drift and flip ROUND(x,4) ties at
+    * larger SFs. CAST('…' AS DOUBLE) is strtod: correctly rounded, bit
+    * identical to the JVM parse. (Same hazard §6 documents for decimal
+    * sums, same VARCHAR-route fix.) */
   def lit17(d: Double): String = {
     val s = "%.17g".format(d)
-    // trim trailing zeros but keep enough digits to round-trip
-    if (java.lang.Double.parseDouble(s) == d) s else d.toString
+    val digits = if (java.lang.Double.parseDouble(s) == d) s else d.toString
+    s"CAST('$digits' AS DOUBLE)"
   }
 }
