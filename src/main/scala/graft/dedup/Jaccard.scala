@@ -90,7 +90,9 @@ object Jaccard {
     * (doc_a < doc_b, so within-batch pairs appear once). */
   def pairsForIncrement(sh: DataFrame, newIds: DataFrame, threshold: Double): DataFrame = {
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val ids = newIds.select(col("doc_id"))
+    // distinct: a duplicated id in newIds would duplicate shingle rows on
+    // both join sides and silently inflate the intersection counts
+    val ids = newIds.select(col("doc_id")).distinct()
     val shNew = sh.join(ids, "doc_id")
     val shAll = sh.join(ids.withColumn("_new", lit(true)), Seq("doc_id"), "left")
     val inter = shAll.as("a").join(shNew.as("b"),

@@ -311,17 +311,22 @@ object AggregateQueries {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 
   // ---------------------------------------------------------------- profile
-  /** lineitem's columns with their Spark simpleString type labels — shared
-    * by the Spark profiler (which derives them from the schema) and the
-    * generated oracle below. */
-  private val ProfileCols: Seq[(String, String)] = Seq(
+  /** Per-table column lists with their Spark simpleString type labels —
+    * shared by the Spark profiler (which derives them from the schema) and
+    * the generated oracles below. lineitem exercises the numeric/string
+    * branches; events adds the session-TZ timestamp branch. */
+  private val LineitemCols: Seq[(String, String)] = Seq(
     "l_orderkey" -> "bigint", "l_partkey" -> "bigint", "l_suppkey" -> "bigint",
     "l_linenumber" -> "int", "l_quantity" -> "double", "l_extendedprice" -> "double",
     "l_discount" -> "double", "l_tax" -> "double",
     "l_returnflag" -> "string", "l_linestatus" -> "string",
     "l_shipdate" -> "timestamp_ntz")
 
-  private def profileSelect(c: String, dt: String): String = {
+  private val EventsCols: Seq[(String, String)] = Seq(
+    "event_id" -> "bigint", "ts" -> "timestamp", "user_id" -> "bigint",
+    "event_type" -> "string", "value" -> "double", "props" -> "string")
+
+  private def profileSelect(table: String, c: String, dt: String): String = {
     val numeric = Set("bigint", "int", "double")
     val (minN, maxN, mean) =
       if (numeric(dt))
@@ -335,24 +340,49 @@ object AggregateQueries {
       if (dt.startsWith("timestamp") || dt == "date")
         (s"CAST(MIN($c) AS DATE)", s"CAST(MAX($c) AS DATE)")
       else ("CAST(NULL AS DATE)", "CAST(NULL AS DATE)")
-    s"""SELECT 'lineitem' AS table_name, '$c' AS column_name, '$dt' AS data_type,
+    s"""SELECT '$table' AS table_name, '$c' AS column_name, '$dt' AS data_type,
        |  COUNT(*) AS n_rows, CAST(COUNT($c) AS BIGINT) AS n_nonnull,
        |  COUNT(*) - COUNT($c) AS n_nulls,
        |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
        |  $minN AS min_num, $maxN AS max_num, $mean AS mean,
        |  $minS AS min_str, $maxS AS max_str,
        |  $minD AS min_date, $maxD AS max_date
-       |FROM lineitem""".stripMargin
+       |FROM $table""".stripMargin
   }
+
+  private def profileOracle(table: String, cols: Seq[(String, String)]): String =
+    cols.map { case (c, dt) => profileSelect(table, c, dt) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
 
   private val tableProfile = Q(
     (s, d) => graft.relational.Profile.table(graft.Tables.lineitem(s, d), "lineitem")
       .orderBy("column_name"),
-    ProfileCols.map { case (c, dt) => profileSelect(c, dt) }
-      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"))
+    profileOracle("lineitem", LineitemCols))
+
+  /** The 100 TB profile path: one scan, approx_count_distinct (HLL++) in
+    * place of the exact second melt+distinct pass. Rows-only registration —
+    * the probabilistic n_distinct has no deterministic oracle — anchored by
+    * the hash-green exact twin [[tableProfile]] over the same table and by
+    * ProfileSpec (every non-distinct stat bit-identical between modes,
+    * distincts within 5%, no Expand in the plan). */
+  private val tableProfileApprox = Q(
+    (s, d) => graft.relational.Profile.table(
+        graft.Tables.lineitem(s, d), "lineitem", exact = false)
+      .orderBy("column_name"),
+    None)
+
+  /** Profile over a second table shape: events exercises the session-TZ
+    * timestamp branch (ts → date min/max) plus an all-distinct id column
+    * and a high-cardinality string column (props). */
+  private val tableProfileEvents = Q(
+    (s, d) => graft.relational.Profile.table(graft.Tables.events(s, d), "events")
+      .orderBy("column_name"),
+    profileOracle("events", EventsCols))
 
   val all: Map[String, Q] = Map(
     "table_profile" -> tableProfile,
+    "table_profile_approx" -> tableProfileApprox,
+    "table_profile_events" -> tableProfileEvents,
     "sketch_event_stats" -> sketchEventStats,
     "sketch_event_stats_exact" -> sketchEventStatsExact,
     "skew_join_segments" -> skewJoinSegments,

@@ -61,7 +61,13 @@ object OracleSql {
     * return ratios) the two disagree by one final digit. Routing through
     * VARCHAR (shortest repr) into DECIMAL(38,20) and rounding THAT decimal
     * reproduces Spark's digits bit-for-bit (validated on tie cases + 3k
-    * random doubles); `+ 0.0` keeps the −0 normalization. */
+    * random doubles); `+ 0.0` keeps the −0 normalization.
+    *
+    * Magnitude bound: DECIMAL(38,20) holds 18 integer digits, so DuckDB
+    * errors (rather than mis-compares) on |x| ≥ 1e18. All registered
+    * oracles stay far below that (prices/scores/decimal-bounded sums); an
+    * oracle expecting larger aggregates must widen the cast (e.g.
+    * DECIMAL(38,18) at 2dp precision cost). */
   def rnd(expr: String, scale: Int): String =
     s"CAST(ROUND(CAST(CAST($expr AS VARCHAR) AS DECIMAL(38,20)), $scale) + 0.0 AS DOUBLE)"
 

@@ -34,8 +34,16 @@ object Profile {
     // 11 longs collected driver-side (metadata, independent of table size)
     val exactDistinct: Map[String, Long] =
       if (!exact) Map.empty
-      else df.select(explode(array(fields.map(f =>
-          struct(lit(f.name).as("c"), col(f.name).cast("string").as("v"))): _*)).as("p"))
+      else df.select(explode(array(fields.map { f =>
+          // + 0.0 normalizes floating -0.0 → 0.0 before the string cast:
+          // native COUNT(DISTINCT) treats them as one value but their
+          // strings ("-0.0"/"0.0") differ
+          val v = f.dataType match {
+            case FloatType | DoubleType => col(f.name) + lit(0.0)
+            case _ => col(f.name)
+          }
+          struct(lit(f.name).as("c"), v.cast("string").as("v"))
+        }: _*)).as("p"))
         .select(col("p.c").as("c"), col("p.v").as("v"))
         .where(col("v").isNotNull)
         .distinct()

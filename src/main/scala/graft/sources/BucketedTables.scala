@@ -30,14 +30,23 @@ object BucketedTables {
     * table REGISTRATIONS die with the JVM but warehouse DIRECTORIES
     * persist, so a fresh session's overwrite would hit
     * LOCATION_ALREADY_EXISTS on a directory no catalog entry owns —
-    * clear any such orphaned location first (a no-op on a real metastore,
-    * where the catalog entry exists and Overwrite handles it). */
+    * clear any such orphaned location first. The delete is gated to the
+    * in-memory catalog (whose warehouse dir this session owns) and to
+    * unqualified names in the default database — on a real metastore
+    * (hive catalog) the entry persists and Overwrite handles it, and a
+    * qualified `db.table` would make the computed path wrong. */
   def write(df: DataFrame, table: String, bucketCols: Seq[String],
             numBuckets: Int, sortCols: Seq[String] = Nil,
             mode: SaveMode = SaveMode.Overwrite): Unit = {
     require(bucketCols.nonEmpty, "bucketBy needs at least one column")
+    require(!table.contains("."),
+      s"BucketedTables.write takes an unqualified table name, got '$table'")
     val spark = df.sparkSession
-    if (mode == SaveMode.Overwrite && !spark.catalog.tableExists(table)) {
+    val inMemoryCatalog =
+      spark.conf.get("spark.sql.catalogImplementation", "in-memory") == "in-memory"
+    if (mode == SaveMode.Overwrite && inMemoryCatalog &&
+        spark.catalog.currentDatabase == "default" &&
+        !spark.catalog.tableExists(table)) {
       val loc = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
