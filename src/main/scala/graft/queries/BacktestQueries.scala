@@ -35,7 +35,7 @@ object BacktestQueries {
     * recursive CTE stepping the reference's exact trade state machine per
     * (strategy, symbol) — open on buy outside cooldown, close on sell, force
     * close at the strategy's last date when the symbol has a row there. */
-  private val simCte: String =
+  private[queries] val simCte: String =
     s"""${SignalQueries.featCte},
        |sigall AS (
        |  ${SignalQueries.allFlagsSubquery}

@@ -95,7 +95,57 @@ object ChartQueries {
        |FROM px LEFT JOIN sigall s ON px.symbol_id = s.symbol_id AND px.date = s.date
        |ORDER BY px.symbol_id, px.date, s.trade_strategy ASC NULLS FIRST, s.buy_signal ASC NULLS FIRST""".stripMargin)
 
+  /** Trade-marker overlay frame (backtesting/visualize_signals.py:152-260):
+    * the completed backtest trades read back from the CSV handoff
+    * (`get_completed_trades_for_symbol`, the cooldown-trades fallback at
+    * :170-185) unpivoted into entry/exit marker rows and joined onto the
+    * daily price frame — the reference's per-trade scatter lookup
+    * (`price_df[price_df['date'] == trade['entry_date']]`, :245-260) as one
+    * distributed join. Marker price is the bar close at the marker date
+    * (markers whose date has no bar are dropped, exactly the reference's
+    * behavior); color is the trade's P&L sign. The reference's plot window
+    * is a CLI argument — the frame covers the full history and a consumer
+    * slices its window.
+    *
+    * Scale shape: completed trades are tiny next to the price history, so
+    * the marker side broadcasts into the bars join — no shuffle of the
+    * price frame. */
+  private val tradeOverlayFrame = Q(
+    (s, d) => {
+      val src = BacktestQueries.simulatedTrades(s, d)
+      val path = s"${sys.props("java.io.tmpdir")}/graft-backtest-trades-csv-${Integer.toHexString(d.hashCode)}"
+      graft.sources.CsvTables.write(src, path)
+      val t = graft.sources.CsvTables.read(s, path, src.schema)
+      def side(marker: String, dateCol: String) =
+        t.select(col("symbol_id"), col("trade_strategy"), col("entry_date"),
+          lit(marker).as("marker"), col(dateCol).as("marker_date"), col("pnl"))
+      val markers = side("entry", "entry_date").unionByName(side("exit", "exit_date"))
+      val bars = Bars.daily(Tables.events(s, d))
+        .select(col("symbol_id"), col("date").as("marker_date"), col("close"))
+      broadcast(markers).join(bars, Seq("symbol_id", "marker_date"))
+        .select(col("symbol_id"), col("trade_strategy"), col("entry_date"),
+          col("marker"), col("marker_date"), col("close").as("marker_price"),
+          when(col("pnl") > 0, lit("green")).otherwise(lit("red")).as("color"),
+          col("pnl"))
+        .orderBy("symbol_id", "trade_strategy", "entry_date", "marker")
+    },
+    s"""${BacktestQueries.simCte},
+       |mk AS (
+       |  SELECT trade_strategy, symbol_id, entry_date, 'entry' AS marker,
+       |         entry_date AS marker_date, pnl FROM trades_all
+       |  UNION ALL
+       |  SELECT trade_strategy, symbol_id, entry_date, 'exit',
+       |         exit_date, pnl FROM trades_all
+       |)
+       |SELECT m.symbol_id, m.marker_date, m.trade_strategy, m.entry_date,
+       |       m.marker, b2.close AS marker_price,
+       |       CASE WHEN m.pnl > 0 THEN 'green' ELSE 'red' END AS color,
+       |       m.pnl
+       |FROM mk m JOIN b b2 ON b2.symbol_id = m.symbol_id AND b2.date = m.marker_date
+       |ORDER BY m.symbol_id, m.trade_strategy, m.entry_date, m.marker""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "candlestick_prep" -> candlestickPrep,
-    "signal_viz_frame" -> signalVizFrame)
+    "signal_viz_frame" -> signalVizFrame,
+    "trade_overlay_frame" -> tradeOverlayFrame)
 }
