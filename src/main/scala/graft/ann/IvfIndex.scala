@@ -154,7 +154,9 @@ object IvfIndex {
     * half the cells because the synthetic testdata is isotropic gaussian —
     * IVF's worst case (no cluster structure, neighbours scatter uniformly);
     * real embedding corpora cluster, where nProbe ≪ nCells recovers the
-    * same recall at a fraction of the scan. */
+    * same recall at a fraction of the scan — demonstrated by
+    * IvfClusteredRecallSpec (recall@10 ≥ 0.9 at nProbe 4 of 32 on a seeded
+    * gaussian mixture). */
   def approxTopK(vecs: DataFrame, queries: DataFrame, k: Int,
                  nCells: Int = 16, nProbe: Int = 8): DataFrame = {
     val (assigned, cents) = assign(vecs, nCells)

@@ -295,39 +295,64 @@ object LlmQueries {
        |ORDER BY d.doc_id""".stripMargin)
 
   // ---------------------------------------------------------------- multimodal
+  /** Payload layout CTE shared by both multimodal oracles: every synthetic
+    * P6 byte is a pure function of (doc_id, n_chars) — see
+    * [[graft.multimodal.Binary.ppmPayload]] — so DuckDB recomputes the
+    * header string, its length, and the channel constants without ever
+    * materializing the binary. */
+  private val ppmCte: String =
+    """pm AS (
+      |  SELECT doc_id,
+      |         CAST(n_chars % 64 + 1 AS INTEGER) AS w,
+      |         CAST(n_chars % 48 + 1 AS INTEGER) AS h,
+      |         'P6' || chr(10) || CAST(n_chars % 64 + 1 AS VARCHAR) || ' ' ||
+      |           CAST(n_chars % 48 + 1 AS VARCHAR) || chr(10) || '255' || chr(10) AS hdr
+      |  FROM documents
+      |),
+      |pp AS (
+      |  SELECT doc_id, w, h, hdr, octet_length(encode(hdr)) AS hlen,
+      |         octet_length(encode(hdr)) + w * h * 3 AS blen
+      |  FROM pm
+      |)""".stripMargin
+
+  /** Decoded-feature extraction through the real P6 codec: parsed width /
+    * height / maxval plus per-channel pixel means. */
   private val mmFeatures = Q(
     (s, d) => Binary.features(s, d).toDF()
-      .select("doc_id", "media_type", "byte_len", "decoded_width", "decoded_height", "frame_count")
+      .select("doc_id", "media_type", "byte_len", "decoded_width", "decoded_height",
+        "maxval", "r_mean", "g_mean", "b_mean", "frame_count")
       .orderBy("doc_id"),
-    """SELECT doc_id,
-      |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
-      |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
-      |       ELSE 'video/mp4' END AS media_type,
-      |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
-      |  CAST(n_chars % 64 + 1 AS INTEGER) AS decoded_width,
-      |  CAST(n_chars % 48 + 1 AS INTEGER) AS decoded_height,
-      |  CAST(octet_length(encode(text)) // 16 AS INTEGER) AS frame_count
-      |FROM documents ORDER BY doc_id""".stripMargin)
+    s"""WITH $ppmCte
+       |SELECT doc_id, 'image/ppm' AS media_type,
+       |  CAST(blen AS INTEGER) AS byte_len,
+       |  w AS decoded_width, h AS decoded_height,
+       |  255 AS maxval,
+       |  CAST((doc_id * 31) % 256 AS DOUBLE) AS r_mean,
+       |  CAST((doc_id * 31 + 7) % 256 AS DOUBLE) AS g_mean,
+       |  CAST((doc_id * 31 + 14) % 256 AS DOUBLE) AS b_mean,
+       |  CAST(blen // 16 AS INTEGER) AS frame_count
+       |FROM pp ORDER BY doc_id""".stripMargin)
 
   /** Frame-sampling plumbing over the synthesized payload column; the
-    * oracle mirrors the byte chunking in SQL (testdata text is pure ASCII,
-    * verified, so char offsets equal byte offsets). */
+    * oracle mirrors the byte chunking in SQL — header bytes come from the
+    * reconstructed header string, pixel bytes from the channel formula. */
   private val mmFrames = Q(
     (s, d) => Binary.frameSample(Binary.records(s, d)).toDF()
       .orderBy("doc_id", "frame_idx"),
-    """WITH f AS (
-      |  SELECT doc_id, text, octet_length(encode(text)) AS blen FROM documents
-      |),
-      |idx AS (
-      |  SELECT doc_id, text, blen,
-      |         UNNEST(range(0, CAST(ceil(blen / 16.0) AS BIGINT))) AS fi
-      |  FROM f
-      |)
-      |SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
-      |       CAST(LEAST(16, blen - fi * 16) AS INTEGER) AS frame_len,
-      |       ascii(substr(text, CAST(fi * 16 + 1 AS INTEGER), 1)) AS first_byte
-      |FROM idx WHERE fi % 4 = 0
-      |ORDER BY doc_id, frame_idx""".stripMargin)
+    s"""WITH $ppmCte,
+       |idx AS (
+       |  SELECT doc_id, hdr, hlen, blen,
+       |         UNNEST(range(0, CAST(ceil(blen / 16.0) AS BIGINT))) AS fi
+       |  FROM pp
+       |)
+       |SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+       |       CAST(LEAST(16, blen - fi * 16) AS INTEGER) AS frame_len,
+       |       CASE WHEN fi * 16 < hlen
+       |            THEN ascii(substr(hdr, CAST(fi * 16 + 1 AS INTEGER), 1))
+       |            ELSE CAST((doc_id * 31 + 7 * ((fi * 16 - hlen) % 3)) % 256 AS INTEGER)
+       |       END AS first_byte
+       |FROM idx WHERE fi % 4 = 0
+       |ORDER BY doc_id, frame_idx""".stripMargin)
 
   val all: Map[String, Q] = Map(
     "dedup_exact" -> dedupExact,

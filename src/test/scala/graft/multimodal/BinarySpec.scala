@@ -2,11 +2,41 @@ package graft.multimodal
 
 import graft.SparkSpec
 
-/** Multimodal plumbing: typed records survive the partition-batched decode
-  * stub and the fake features are deterministic. */
+/** Multimodal plumbing + the real P6 codec: the parser handles arbitrary
+  * whitespace and comment headers, computes channel means from actual pixel
+  * bytes, and the partition-batched decode is deterministic. */
 class BinarySpec extends SparkSpec {
 
-  test("decode stub is deterministic and batch-size independent") {
+  test("decodePpm parses a handcrafted image: header, comments, channel means") {
+    // 2x2 image, comment line in the header, known pixel bytes
+    val header = "P6\n# synthetic fixture\n2 2\n255\n".getBytes("US-ASCII")
+    val pixels = Array[Int](
+      10, 20, 30,   40, 60, 80,      // row 0: two pixels
+      200, 220, 250, 250, 100, 0     // row 1
+    ).map(_.toByte)
+    val ppm = Binary.decodePpm(header ++ pixels)
+    assert(ppm.width == 2 && ppm.height == 2 && ppm.maxval == 255)
+    assert(ppm.rMean == (10 + 40 + 200 + 250) / 4.0)
+    assert(ppm.gMean == (20 + 60 + 220 + 100) / 4.0)
+    assert(ppm.bMean == (30 + 80 + 250 + 0) / 4.0)
+  }
+
+  test("decodePpm rejects malformed payloads instead of guessing") {
+    intercept[IllegalArgumentException](Binary.decodePpm("abc".getBytes))
+    // truncated pixel data: header promises 2x2 but carries one pixel
+    val bad = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)
+    intercept[IllegalArgumentException](Binary.decodePpm(bad))
+  }
+
+  test("synthesized payloads are valid P6 and decode to their formula fields") {
+    val p = Binary.ppmPayload(docId = 5L, nChars = 100L)
+    val ppm = Binary.decodePpm(p)
+    assert(ppm.width == 100 % 64 + 1 && ppm.height == 100 % 48 + 1)
+    assert(ppm.rMean == (5 * 31) % 256 && ppm.gMean == (5 * 31 + 7) % 256 &&
+      ppm.bMean == (5 * 31 + 14) % 256)
+  }
+
+  test("decode is deterministic and batch-size independent") {
     val a = Binary.features(spark, sf("sf0.001"), batchSize = 7).collect().sortBy(_.doc_id)
     val b = Binary.features(spark, sf("sf0.001"), batchSize = 64).collect().sortBy(_.doc_id)
     assert(a.toSeq == b.toSeq)
@@ -26,10 +56,12 @@ class BinarySpec extends SparkSpec {
   test("features derive from payload bytes") {
     val f = Binary.features(spark, sf("sf0.001")).collect()
     assert(f.forall(x => x.byte_len > 0 && x.frame_count == x.byte_len / 16))
-    assert(f.map(_.media_type).toSet == Set("image/png", "audio/wav", "video/mp4"))
-    // checksum changes when payload changes
-    val r1 = Binary.decodeBatch(Seq(Binary.MMRecord(1, "abc".getBytes, "image/png", 1, 1))).head
-    val r2 = Binary.decodeBatch(Seq(Binary.MMRecord(1, "abd".getBytes, "image/png", 1, 1))).head
+    assert(f.forall(x => x.media_type == "image/ppm" && x.maxval == 255))
+    // checksum changes when any payload byte changes
+    val p = Binary.ppmPayload(1L, 50L)
+    val p2 = p.clone(); p2(p2.length - 1) = (p2(p2.length - 1) ^ 1).toByte
+    val r1 = Binary.decodeBatch(Seq(Binary.MMRecord(1, p, "image/ppm", 1, 1))).head
+    val r2 = Binary.decodeBatch(Seq(Binary.MMRecord(1, p2, "image/ppm", 1, 1))).head
     assert(r1.checksum != r2.checksum)
   }
 }
