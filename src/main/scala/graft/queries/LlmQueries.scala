@@ -294,6 +294,45 @@ object LlmQueries {
        |  AND p.predicted_lang = d.lang
        |ORDER BY d.doc_id""".stripMargin)
 
+  /** Gopher-style repetition filter (duplicate / top n-gram fractions for
+    * n ∈ {2,3}); fractions are integer ratios rounded via the shared
+    * tie-exact helper, flags compare exactly. */
+  private val textRepetition = Q(
+    (s, d) => Corpus.repetition(s, d).orderBy("doc_id"),
+    {
+      def gramCtes(n: Int): String =
+        s"""g$n AS (
+           |  SELECT doc_id,
+           |         unnest(list_transform(range(1, len(tk) - ${n - 2}),
+           |                               i -> array_to_string(tk[i:i+${n - 1}], ' '))) AS gram
+           |  FROM toks WHERE len(tk) >= $n
+           |),
+           |c$n AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g$n GROUP BY doc_id, gram),
+           |s$n AS (
+           |  SELECT doc_id, SUM(cnt) AS total_$n, MAX(cnt) AS max_$n,
+           |         SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_$n
+           |  FROM c$n GROUP BY doc_id
+           |)""".stripMargin
+      def frac(num: String, den: String, as: String): String =
+        OracleSql.rd(s"CAST($num AS DOUBLE) / CAST($den AS DOUBLE)", as)
+      s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
+         |${gramCtes(2)},
+         |${gramCtes(3)}
+         |SELECT t.doc_id, CAST(len(t.tk) AS INTEGER) AS n_tokens,
+         |  ${frac("dup_2", "total_2", "dup_2gram_frac")},
+         |  ${frac("max_2", "total_2", "top_2gram_frac")},
+         |  ${frac("dup_3", "total_3", "dup_3gram_frac")},
+         |  ${frac("max_3", "total_3", "top_3gram_frac")},
+         |  COALESCE(${OracleSql.rnd("CAST(max_2 AS DOUBLE) / CAST(total_2 AS DOUBLE)", 4)} > 0.20, FALSE)
+         |    OR COALESCE(${OracleSql.rnd("CAST(max_3 AS DOUBLE) / CAST(total_3 AS DOUBLE)", 4)} > 0.18, FALSE)
+         |    OR COALESCE(${OracleSql.rnd("CAST(dup_3 AS DOUBLE) / CAST(total_3 AS DOUBLE)", 4)} > 0.30, FALSE)
+         |    AS is_repetitive
+         |FROM toks t
+         |LEFT JOIN s2 ON s2.doc_id = t.doc_id
+         |LEFT JOIN s3 ON s3.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin
+    })
+
   // ---------------------------------------------------------------- multimodal
   /** Payload layout CTE shared by both multimodal oracles: every synthetic
     * P6 byte is a pure function of (doc_id, n_chars) — see
@@ -367,6 +406,7 @@ object LlmQueries {
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
     "text_tokens" -> textTokens,
+    "text_repetition" -> textRepetition,
     "text_fingerprint" -> textFingerprint,
     "vocab_top_tokens" -> vocabTopTokens,
     "corpus_split" -> corpusSplit,

@@ -96,6 +96,50 @@ object Corpus {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
 
+  /** Intra-document repetition signals (the Gopher quality-filter family,
+    * Rae et al. 2021 §A1.1: duplicate/top n-gram fractions): for n ∈ {2,3},
+    * the fraction of the doc's n-grams that occur in repeated n-grams and
+    * the fraction claimed by the single most frequent n-gram. A highly
+    * repetitive doc (boilerplate, template spam, degenerate generations)
+    * scores high and is flagged.
+    *
+    * Scale shape: explode → count per (doc, gram) → per-doc rollup. Both
+    * aggregations partial map-side; the shuffle key (doc_id, gram) is the
+    * finest granularity available, so even a pathological single giant doc
+    * spreads across tasks rather than funneling into one group. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .withColumn("n_tokens", size(col("tk")))
+
+    def gramStats(n: Int): DataFrame =
+      base
+        .where(col("n_tokens") >= n)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, size(tk) - $n), i -> array_join(slice(tk, i + 1, $n), ' '))")).as("gram"))
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg(
+          sum(col("cnt")).as(s"total_$n"),
+          max(col("cnt")).as(s"max_$n"),
+          sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as(s"dup_$n"))
+
+    def frac(num: Column, den: Column): Column =
+      graft.sqlx.Exact.r4(num.cast("double") / den.cast("double"))
+
+    base.select("doc_id", "n_tokens")
+      .join(gramStats(2), Seq("doc_id"), "left")
+      .join(gramStats(3), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        frac(col("dup_2"), col("total_2")).as("dup_2gram_frac"),
+        frac(col("max_2"), col("total_2")).as("top_2gram_frac"),
+        frac(col("dup_3"), col("total_3")).as("dup_3gram_frac"),
+        frac(col("max_3"), col("total_3")).as("top_3gram_frac"))
+      .withColumn("is_repetitive",
+        coalesce(col("top_2gram_frac") > 0.20, lit(false)) ||
+          coalesce(col("top_3gram_frac") > 0.18, lit(false)) ||
+          coalesce(col("dup_3gram_frac") > 0.30, lit(false)))
+  }
+
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("fingerprint", graft.dedup.Exact.normalizedExact(col("text")))
