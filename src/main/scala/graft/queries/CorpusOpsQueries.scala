@@ -177,9 +177,44 @@ object CorpusOpsQueries {
        |WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) >= ${LlmQueries.JaccardThreshold}
        |ORDER BY doc_a, doc_b""".stripMargin)
 
+  /** Domain-weighted epoch sampling (graft.operators.Mixing): the source
+    * index mod 4 assigns each domain a rate of 2.5 / 1.0 / 0.5 / 0.25
+    * epochs; inclusion of the fractional copy is a deterministic
+    * content-hash bucket so both engines (and any re-run) pick the exact
+    * same rows. One scan + explode, no shuffle. */
+  private val corpusSampleMix = Q(
+    (s, d) => {
+      val grp = regexp_extract(col("source"), "([0-9]+)", 1).cast("int") % 4
+      val rate = when(grp === 0, 250).when(grp === 1, 100)
+        .when(grp === 2, 50).otherwise(25)
+      graft.operators.Mixing.sampleMix(
+          Tables.documents(s, d).select("doc_id", "source", "text"), rate, col("text"))
+        .select(col("doc_id"), col("source"), col("rate_pct"),
+          col("mix_bucket"), col("copy_idx"))
+        .orderBy("doc_id", "copy_idx")
+    },
+    """WITH m AS (
+      |  SELECT doc_id, source,
+      |    CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) % 4 AS g,
+      |    (ascii(substr(md5(text), 1, 1)) * 961 + ascii(substr(md5(text), 2, 1)) * 31
+      |       + ascii(substr(md5(text), 3, 1))) % 100 AS mix_bucket
+      |  FROM documents
+      |),
+      |r AS (
+      |  SELECT doc_id, source, mix_bucket,
+      |    CASE g WHEN 0 THEN 250 WHEN 1 THEN 100 WHEN 2 THEN 50 ELSE 25 END AS rate_pct
+      |  FROM m
+      |),
+      |e AS (SELECT *, UNNEST(generate_series(0, rate_pct // 100)) AS copy_idx FROM r)
+      |SELECT doc_id, source, CAST(rate_pct AS INTEGER) AS rate_pct,
+      |  CAST(mix_bucket AS INTEGER) AS mix_bucket, CAST(copy_idx AS INTEGER) AS copy_idx
+      |FROM e WHERE copy_idx < rate_pct // 100 OR mix_bucket < rate_pct % 100
+      |ORDER BY doc_id, copy_idx""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "dedup_clusters" -> dedupClusters,
     "corpus_pack" -> corpusPack,
     "decontaminate" -> decontaminate,
-    "dedup_incremental" -> dedupIncremental)
+    "dedup_incremental" -> dedupIncremental,
+    "corpus_sample_mix" -> corpusSampleMix)
 }

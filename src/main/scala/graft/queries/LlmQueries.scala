@@ -333,6 +333,34 @@ object LlmQueries {
          |ORDER BY t.doc_id""".stripMargin
     })
 
+  /** Cross-document duplicated-span analysis (RefinedWeb-style exact
+    * substring dedup stats): per doc, how many of its w-token windows occur
+    * in at least one other document. */
+  private val DupSpanW = 8
+  private val textDupSpans = Q(
+    (s, d) => Corpus.dupSpans(s, d, DupSpanW).orderBy("doc_id"),
+    s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, len(tk) - ${DupSpanW - 2}),
+       |                               i -> array_to_string(tk[i:i+${DupSpanW - 1}], ' '))) AS gram
+       |  FROM toks WHERE len(tk) >= $DupSpanW
+       |),
+       |wc AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram),
+       |df AS (SELECT gram, COUNT(*) AS df FROM wc GROUP BY gram),
+       |pd AS (
+       |  SELECT doc_id, SUM(cnt) AS n_windows,
+       |         SUM(CASE WHEN df >= 2 THEN cnt ELSE 0 END) AS n_shared
+       |  FROM wc JOIN df USING (gram) GROUP BY doc_id
+       |)
+       |SELECT t.doc_id, CAST(len(t.tk) AS INTEGER) AS n_tokens,
+       |  CAST(COALESCE(n_windows, 0) AS BIGINT) AS n_windows,
+       |  CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared_windows,
+       |  ${OracleSql.rd("CAST(COALESCE(n_shared, 0) AS DOUBLE) / CAST(GREATEST(COALESCE(n_windows, 0), 1) AS DOUBLE)", "shared_window_frac")},
+       |  COALESCE(n_shared, 0) > 0 AS has_cross_dup
+       |FROM toks t LEFT JOIN pd ON pd.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin)
+
   // ---------------------------------------------------------------- multimodal
   /** Payload layout CTE shared by both multimodal oracles: every synthetic
     * P6 byte is a pure function of (doc_id, n_chars) — see
@@ -407,6 +435,7 @@ object LlmQueries {
     "text_quality" -> textQuality,
     "text_tokens" -> textTokens,
     "text_repetition" -> textRepetition,
+    "text_dup_spans" -> textDupSpans,
     "text_fingerprint" -> textFingerprint,
     "vocab_top_tokens" -> vocabTopTokens,
     "corpus_split" -> corpusSplit,

@@ -129,9 +129,37 @@ object StreamingBatchQueries {
       |GROUP BY 1, 2, 3
       |ORDER BY window_start_us, segment""".stripMargin)
 
+  /** Batch mirror of the stream-stream interval join
+    * (graft.streaming.StreamJoin.attribution): purchases attributed to the
+    * same user's clicks at most 30 minutes earlier. The SAME function runs
+    * here on the static table (the watermark node is eliminated in batch) —
+    * one code path, two execution modes. Batch plan: sort-merge equi-join
+    * on user_id with the time bound as residual filter. */
+  private val streamJoinAttribution = Q(
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      graft.streaming.StreamJoin.attribution(
+          ev.where(col("event_type") === "click"),
+          ev.where(col("event_type") === "purchase"))
+        .select(col("trigger_id"), col("conversion_id"), col("user_id"),
+          unix_micros(col("trigger_ts")).as("trigger_ts_us"),
+          unix_micros(col("conversion_ts")).as("conversion_ts_us"),
+          col("trigger_value"), col("conversion_value"))
+        .orderBy("trigger_id", "conversion_id")
+    },
+    """SELECT t.event_id AS trigger_id, c.event_id AS conversion_id, t.user_id,
+      |       epoch_us(t.ts) AS trigger_ts_us, epoch_us(c.ts) AS conversion_ts_us,
+      |       t.value AS trigger_value, c.value AS conversion_value
+      |FROM events t
+      |JOIN events c ON t.user_id = c.user_id
+      |  AND c.ts >= t.ts AND c.ts < t.ts + INTERVAL 30 MINUTE
+      |WHERE t.event_type = 'click' AND c.event_type = 'purchase'
+      |ORDER BY trigger_id, conversion_id""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "stream_window_agg" -> streamWindowAgg,
     "sessionization" -> sessionization,
     "stream_dedup" -> streamDedup,
-    "stream_enrich" -> streamEnrich)
+    "stream_enrich" -> streamEnrich,
+    "stream_join_attribution" -> streamJoinAttribution)
 }

@@ -140,6 +140,49 @@ object Corpus {
           coalesce(col("dup_3gram_frac") > 0.30, lit(false)))
   }
 
+  /** Cross-document duplicated-span analysis (the exact-substring half of
+    * RefinedWeb-style dedup, Penedo et al. 2023 §4.2: duplicated passages
+    * matter even when whole documents differ): every w-token window of every
+    * doc is checked for occurrence in ANY other doc, and each doc reports
+    * how much of it is made of such shared spans. High fractions mean
+    * boilerplate or partial copies that document-level dedup misses.
+    *
+    * Scale shape: explode windows → per-(doc, gram) counts (one row per
+    * distinct window per doc, map-side partial) → gram document-frequency →
+    * join back on gram. Both shuffles key on the gram — the finest grain —
+    * and the df join is an equi-join that reuses the gram partitioning. At
+    * 100 TB the gram would be a 64-bit rolling hash instead of the string;
+    * the string keeps the oracle byte-comparable here. */
+  def dupSpans(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .withColumn("n_tokens", size(col("tk")))
+
+    val winCounts = base
+      .where(col("n_tokens") >= w)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(tk) - $w), i -> array_join(slice(tk, i + 1, $w), ' '))")).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+
+    val docFreq = winCounts.groupBy("gram").agg(count(lit(1)).as("df"))
+
+    val perDoc = winCounts.join(docFreq, "gram")
+      .groupBy("doc_id").agg(
+        sum(col("cnt")).as("n_windows"),
+        sum(when(col("df") >= 2, col("cnt")).otherwise(0L)).as("n_shared_windows"))
+
+    base.select("doc_id", "n_tokens")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_shared_windows"), lit(0L)).as("n_shared_windows"),
+        graft.sqlx.Exact.r4(
+          coalesce(col("n_shared_windows"), lit(0L)).cast("double") /
+            greatest(coalesce(col("n_windows"), lit(0L)), lit(1L)).cast("double"))
+          .as("shared_window_frac"),
+        (coalesce(col("n_shared_windows"), lit(0L)) > 0).as("has_cross_dup"))
+  }
+
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("fingerprint", graft.dedup.Exact.normalizedExact(col("text")))

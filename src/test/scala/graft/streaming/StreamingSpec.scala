@@ -93,6 +93,60 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch divergence: onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
   }
 
+  test("stream-stream interval join attributes purchases to in-horizon clicks only") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val in = MemoryStream[Ev]
+    val src = in.toDF()
+    val q = StreamJoin.attribution(
+        src.where(col("event_type") === "click"),
+        src.where(col("event_type") === "purchase"),
+        horizonMinutes = 30, watermarkDelay = "30 minutes")
+      .writeStream.format("memory").queryName("attr").outputMode(OutputMode.Append()).start()
+    in.addData(
+      Ev(1, ts(0), 1, "click", 1.0),
+      Ev(2, ts(10), 1, "purchase", 5.0), // within 30 min of click 1 → match
+      Ev(3, ts(45), 1, "purchase", 7.0), // 45 min after click 1 → outside its horizon
+      Ev(4, ts(5), 2, "purchase", 9.0), // user 2 never clicked → no match
+      Ev(5, ts(40), 1, "click", 2.0)) // 5 min before purchase 3 → match (5,3)
+    q.processAllAvailable()
+    in.addData(Ev(9, ts(500), 3, "click", 0.0)) // advance both watermarks
+    q.processAllAvailable()
+    val pairs = spark.table("attr").collect()
+      .map(r => (r.getAs[Long]("trigger_id"), r.getAs[Long]("conversion_id"))).toSet
+    q.stop()
+    assert(pairs == Set((1L, 2L), (5L, 3L)), s"got $pairs")
+  }
+
+  test("stream-stream join equals the batch mirror on real testdata") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = graft.Tables.events(spark, sf("sf0.001"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .collect().map(r =>
+        Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4))).toSeq
+    val in = MemoryStream[Ev]
+    val src = in.toDF()
+    val q = StreamJoin.attribution(
+        src.where(col("event_type") === "click"),
+        src.where(col("event_type") === "purchase"))
+      .writeStream.format("memory").queryName("attreq").outputMode(OutputMode.Append()).start()
+    in.addData(rows)
+    q.processAllAvailable()
+    val streamed = spark.table("attreq")
+      .select("trigger_id", "conversion_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    val ev = graft.Tables.events(spark, sf("sf0.001"))
+    val batch = StreamJoin.attribution(
+        ev.where(col("event_type") === "click"),
+        ev.where(col("event_type") === "purchase"))
+      .select("trigger_id", "conversion_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"stream/batch divergence: onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
+  }
+
   test("salted two-phase aggregation is bit-identical to the direct aggregation") {
     import org.apache.spark.sql.functions._
     val ev = graft.Tables.events(spark, sf("sf0.001"))
