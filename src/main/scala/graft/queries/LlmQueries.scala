@@ -361,6 +361,39 @@ object LlmQueries {
        |FROM toks t LEFT JOIN pd ON pd.doc_id = t.doc_id
        |ORDER BY t.doc_id""".stripMargin)
 
+  /** tf-idf keyword extraction: top-5 tokens per doc by cnt·ln(N/df).
+    * ln mirrors bit-exactly across engines (the feat_targets log-return
+    * precedent); ranking ties break on the token string. */
+  private val textKeywords = Q(
+    (s, d) => Corpus.keywords(s, d, k = 5).orderBy("doc_id", "rank"),
+    s"""WITH tf AS (
+       |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents)
+       |  GROUP BY doc_id, token
+       |),
+       |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+       |sc AS (
+       |  SELECT doc_id, token, tf, df,
+       |         CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf
+       |  FROM tf JOIN df USING (token) CROSS JOIN n
+       |),
+       |r AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INTEGER) AS rank
+       |  FROM sc
+       |)
+       |SELECT doc_id, rank, token, tf, df, ${OracleSql.rd("tfidf", "tfidf")}
+       |FROM r WHERE rank <= 5
+       |ORDER BY doc_id, rank""".stripMargin)
+
+  /** Distributed BPE vocabulary induction (first 12 merges from the corpus
+    * word-frequency table). Rows-only: k data-dependent argmax rounds have
+    * no declarative SQL form; BpeSpec differential-tests the merge sequence
+    * against an independent single-node reference implementation. */
+  private val vocabBpeMerges = Q(
+    (s, d) => graft.text.Bpe.merges(Tables.documents(s, d), "text", nMerges = 12)
+      .orderBy("step"), None)
+
   // ---------------------------------------------------------------- multimodal
   /** Payload layout CTE shared by both multimodal oracles: every synthetic
     * P6 byte is a pure function of (doc_id, n_chars) — see
@@ -436,8 +469,10 @@ object LlmQueries {
     "text_tokens" -> textTokens,
     "text_repetition" -> textRepetition,
     "text_dup_spans" -> textDupSpans,
+    "text_keywords" -> textKeywords,
     "text_fingerprint" -> textFingerprint,
     "vocab_top_tokens" -> vocabTopTokens,
+    "vocab_bpe_merges" -> vocabBpeMerges,
     "corpus_split" -> corpusSplit,
     "corpus_clean" -> corpusClean,
     "mm_features" -> mmFeatures,

@@ -1,0 +1,84 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE vocabulary induction (Sennrich et al. 2016): learn the
+  * first `nMerges` byte-pair merges from the corpus word-frequency table.
+  *
+  * Spark-first shape: the corpus collapses to a (word, freq) table in one
+  * groupBy — at 100 TB that table is millions of rows, not the corpus size,
+  * and it is the ONLY thing the iteration touches. Each round is one
+  * distributed pass: explode adjacent symbol pairs weighted by word
+  * frequency, aggregate pair counts, take the argmax (a 1-row collect —
+  * metadata, like the packing offsets), and apply the merge to every word's
+  * symbol array with a codegen-free but distributed `aggregate` fold. The
+  * merge decision is deterministic: count DESC, then pair lexicographic.
+  *
+  * The merge table is the training artifact (what a tokenizer ships);
+  * applying it to new text is the already-covered tokenization path.
+  * No SQL oracle — k data-dependent argmax rounds aren't expressible
+  * declaratively — so BpeSpec differential-tests the merge sequence against
+  * an independent single-node reference implementation.
+  */
+object Bpe {
+
+  /** (step, left, right, merged, pair_count) for the first `nMerges`
+    * merges learned from `docs`(textCol). */
+  def merges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // word-frequency table: the working set for every round
+    var vocab = docs
+      .select(explode(split(trim(col(textCol)), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      // initial symbols: one per character
+      .select(col("freq"),
+        expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))").as("syms"))
+      .persist()
+    vocab.count()
+
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    var step = 0
+    var done = false
+    while (step < nMerges && !done) {
+      val top = vocab
+        // single-symbol words have no adjacent pairs (and sequence(0,-1)
+        // would walk backwards into a negative index under ANSI)
+        .where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] as l, syms[i+1] as r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((step, l, r, l + r, cnt))
+        def q(s: String): String = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        // left-to-right single-pass merge of (l, r) inside every word:
+        // fold symbols, joining a pending `l` with a following `r`
+        val merged = vocab.select(col("freq"), expr(
+          s"""concat(
+             |  aggregate(syms, array(CAST(NULL AS STRING)),
+             |    (acc, s) -> CASE
+             |      WHEN element_at(acc, -1) = ${q(l)} AND s = ${q(r)}
+             |        THEN concat(slice(acc, 1, size(acc) - 1), array(${q(l + r)}))
+             |      ELSE concat(acc, array(s)) END),
+             |  array())""".stripMargin.replaceAll("\n", " ")).as("syms0"))
+          .select(col("freq"), expr("filter(syms0, s -> s IS NOT NULL)").as("syms"))
+          .persist()
+        merged.count()
+        vocab.unpersist()
+        vocab = merged
+        step += 1
+      }
+    }
+    vocab.unpersist()
+    out.result().toDF("step", "left", "right", "merged", "pair_count")
+  }
+}

@@ -183,6 +183,31 @@ object Corpus {
         (coalesce(col("n_shared_windows"), lit(0L)) > 0).as("has_cross_dup"))
   }
 
+  /** Per-document keyword extraction by tf-idf: top-k tokens per doc ranked
+    * by cnt·ln(N/df) with a deterministic token tie-break. The corpus-size
+    * scalar N rides a broadcast 1-row cross join (never a collect); tf and
+    * df come from the same (doc, token) count frame, so one explode feeds
+    * both aggregations. The ranking window partitions by doc_id — bounded
+    * by tokens-per-doc, never corpus-wide. */
+  def keywords(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf").cast("double") * log(col("n_docs").cast("double") / col("df").cast("double")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"),
+        graft.sqlx.Exact.r4(col("tfidf")).as("tfidf"))
+  }
+
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("fingerprint", graft.dedup.Exact.normalizedExact(col("text")))
