@@ -18,7 +18,10 @@ import org.apache.spark.sql.types._
   * N-aggregate Expand blow-up Spark plans for multi-column COUNT(DISTINCT)
   * (measured 6× slower than this shape at sf0.1). Exact mode therefore
   * costs two columnar scans (stats + melt); `exact = false` keeps one scan
-  * with approx_count_distinct (HLL++ rsd 0.02, spec-bounded within 5%).
+  * with approx_count_distinct (HLL++ rsd 0.03 — the interpreted sketch
+  * update cost scales with the register count, and rsd 0.02's 4× registers
+  * measured 3× slower for no useful gain; ProfileSpec bounds the observed
+  * deviation vs exact within 5% on every profiled table and scale factor).
   *
   * Min/max keep native types per column class (numeric → double,
   * string → string, date/timestamp → date) rather than stringifying
@@ -53,7 +56,7 @@ object Profile {
       val c = col(f.name)
       val base = Seq(count(c).as(s"${f.name}__nonnull")) ++
         (if (exact) Nil
-         else Seq(approx_count_distinct(c, rsd = 0.02).as(s"${f.name}__distinct")))
+         else Seq(approx_count_distinct(c, rsd = 0.03).as(s"${f.name}__distinct")))
       val typed = f.dataType match {
         case _: NumericType => Seq(
           min(c).cast("double").as(s"${f.name}__min_num"),

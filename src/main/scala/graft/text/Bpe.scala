@@ -30,7 +30,7 @@ object Bpe {
     import spark.implicits._
 
     // word-frequency table: the working set for every round
-    var vocab = docs
+    val base = docs
       .select(explode(split(trim(col(textCol)), " ")).as("word"))
       .where(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -38,7 +38,19 @@ object Bpe {
       .select(col("freq"),
         expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))").as("syms"))
       .persist()
-    vocab.count()
+    base.count()
+
+    // The merges are sequentially dependent (each argmax needs the previous
+    // round's table), but the merge APPLICATION need not be materialized per
+    // round: chain it lazily onto the working frame and only persist+count
+    // every `ckptEvery` rounds to bound the nested-fold expression depth.
+    // Cuts the per-round job count from 2 to ~1.3 — at 100 TB each job is a
+    // full pass over the vocab table, so fewer passes is the win, not a
+    // local-mode scheduling trick.
+    val ckptEvery = 3
+    var persisted = base  // last materialized ancestor (owns a cache slot)
+    var vocab = base      // current frame: persisted + <chainDepth> lazy merges
+    var chainDepth = 0
 
     val out = Seq.newBuilder[(Int, String, String, String, Long)]
     var step = 0
@@ -63,22 +75,27 @@ object Bpe {
         // left-to-right single-pass merge of (l, r) inside every word:
         // fold symbols, joining a pending `l` with a following `r`
         val merged = vocab.select(col("freq"), expr(
-          s"""concat(
+          s"""filter(concat(
              |  aggregate(syms, array(CAST(NULL AS STRING)),
              |    (acc, s) -> CASE
              |      WHEN element_at(acc, -1) = ${q(l)} AND s = ${q(r)}
              |        THEN concat(slice(acc, 1, size(acc) - 1), array(${q(l + r)}))
              |      ELSE concat(acc, array(s)) END),
-             |  array())""".stripMargin.replaceAll("\n", " ")).as("syms0"))
-          .select(col("freq"), expr("filter(syms0, s -> s IS NOT NULL)").as("syms"))
-          .persist()
-        merged.count()
-        vocab.unpersist()
-        vocab = merged
+             |  array()), s -> s IS NOT NULL)""".stripMargin.replaceAll("\n", " ")).as("syms"))
+        chainDepth += 1
         step += 1
+        // last round's merge result is never read — skip its materialization
+        if (chainDepth >= ckptEvery && step < nMerges) {
+          val p = merged.persist()
+          p.count()
+          persisted.unpersist()
+          persisted = p
+          vocab = p
+          chainDepth = 0
+        } else vocab = merged
       }
     }
-    vocab.unpersist()
+    persisted.unpersist()
     out.result().toDF("step", "left", "right", "merged", "pair_count")
   }
 }

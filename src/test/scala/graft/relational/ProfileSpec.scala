@@ -9,21 +9,31 @@ import org.apache.spark.sql.functions._
 class ProfileSpec extends SparkSpec {
 
   test("approx distinct counts stay within 5% of exact; all other stats identical") {
-    val li = graft.Tables.lineitem(spark, sf("sf0.01"))
-    def keyed(exact: Boolean) =
-      Profile.table(li, "lineitem", exact)
-        .collect().map(r => r.getString(1) -> r).toMap
-    val ex = keyed(exact = true)
-    val ap = keyed(exact = false)
-    assert(ex.keySet == ap.keySet && ex.size == li.columns.length)
-    ex.foreach { case (name, e) =>
-      val a = ap(name)
-      val (de, da) = (e.getLong(6), a.getLong(6))
-      assert(math.abs(da - de) <= math.max(2L, (de * 0.05).toLong),
-        s"$name: approx distinct $da vs exact $de")
-      // every non-distinct stat must be bit-identical between modes
-      (0 until e.length).filterNot(_ == 6).foreach { i =>
-        assert(e.get(i) == a.get(i), s"$name field $i: ${e.get(i)} != ${a.get(i)}")
+    // both registered table shapes, and both the verify (sf0.01) and bench
+    // (sf0.1) scale factors — HLL++ is deterministic for fixed data, so a
+    // green bound here is a permanent property of the shipped rsd
+    val cases = Seq(
+      ("lineitem", sf("sf0.01"), (d: String) => graft.Tables.lineitem(spark, d)),
+      ("events", sf("sf0.01"), (d: String) => graft.Tables.events(spark, d)),
+      ("lineitem", sf("sf0.1"), (d: String) => graft.Tables.lineitem(spark, d)),
+      ("events", sf("sf0.1"), (d: String) => graft.Tables.events(spark, d)))
+    cases.foreach { case (tname, dir, load) =>
+      val df = load(dir)
+      def keyed(exact: Boolean) =
+        Profile.table(df, tname, exact)
+          .collect().map(r => r.getString(1) -> r).toMap
+      val ex = keyed(exact = true)
+      val ap = keyed(exact = false)
+      assert(ex.keySet == ap.keySet && ex.size == df.columns.length)
+      ex.foreach { case (name, e) =>
+        val a = ap(name)
+        val (de, da) = (e.getLong(6), a.getLong(6))
+        assert(math.abs(da - de) <= math.max(2L, (de * 0.05).toLong),
+          s"$tname@$dir $name: approx distinct $da vs exact $de")
+        // every non-distinct stat must be bit-identical between modes
+        (0 until e.length).filterNot(_ == 6).foreach { i =>
+          assert(e.get(i) == a.get(i), s"$tname@$dir $name field $i: ${e.get(i)} != ${a.get(i)}")
+        }
       }
     }
   }
