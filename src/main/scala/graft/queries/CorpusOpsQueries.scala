@@ -211,10 +211,23 @@ object CorpusOpsQueries {
       |FROM e WHERE copy_idx < rate_pct // 100 OR mix_bucket < rate_pct % 100
       |ORDER BY doc_id, copy_idx""".stripMargin)
 
+  /** Fuzzy (whole-document) decontamination: MinHash-banded candidates vs
+    * the full held-out set (val+test, doc_id % 20 >= 18 — training data is
+    * decontaminated against everything not trained on), exactly verified at
+    * the dedup Jaccard threshold. Probabilistic (LSH) ⇒ rows-only;
+    * planted-pair recall spec-asserted. */
+  private val decontaminateFuzzy = Q(
+    (s, d) => Decontaminate.fuzzy(
+        Tables.documents(s, d), col("doc_id") % 20 >= 18,
+        LlmQueries.JaccardThreshold,
+        precomputedShingles = Some(Jaccard.cachedShingles(s, d)))
+      .orderBy("doc_id", "benchmark_id"), None)
+
   val all: Map[String, Q] = Map(
     "dedup_clusters" -> dedupClusters,
     "corpus_pack" -> corpusPack,
     "decontaminate" -> decontaminate,
+    "decontaminate_fuzzy" -> decontaminateFuzzy,
     "dedup_incremental" -> dedupIncremental,
     "corpus_sample_mix" -> corpusSampleMix)
 }

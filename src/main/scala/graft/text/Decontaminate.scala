@@ -2,7 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.dedup.Jaccard
+import graft.dedup.{Jaccard, MinHashLSH}
 
 /** Benchmark decontamination — the training-data hygiene pass that flags
   * corpus documents overlapping an evaluation/holdout set: any training
@@ -47,5 +47,40 @@ object Decontaminate {
       .withColumn("contamination_ratio",
         col("n_contaminated").cast("double") / greatest(col("n_shingles"), lit(1L)).cast("double"))
       .withColumn("is_contaminated", col("contamination_ratio") >= threshold)
+  }
+
+  /** Fuzzy (whole-document) decontamination: corpus documents NEAR-duplicate
+    * to a holdout document, found via MinHash banding and exactly verified —
+    * the complement of [[overlap]], which scores n-gram dilution but can
+    * miss a lightly-edited full copy of one benchmark item inside a long
+    * document collection split. This is the "fuzzy dedup against eval sets"
+    * pass of LLM dataset pipelines (cf. the GPT-3 appendix's 13-gram fuzzy
+    * decontamination).
+    *
+    * Scale shape: corpus-side signatures are the already-shared MinHash
+    * band table (O(N·bands) rows); the holdout's band table is
+    * holdout-sized × bands — small by construction, broadcast — so
+    * candidate generation is a map-side broadcast join, never a shuffle of
+    * corpus signatures. Verification is candidate-restricted exact Jaccard
+    * ([[Jaccard.pairsForCandidates]]), O(candidates · shingles/doc).
+    *
+    * Returns one row per (corpus doc, benchmark doc) verified pair at
+    * jaccard ≥ `threshold`: doc_id, benchmark_id, inter, na, nb, jaccard.
+    * Probabilistic (LSH recall < 1 below the band S-curve midpoint) ⇒
+    * registered rows-only; planted-pair recall is spec-asserted. */
+  def fuzzy(docs: DataFrame, isHoldout: Column, threshold: Double,
+            precomputedShingles: Option[DataFrame] = None): DataFrame = {
+    val sh = precomputedShingles.getOrElse(Jaccard.shingles(docs))
+    val holdIds = docs.where(isHoldout).select("doc_id")
+    val bb = MinHashLSH.bandBuckets(sh)
+    val holdBb = bb.join(holdIds, "doc_id")
+      .select(col("doc_id").as("bench_id"), col("band"), col("bucket"))
+    val corpusBb = bb.join(holdIds, Seq("doc_id"), "left_anti")
+    val cand = corpusBb.join(broadcast(holdBb), Seq("band", "bucket"))
+      .select(col("doc_id").as("doc_a"), col("bench_id").as("doc_b"))
+      .distinct()
+    Jaccard.pairsForCandidates(sh, cand, threshold)
+      .withColumnRenamed("doc_a", "doc_id")
+      .withColumnRenamed("doc_b", "benchmark_id")
   }
 }

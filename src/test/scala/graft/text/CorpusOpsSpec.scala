@@ -93,4 +93,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(3L) == ((0L, 0.0, false)))
     assert(!got.contains(19L))                    // holdout rows excluded
   }
+
+  test("fuzzy decontamination finds planted near-copies of holdout docs only") {
+    val bench19 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val bench39 = "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq(
+      19L -> bench19, 39L -> bench39,      // holdout (%20 == 19)
+      1L -> bench19.replace("delta", "revised"), // lightly-edited copy of 19
+      2L -> bench39,                             // verbatim copy of 39
+      3L -> "completely unrelated filler text with many different words here",
+      4L -> "another unrelated document that shares nothing with benchmarks at all"
+    ).toDF("doc_id", "text")
+    val out = Decontaminate.fuzzy(docs, col("doc_id") % 20 === 19, 0.2).collect()
+    val got = out.map(r =>
+      (r.getLong(r.fieldIndex("doc_id")), r.getLong(r.fieldIndex("benchmark_id")))).toSet
+    assert(got == Set((1L, 19L), (2L, 39L)), s"got $got")
+    // verified pairs carry the exact jaccard, and the verbatim copy scores 1.0
+    val j = out.map(r => (r.getLong(r.fieldIndex("doc_id")),
+      r.getDouble(r.fieldIndex("jaccard")))).toMap
+    assert(j(2L) == 1.0 && j(1L) > 0.2 && j(1L) < 1.0)
+  }
+
+  test("fuzzy decontamination recovers every exact cross-split pair on sf0.001") {
+    // testdata is fixed, MinHash is deterministic: on this corpus the LSH
+    // candidates cover all exact pairs, so equality (not just ⊆) holds and
+    // pins both precision (verify stage) and recall (banding) per run
+    val dir = sf("sf0.001")
+    val hold = col("doc_id") % 20 >= 18
+    val fuzzy = Decontaminate.fuzzy(graft.Tables.documents(spark, dir), hold, 0.2)
+      .select("doc_id", "benchmark_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = graft.dedup.Jaccard.pairs(spark, dir, 0.2)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a % 20 >= 18) != (b % 20 >= 18) }
+      .map { case (a, b) => if (a % 20 >= 18) (b, a) else (a, b) }.toSet
+    assert(fuzzy == exact, s"\nfuzzy $fuzzy\nexact $exact")
+  }
 }
