@@ -223,9 +223,24 @@ object CorpusOpsQueries {
         precomputedShingles = Some(Jaccard.cachedShingles(s, d)))
       .orderBy("doc_id", "benchmark_id"), None)
 
+  /** Deterministic pre-training corpus shuffle: md5-keyed global
+    * permutation + round-robin shard assignment (graft.operators
+    * .DeterministicShuffle — exact global positions via the 256-bucket
+    * offset two-pass, never a single-partition window). Oracle mirrors the
+    * order with one global window, which DuckDB can afford at oracle SF. */
+  private val corpusShuffle = Q(
+    (s, d) => graft.operators.DeterministicShuffle
+      .permutation(Tables.documents(s, d), "doc_id", nShards = 8)
+      .orderBy("position"),
+    """SELECT doc_id,
+      |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':shuffle'), doc_id) AS BIGINT) AS position,
+      |  CAST((row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':shuffle'), doc_id) - 1) % 8 AS INTEGER) AS shard
+      |FROM documents ORDER BY position""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "dedup_clusters" -> dedupClusters,
     "corpus_pack" -> corpusPack,
+    "corpus_shuffle" -> corpusShuffle,
     "decontaminate" -> decontaminate,
     "decontaminate_fuzzy" -> decontaminateFuzzy,
     "dedup_incremental" -> dedupIncremental,
