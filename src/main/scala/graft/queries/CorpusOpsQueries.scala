@@ -237,10 +237,54 @@ object CorpusOpsQueries {
       |  CAST((row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':shuffle'), doc_id) - 1) % 8 AS INTEGER) AS shard
       |FROM documents ORDER BY position""".stripMargin)
 
+  /** DSIR importance weights (graft.text.Dsir): every train-shard doc
+    * scored by the hashed-n-gram log-likelihood ratio between the held-out
+    * target distribution and the source distribution. */
+  private val corpusDsirWeights = Q(
+    (s, d) => graft.text.Dsir.weights(
+        Tables.documents(s, d), col("doc_id") % 20 >= 18)
+      .orderBy("doc_id"),
+    {
+      val lrExpr = "ln(((CAST(COALESCE(p.cp, 0) AS DOUBLE) + 0.5) / " +
+        "(CAST(tot.tp AS DOUBLE) + 0.5 * 1024.0)) / " +
+        "((CAST(q.cq AS DOUBLE) + 0.5) / (CAST(tot.tq AS DOUBLE) + 0.5 * 1024.0)))"
+      s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+         |uni AS (SELECT doc_id, unnest(w) AS f FROM toks),
+         |bi AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+         |                                            i -> w[i] || ' ' || w[i+1])) AS f
+         |       FROM toks WHERE len(w) >= 2),
+         |feats AS (
+         |  SELECT doc_id,
+         |    ((ascii(substr(md5(f), 1, 1)) * 131 + ascii(substr(md5(f), 2, 1))) * 131
+         |      + ascii(substr(md5(f), 3, 1))) % 1024 AS bucket
+         |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+         |),
+         |tf AS (SELECT * FROM feats WHERE doc_id % 20 >= 18),
+         |sfe AS (SELECT * FROM feats WHERE doc_id % 20 < 18),
+         |p AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cp FROM tf GROUP BY 1),
+         |q AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cq FROM sfe GROUP BY 1),
+         |tot AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tf) AS tp,
+         |               (SELECT CAST(COUNT(*) AS BIGINT) FROM sfe) AS tq),
+         |ratio AS (
+         |  SELECT q.bucket, ${OracleSql.rnd(lrExpr, 10)} AS lr_q
+         |  FROM q LEFT JOIN p ON q.bucket = p.bucket CROSS JOIN tot
+         |),
+         |agg AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+         |         CAST(CAST(SUM(CAST(lr_q AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS slw
+         |  FROM sfe JOIN ratio USING (bucket) GROUP BY 1
+         |)
+         |SELECT doc_id, n_feats,
+         |  ${OracleSql.rd("slw", "log_weight")},
+         |  (${OracleSql.rnd("slw", 4)} > 0.0) AS is_selected
+         |FROM agg ORDER BY doc_id""".stripMargin
+    })
+
   val all: Map[String, Q] = Map(
     "dedup_clusters" -> dedupClusters,
     "corpus_pack" -> corpusPack,
     "corpus_shuffle" -> corpusShuffle,
+    "corpus_dsir_weights" -> corpusDsirWeights,
     "decontaminate" -> decontaminate,
     "decontaminate_fuzzy" -> decontaminateFuzzy,
     "dedup_incremental" -> dedupIncremental,
