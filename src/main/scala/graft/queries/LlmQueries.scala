@@ -125,6 +125,31 @@ object LlmQueries {
       graft.ann.IvfIndex.approxTopKStored(s, path, q, k = 10).orderBy("query_id", "rank")
     }, None)
 
+  /** Nearest-centroid domain classification (graft.ann.CentroidClassify):
+    * per-source centroids fit on the train shard, every doc labelled with
+    * its closest centroid. Oracle rebuilds the centroid lists with the
+    * same quantize-then-exact-sum means and DuckDB's list cosine. */
+  private val embeddingDomainClassify = Q(
+    (s, d) => graft.ann.CentroidClassify.classify(s, d).orderBy("doc_id"),
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |d AS (SELECT doc_id, source FROM documents),
+       |j AS (SELECT d.doc_id, d.source, e.emb FROM e JOIN d ON e.vec_id = d.doc_id),
+       |ex AS (SELECT source, i, ${OracleSql.rnd("emb[i]", 6)} AS v6
+       |       FROM (SELECT source, emb FROM j WHERE doc_id % 20 < 18) t,
+       |            UNNEST(generate_series(1, len(emb))) AS g(i)),
+       |cent AS (SELECT source, i,
+       |         CAST(CAST(SUM(CAST(v6 AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE)
+       |           / CAST(COUNT(*) AS DOUBLE) AS c
+       |         FROM ex GROUP BY 1, 2),
+       |cvec AS (SELECT source AS cand, list(c ORDER BY i) AS cv FROM cent GROUP BY 1),
+       |sc AS (SELECT j.doc_id, j.source AS true_source, c.cand,
+       |       ${OracleSql.rnd("list_cosine_similarity(j.emb, c.cv)", 6)} AS cosine
+       |       FROM j CROSS JOIN cvec c),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cosine DESC, cand) AS rk FROM sc)
+       |SELECT doc_id, true_source, cand AS predicted_source, cosine,
+       |       cand = true_source AS is_correct
+       |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin)
+
   // ---------------------------------------------------------------- text
   private def langScoreSql(words: Seq[String]): String = {
     val cnts = words.map(w =>
@@ -507,6 +532,7 @@ object LlmQueries {
     "text_quality" -> textQuality,
     "text_tokens" -> textTokens,
     "text_perplexity" -> textPerplexity,
+    "embedding_domain_classify" -> embeddingDomainClassify,
     "text_repetition" -> textRepetition,
     "text_dup_spans" -> textDupSpans,
     "text_keywords" -> textKeywords,
