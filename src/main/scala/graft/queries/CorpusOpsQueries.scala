@@ -280,8 +280,134 @@ object CorpusOpsQueries {
          |FROM agg ORDER BY doc_id""".stripMargin
     })
 
+  /** End-to-end curation ledger — the decision table a training-data
+    * pipeline actually ships: every document with its drop-reason flags
+    * (exact/tokenset dup, low heuristic quality, language mismatch,
+    * smaller-id near-dup partner, benchmark contamination, high bigram-LM
+    * perplexity) and the final `keep` verdict. Composes six independently
+    * oracle-green paths into one DAG; every component frame is keyed by
+    * doc_id, so the composition is hash joins on the same key — at 100 TB
+    * each signal is computed once and the ledger adds no new corpus-sized
+    * shuffle beyond its inputs'. */
+  private val corpusCurationReport = Q(
+    (s, d) => {
+      import graft.text.Corpus
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "source")
+      val dd = graft.dedup.Exact.dedup(s, d)
+        .select(col("doc_id"), col("is_exact_dup"), col("is_tokenset_dup"))
+      val q = Corpus.quality(s, d).select(col("doc_id"), col("token_cnt"), col("quality_score"))
+      val l = Corpus.langId(s, d).select(col("doc_id"), col("predicted_lang"))
+      val nd = Jaccard.pairs(s, d, LlmQueries.JaccardThreshold)
+        .select(col("doc_b").as("doc_id")).distinct().withColumn("has_nd", lit(true))
+      val cont = Decontaminate.overlap(Tables.documents(s, d),
+          col("doc_id") % 20 === HoldoutMod, ContaminationThreshold,
+          precomputedShingles = Some(Jaccard.cachedShingles(s, d)))
+        .select(col("doc_id"), col("is_contaminated").as("cont"))
+      val ppl = graft.text.Perplexity.score(s, d)
+        .select(col("doc_id"), col("is_low_quality").as("hp"))
+      docs.join(dd, "doc_id").join(q, "doc_id").join(l, "doc_id")
+        .join(nd, Seq("doc_id"), "left")
+        .join(cont, Seq("doc_id"), "left")
+        .join(ppl, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("is_exact_dup"), col("is_tokenset_dup"),
+          (col("quality_score") < 0.5 || col("token_cnt") < 5).as("low_quality"),
+          (col("predicted_lang") =!= col("lang")).as("lang_mismatch"),
+          coalesce(col("has_nd"), lit(false)).as("has_near_dup_partner"),
+          coalesce(col("cont"), lit(false)).as("is_contaminated"),
+          coalesce(col("hp"), lit(false)).as("high_perplexity"))
+        .withColumn("keep",
+          !(col("is_exact_dup") || col("is_tokenset_dup") || col("low_quality") ||
+            col("lang_mismatch") || col("has_near_dup_partner") ||
+            col("is_contaminated") || col("high_perplexity")))
+        .orderBy("doc_id")
+    },
+    {
+      val lpExpr = "ln(((CAST(COALESCE(pm.c12, 0) AS DOUBLE) + 0.5) / " +
+        "(CAST(COALESCE(pc.c1, 0) AS DOUBLE) + 0.5 * CAST(pv.v AS DOUBLE))))"
+      val contExpr =
+        s"CAST(n_cont AS DOUBLE) / CAST(GREATEST(n_sh, 1) AS DOUBLE) >= $ContaminationThreshold"
+      val lowQ = "(q2.quality_score < 0.5 OR q2.token_cnt < 5)"
+      s"""WITH ${jaccardPairsCte(LlmQueries.JaccardThreshold)},
+         |ndp AS (SELECT DISTINCT doc_b AS doc_id FROM jp),
+         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = $HoldoutMod),
+         |trn AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> $HoldoutMod),
+         |cagg AS (
+         |  SELECT trn.doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh,
+         |         CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cont
+         |  FROM trn LEFT JOIN bench b ON trn.s = b.s GROUP BY trn.doc_id
+         |),
+         |k AS (
+         |  SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS exact_key,
+         |    md5(array_to_string(list_sort(list_distinct(string_split(trim(text), ' '))), ' ')) AS tokenset_key
+         |  FROM documents
+         |),
+         |dk AS (
+         |  SELECT doc_id,
+         |    doc_id <> MIN(doc_id) OVER (PARTITION BY exact_key) AS is_exact_dup,
+         |    doc_id <> MIN(doc_id) OVER (PARTITION BY tokenset_key) AS is_tokenset_dup
+         |  FROM k
+         |),
+         |q1 AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS INTEGER) AS char_len,
+         |    CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS token_cnt,
+         |    CAST(len(list_distinct(string_split(trim(text), ' '))) AS INTEGER) AS uniq_token_cnt,
+         |    CAST(len(regexp_extract_all(text, '[0-9]')) AS INTEGER) AS digit_cnt
+         |  FROM documents
+         |),
+         |q2 AS (
+         |  SELECT doc_id, token_cnt,
+         |    LEAST(1.0, CAST(token_cnt AS DOUBLE) / 50.0) * 0.4
+         |      + CAST(uniq_token_cnt AS DOUBLE) / CAST(token_cnt AS DOUBLE) * 0.4
+         |      + (1.0 - LEAST(1.0, CAST(digit_cnt AS DOUBLE) / CAST(GREATEST(char_len, 1) AS DOUBLE) * 10.0)) * 0.2 AS quality_score
+         |  FROM q1
+         |),
+         |${LlmQueries.langCte},
+         |bgl AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+         |                                             i -> w[i] || ' ' || w[i+1])) AS pair
+         |        FROM toks WHERE len(w) >= 2),
+         |bgx AS (SELECT doc_id, pair, string_split(pair, ' ')[1] AS w1 FROM bgl),
+         |tbg AS (SELECT pair, w1 FROM bgx WHERE doc_id % 20 < 18),
+         |pm AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS c12 FROM tbg GROUP BY 1),
+         |pc AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM tbg GROUP BY 1),
+         |pv AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v
+         |       FROM (SELECT unnest(w) AS t FROM toks WHERE doc_id % 20 < 18)),
+         |psc AS (
+         |  SELECT b.doc_id, ${OracleSql.rnd(lpExpr, 10)} AS lp_q
+         |  FROM bgx b LEFT JOIN pm ON b.pair = pm.pair
+         |             LEFT JOIN pc ON b.w1 = pc.w1
+         |             CROSS JOIN pv
+         |),
+         |pagg AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nb,
+         |         CAST(CAST(SUM(CAST(lp_q AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS slp
+         |  FROM psc GROUP BY 1
+         |),
+         |ppl AS (SELECT doc_id,
+         |        (${OracleSql.rnd("slp / CAST(nb AS DOUBLE)", 4)} < -3.5) AS hp FROM pagg)
+         |SELECT d.doc_id, d.lang, d.source,
+         |  dk.is_exact_dup, dk.is_tokenset_dup,
+         |  $lowQ AS low_quality,
+         |  p.predicted_lang <> d.lang AS lang_mismatch,
+         |  ndp.doc_id IS NOT NULL AS has_near_dup_partner,
+         |  COALESCE($contExpr, FALSE) AS is_contaminated,
+         |  COALESCE(ppl.hp, FALSE) AS high_perplexity,
+         |  NOT (dk.is_exact_dup OR dk.is_tokenset_dup OR $lowQ
+         |    OR p.predicted_lang <> d.lang OR ndp.doc_id IS NOT NULL
+         |    OR COALESCE($contExpr, FALSE) OR COALESCE(ppl.hp, FALSE)) AS keep
+         |FROM documents d
+         |JOIN dk USING (doc_id) JOIN q2 USING (doc_id) JOIN p USING (doc_id)
+         |LEFT JOIN ndp USING (doc_id)
+         |LEFT JOIN cagg USING (doc_id)
+         |LEFT JOIN ppl USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    })
+
   val all: Map[String, Q] = Map(
     "dedup_clusters" -> dedupClusters,
+    "corpus_curation_report" -> corpusCurationReport,
     "corpus_pack" -> corpusPack,
     "corpus_shuffle" -> corpusShuffle,
     "corpus_dsir_weights" -> corpusDsirWeights,

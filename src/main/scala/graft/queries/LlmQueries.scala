@@ -167,7 +167,7 @@ object LlmQueries {
           s"CASE WHEN score_$l > $bs THEN score_$l ELSE $bs END")
     }._1
   /** langid CTE pair: sc (per-profile scores) + p (predicted_lang). */
-  private val langCte: String =
+  private[queries] val langCte: String =
     s"""sc AS (
        |  SELECT doc_id, lang,
        |    ${langScoreDefs.mkString(",\n    ")}
