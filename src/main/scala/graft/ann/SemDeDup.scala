@@ -1,0 +1,59 @@
+package graft.ann
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+  * web-scale through semantic deduplication"): cluster the embedding
+  * space with a coarse k-means, then deduplicate ONLY within clusters —
+  * pairs in the same cell whose cosine exceeds the threshold form
+  * semantic-duplicate groups, and each group keeps one representative.
+  * Clustering first is the whole point at 100 TB: the pair search is
+  * O(Σ cell²) instead of corpus², and cells are processed independently
+  * (the pair join is keyed on the cell, so it shuffles each vector once).
+  *
+  * Reuses [[IvfIndex.assign]] (bounded-sample Lloyd's) for the cells and
+  * the codegen'd dot product for the scoring. Representative choice is the
+  * smallest vec_id of each duplicate group's connected component within
+  * the cell — deterministic; the paper keeps a random/centroid-farthest
+  * member, which changes WHICH member survives, not which are duplicates.
+  * The group resolution reuses [[graft.dedup.ConnectedComponents]] (pairs
+  * within a cell can chain transitively).
+  *
+  * Probabilistic (k-means cells can split a near-dup pair across cells —
+  * the recall/cost trade SemDeDup makes) ⇒ registered rows-only; the spec
+  * checks planted duplicates and cross-checks against the exact global
+  * pair set.
+  */
+object SemDeDup {
+
+  /** Per-vector verdict: (vec_id, cell, group_id, is_semantic_dup).
+    * `group_id` is the component representative (min vec_id); vectors with
+    * no in-cell partner above `threshold` form singleton groups. */
+  def dedup(vecs: DataFrame, nCells: Int, threshold: Double): DataFrame = {
+    val spark = vecs.sparkSession
+    val (assigned, _) = IvfIndex.assign(vecs, nCells)
+    val a = assigned.select(col("vec_id"), col("emb"), col("cell"),
+      sqrt(graft.functions.GraftFunctions.dot(spark, col("emb"), col("emb"))).as("nrm"))
+    // in-cell pairs above threshold: equi-join on cell, upper triangle
+    val l = a.select(col("cell"), col("vec_id").as("va"),
+      col("emb").as("ea"), col("nrm").as("na"))
+    val r = a.select(col("cell"), col("vec_id").as("vb"),
+      col("emb").as("eb"), col("nrm").as("nb"))
+    val pairs = l.join(r, Seq("cell")).where(col("va") < col("vb"))
+      .withColumn("cosine",
+        when(col("na") =!= 0.0 && col("nb") =!= 0.0,
+          graft.functions.GraftFunctions.dot(spark, col("ea"), col("eb")) /
+            (col("na") * col("nb"))))
+      .where(round(col("cosine"), 6) >= threshold)
+      .select(col("va").as("src"), col("vb").as("dst"))
+    val comps = graft.dedup.ConnectedComponents.components(pairs)
+      .withColumnRenamed("node", "vec_id")
+      .withColumnRenamed("component", "group_id")
+    a.select("vec_id", "cell")
+      .join(comps, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("group_id"), col("vec_id")).as("group_id"))
+      .withColumn("is_semantic_dup", col("group_id") =!= col("vec_id"))
+  }
+}

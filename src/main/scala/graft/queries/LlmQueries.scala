@@ -125,6 +125,14 @@ object LlmQueries {
       graft.ann.IvfIndex.approxTopKStored(s, path, q, k = 10).orderBy("query_id", "rank")
     }, None)
 
+  /** SemDeDup: k-means-cell-restricted semantic dedup at the embedding
+    * near-dup threshold — O(Σ cell²) instead of corpus². Probabilistic
+    * (cell splits trade recall for cost) ⇒ rows-only; SemDeDupSpec checks
+    * planted duplicates and cross-checks the exact global pair set. */
+  private val dedupSemantic = Q(
+    (s, d) => graft.ann.SemDeDup.dedup(corpusEmb(s, d), nCells = 16,
+      threshold = EmbDedupThreshold).orderBy("vec_id"), None)
+
   /** Nearest-centroid domain classification (graft.ann.CentroidClassify):
     * per-source centroids fit on the train shard, every doc labelled with
     * its closest centroid. Oracle rebuilds the centroid lists with the
@@ -533,6 +541,7 @@ object LlmQueries {
     "text_tokens" -> textTokens,
     "text_perplexity" -> textPerplexity,
     "embedding_domain_classify" -> embeddingDomainClassify,
+    "dedup_semantic" -> dedupSemantic,
     "text_repetition" -> textRepetition,
     "text_dup_spans" -> textDupSpans,
     "text_keywords" -> textKeywords,
