@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.{Window => W}
 import org.apache.spark.sql.functions._
 
@@ -13,13 +13,15 @@ import org.apache.spark.sql.functions._
   * The permutation key is md5 of the salted document id, so the order is a
   * pure function of the data — no rand(), no sampling state (same design
   * rule as `corpus_split`). Positions are EXACT global row numbers without
-  * a single-partition window: rows bucket by their md5 prefix (256 hex
-  * buckets — lexicographic prefix order is consistent with full-key order),
-  * pass 1 collects per-bucket counts (metadata: ≤256 longs) into prefix
-  * offsets, pass 2 ranks within buckets in parallel and adds the broadcast
-  * offset. Same two-pass construction as [[Packing]]'s global cumsum; at
-  * 100 TB the only driver traffic is the 256-entry offset table, and the
-  * one shuffle is the rank's bucket repartition.
+  * a DATA-sized single-partition window: rows bucket by their md5 prefix
+  * (256 hex buckets — lexicographic prefix order is consistent with
+  * full-key order), per-bucket counts aggregate to a ≤256-row frame whose
+  * exclusive cumsum (a window over those 256 METADATA rows, not the data)
+  * gives each bucket's offset, and the final rank runs within buckets in
+  * parallel plus the broadcast offset. Fully lazy — constructing the frame
+  * runs no Spark job (unlike a driver-collected offset table); at 100 TB
+  * the offset side stays 256 rows and the one data shuffle is the rank's
+  * bucket repartition.
   */
 object DeterministicShuffle {
 
@@ -32,17 +34,13 @@ object DeterministicShuffle {
       .select(col(idCol).as("id"))
       .withColumn("_key", md5(concat(col("id").cast("string"), lit(":" + salt))))
       .withColumn("_bucket", conv(substring(col("_key"), 1, 2), 16, 10).cast("int"))
-    // pass 1: bucket counts → exclusive prefix offsets (metadata-sized)
-    val counts = keyed.groupBy("_bucket").agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _))
-    val spark = docs.sparkSession
-    val offsetDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(offsets.toSeq.map(Row.fromTuple), 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("_bucket", org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("_offset", org.apache.spark.sql.types.LongType))))
-    // pass 2: parallel within-bucket rank + broadcast offset
+    // ≤256-row bucket counts → exclusive prefix offsets; the window is over
+    // the metadata-sized counts frame, never the data
+    val cumw = W.orderBy("_bucket").rowsBetween(W.unboundedPreceding, -1)
+    val offsetDf = keyed.groupBy("_bucket").agg(count(lit(1)).as("_c"))
+      .select(col("_bucket"),
+        coalesce(sum(col("_c")).over(cumw), lit(0L)).as("_offset"))
+    // parallel within-bucket rank + broadcast offset
     val rn = row_number().over(W.partitionBy("_bucket").orderBy(col("_key"), col("id")))
     keyed.join(broadcast(offsetDf), "_bucket")
       .withColumn("position", col("_offset") + rn)

@@ -323,8 +323,6 @@ object CorpusOpsQueries {
         .orderBy("doc_id")
     },
     {
-      val lpExpr = "ln(((CAST(COALESCE(pm.c12, 0) AS DOUBLE) + 0.5) / " +
-        "(CAST(COALESCE(pc.c1, 0) AS DOUBLE) + 0.5 * CAST(pv.v AS DOUBLE))))"
       val contExpr =
         s"CAST(n_cont AS DOUBLE) / CAST(GREATEST(n_sh, 1) AS DOUBLE) >= $ContaminationThreshold"
       val lowQ = "(q2.quality_score < 0.5 OR q2.token_cnt < 5)"
@@ -365,28 +363,10 @@ object CorpusOpsQueries {
          |  FROM q1
          |),
          |${LlmQueries.langCte},
-         |bgl AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
-         |                                             i -> w[i] || ' ' || w[i+1])) AS pair
-         |        FROM toks WHERE len(w) >= 2),
-         |bgx AS (SELECT doc_id, pair, string_split(pair, ' ')[1] AS w1 FROM bgl),
-         |tbg AS (SELECT pair, w1 FROM bgx WHERE doc_id % 20 < 18),
-         |pm AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS c12 FROM tbg GROUP BY 1),
-         |pc AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM tbg GROUP BY 1),
-         |pv AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v
-         |       FROM (SELECT unnest(w) AS t FROM toks WHERE doc_id % 20 < 18)),
-         |psc AS (
-         |  SELECT b.doc_id, ${OracleSql.rnd(lpExpr, 10)} AS lp_q
-         |  FROM bgx b LEFT JOIN pm ON b.pair = pm.pair
-         |             LEFT JOIN pc ON b.w1 = pc.w1
-         |             CROSS JOIN pv
-         |),
-         |pagg AS (
-         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nb,
-         |         CAST(CAST(SUM(CAST(lp_q AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS slp
-         |  FROM psc GROUP BY 1
-         |),
+         |${LlmQueries.perplexityCtes},
          |ppl AS (SELECT doc_id,
-         |        (${OracleSql.rnd("slp / CAST(nb AS DOUBLE)", 4)} < -3.5) AS hp FROM pagg)
+         |        (${OracleSql.rnd("slp / CAST(n_bigrams AS DOUBLE)", 4)}
+         |          < ${graft.text.Perplexity.LowQualityThreshold}) AS hp FROM pagg)
          |SELECT d.doc_id, d.lang, d.source,
          |  dk.is_exact_dup, dk.is_tokenset_dup,
          |  $lowQ AS low_quality,

@@ -211,6 +211,39 @@ object LlmQueries {
       |    + (1.0 - LEAST(1.0, CAST(digit_cnt AS DOUBLE) / CAST(GREATEST(char_len, 1) AS DOUBLE) * 10.0)) * 0.2 AS quality_score
       |FROM q ORDER BY doc_id""".stripMargin)
 
+  /** Shared DuckDB CTE chain for the bigram-LM perplexity model (mirrors
+    * graft.text.Perplexity — single source of truth for the smoothing and
+    * split): expects a `toks(doc_id, w)` CTE in scope and emits
+    * `pagg(doc_id, n_bigrams, slp)`. Aliases prefixed `p*` so composing
+    * oracles (corpus_curation_report) can splice it without collisions. */
+  private[queries] val perplexityCtes: String = {
+    val sm = graft.text.Perplexity.Smoothing
+    val lpExpr = s"ln((CAST(COALESCE(pm.c12, 0) AS DOUBLE) + $sm) / " +
+      s"(CAST(COALESCE(pc.c1, 0) AS DOUBLE) + $sm * CAST(pv.v AS DOUBLE)))"
+    s"""pbgl AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+       |                                       i -> w[i] || ' ' || w[i+1])) AS pair
+       |  FROM toks WHERE len(w) >= 2
+       |),
+       |pbg AS (SELECT doc_id, pair, string_split(pair, ' ')[1] AS w1 FROM pbgl),
+       |ptbg AS (SELECT pair, w1 FROM pbg WHERE doc_id % 20 < 18),
+       |pm AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS c12 FROM ptbg GROUP BY 1),
+       |pc AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM ptbg GROUP BY 1),
+       |pv AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v
+       |       FROM (SELECT unnest(w) AS t FROM toks WHERE doc_id % 20 < 18)),
+       |psc AS (
+       |  SELECT b.doc_id, ${OracleSql.rnd(lpExpr, 10)} AS lp_q
+       |  FROM pbg b LEFT JOIN pm ON b.pair = pm.pair
+       |             LEFT JOIN pc ON b.w1 = pc.w1
+       |             CROSS JOIN pv
+       |),
+       |pagg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |         CAST(CAST(SUM(CAST(lp_q AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS slp
+       |  FROM psc GROUP BY 1
+       |)""".stripMargin
+  }
+
   /** CCNet-style bigram-LM perplexity scoring (graft.text.Perplexity):
     * model trained on the corpus_split train shard, every doc scored with
     * add-0.5 smoothing. Per-bigram log-probs quantized to 10 dp on both
@@ -218,36 +251,13 @@ object LlmQueries {
   private val textPerplexity = Q(
     (s, d) => graft.text.Perplexity.score(s, d).orderBy("doc_id"),
     {
-      val lpExpr = "ln((CAST(COALESCE(m.c12, 0) AS DOUBLE) + 0.5) / " +
-        "(CAST(COALESCE(c.c1, 0) AS DOUBLE) + 0.5 * CAST(voc.v AS DOUBLE)))"
       val avgExpr = "slp / CAST(n_bigrams AS DOUBLE)"
       s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
-         |bgl AS (
-         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
-         |                                       i -> w[i] || ' ' || w[i+1])) AS pair
-         |  FROM toks WHERE len(w) >= 2
-         |),
-         |bg AS (SELECT doc_id, pair, string_split(pair, ' ')[1] AS w1 FROM bgl),
-         |tbg AS (SELECT pair, w1 FROM bg WHERE doc_id % 20 < 18),
-         |model AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS c12 FROM tbg GROUP BY 1),
-         |ctx AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM tbg GROUP BY 1),
-         |voc AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v
-         |        FROM (SELECT unnest(w) AS t FROM toks WHERE doc_id % 20 < 18)),
-         |sc AS (
-         |  SELECT b.doc_id, ${OracleSql.rnd(lpExpr, 10)} AS lp_q
-         |  FROM bg b LEFT JOIN model m ON b.pair = m.pair
-         |            LEFT JOIN ctx c ON b.w1 = c.w1
-         |            CROSS JOIN voc
-         |),
-         |agg AS (
-         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-         |         CAST(CAST(SUM(CAST(lp_q AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS slp
-         |  FROM sc GROUP BY 1
-         |)
+         |$perplexityCtes
          |SELECT doc_id, n_bigrams,
          |  ${OracleSql.rd(avgExpr, "avg_logprob")},
-         |  (${OracleSql.rnd(avgExpr, 4)} < -3.5) AS is_low_quality
-         |FROM agg ORDER BY doc_id""".stripMargin
+         |  (${OracleSql.rnd(avgExpr, 4)} < ${graft.text.Perplexity.LowQualityThreshold}) AS is_low_quality
+         |FROM pagg ORDER BY doc_id""".stripMargin
     })
 
   private val textTokens = Q(

@@ -1,7 +1,7 @@
 package graft.text
 
 import graft.SparkSpec
-import java.math.{BigDecimal => JBig, MathContext, RoundingMode}
+import java.math.{BigDecimal => JBig, RoundingMode}
 
 /** Differential test of the bigram-LM scorer against a hand-rolled
   * single-node reference (same smoothing, same quantize-then-exact-sum
@@ -27,11 +27,15 @@ class PerplexitySpec extends SparkSpec {
         val lpq = bs.map { b =>
           val p = (c12.getOrElse(b, 0).toDouble + 0.5) /
             (c1.getOrElse(b._1, 0).toDouble + 0.5 * v.toDouble)
-          new JBig(math.log(p)).setScale(10, RoundingMode.HALF_UP)
+          // JBig.valueOf (shortest decimal repr) mirrors Spark's round():
+          // scala BigDecimal(double) routes through valueOf, NOT the exact
+          // binary expansion `new BigDecimal(double)` — the two differ at
+          // exact ...5 ties, the divergence class OracleSql.rnd documents
+          JBig.valueOf(math.log(p)).setScale(10, RoundingMode.HALF_UP)
         }
         val sum = lpq.reduce(_ add _)
         val avg = sum.doubleValue() / bs.size.toDouble
-        val r4 = new JBig(avg).setScale(4, RoundingMode.HALF_UP).doubleValue()
+        val r4 = JBig.valueOf(avg).setScale(4, RoundingMode.HALF_UP).doubleValue()
         Some(id -> (bs.size.toLong, r4))
       }
     }.toMap
