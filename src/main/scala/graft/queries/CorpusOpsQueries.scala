@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.{ConnectedComponents, Jaccard}
-import graft.operators.Packing
+import graft.operators.{Chunking, Packing}
 import graft.text.Decontaminate
 
 /** Corpus-pipeline composition queries — the operators a training-data
@@ -28,6 +28,9 @@ import graft.text.Decontaminate
 object CorpusOpsQueries {
 
   private val WindowTokens = 512
+  private val ChunkTokens = 32
+  private val ChunkStride = 16
+  private val JsonlShards = 8
   private val ContaminationThreshold = 0.5
   private val HoldoutMod = 19 // the `corpus_split` test split
 
@@ -81,6 +84,69 @@ object CorpusOpsQueries {
        |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
        |  doc_id = cluster_id AS is_canonical
        |FROM lab ORDER BY doc_id""".stripMargin)
+
+  /** Quality-aware canonical selection: after near-dup clustering, the
+    * document kept from each cluster is the HIGHEST heuristic-quality one
+    * (ties to the smaller doc_id), not the minimum id — what a curation
+    * pipeline actually wants when dropping near-copies (keep the cleanest
+    * exemplar, cf. `dedup_clusters` which labels min-id canonicals). The
+    * per-cluster argmax is one window over cluster_id; near-dup clusters
+    * are small by construction (the pair generator's candidate capping
+    * bounds them), so the partition sizes stay tiny at 100 TB, and the
+    * quality frame joins on doc_id with no extra corpus-sized shuffle. */
+  private val dedupCanonical = Q(
+    (s, d) => {
+      val pairs = Jaccard.pairs(s, d, LlmQueries.JaccardThreshold)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val cc = ConnectedComponents.components(pairs)
+        .withColumnRenamed("node", "doc_id")
+      val quality = graft.text.Corpus.quality(s, d).select("doc_id", "quality_score")
+      val best = Window.partitionBy("cluster_id")
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      Tables.documents(s, d).select("doc_id")
+        .join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster_id"))
+        .join(quality, Seq("doc_id"))
+        .withColumn("canonical_doc_id", first(col("doc_id")).over(best))
+        .withColumn("is_kept", col("doc_id") === col("canonical_doc_id"))
+        .orderBy("doc_id")
+    },
+    s"""WITH RECURSIVE ${jaccardPairsCte(LlmQueries.JaccardThreshold)},
+       |sym AS (SELECT doc_a AS u, doc_b AS v FROM jp UNION SELECT doc_b, doc_a FROM jp),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM sym
+       |  UNION
+       |  SELECT r.u, s2.v FROM reach r JOIN sym s2 ON r.v = s2.u
+       |),
+       |root AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u),
+       |lab AS (
+       |  SELECT dd.doc_id, COALESCE(r.cluster_id, dd.doc_id) AS cluster_id
+       |  FROM documents dd LEFT JOIN root r ON r.doc_id = dd.doc_id
+       |),
+       |q1 AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS INTEGER) AS char_len,
+       |    CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS token_cnt,
+       |    CAST(len(list_distinct(string_split(trim(text), ' '))) AS INTEGER) AS uniq_token_cnt,
+       |    CAST(len(regexp_extract_all(text, '[0-9]')) AS INTEGER) AS digit_cnt
+       |  FROM documents
+       |),
+       |q2 AS (
+       |  SELECT doc_id,
+       |    LEAST(1.0, CAST(token_cnt AS DOUBLE) / 50.0) * 0.4
+       |      + CAST(uniq_token_cnt AS DOUBLE) / CAST(token_cnt AS DOUBLE) * 0.4
+       |      + (1.0 - LEAST(1.0, CAST(digit_cnt AS DOUBLE) / CAST(GREATEST(char_len, 1) AS DOUBLE) * 10.0)) * 0.2 AS quality_score
+       |  FROM q1
+       |),
+       |sel AS (
+       |  SELECT lab.doc_id, cluster_id, quality_score,
+       |    FIRST_VALUE(lab.doc_id) OVER (
+       |      PARTITION BY cluster_id ORDER BY quality_score DESC, lab.doc_id) AS canonical_doc_id
+       |  FROM lab JOIN q2 USING (doc_id)
+       |)
+       |SELECT doc_id, cluster_id, quality_score, canonical_doc_id,
+       |  doc_id = canonical_doc_id AS is_kept
+       |FROM sel ORDER BY doc_id""".stripMargin)
 
   private val corpusPack = Q(
     (s, d) => {
@@ -280,6 +346,102 @@ object CorpusOpsQueries {
          |FROM agg ORDER BY doc_id""".stripMargin
     })
 
+  /** Overlapping retrieval chunks for every document (graft.operators
+    * .Chunking): 32-token windows at stride 16, the RAG-side counterpart of
+    * `corpus_pack`. Narrow per-doc explode — zero shuffle at any scale. */
+  private val corpusChunkOverlap = Q(
+    (s, d) => Chunking.slidingWindows(
+        Tables.documents(s, d), "doc_id", col("text"), ChunkTokens, ChunkStride)
+      .orderBy("doc_id", "chunk_idx"),
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS w,
+       |         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n
+       |  FROM documents
+       |),
+       |c AS (
+       |  SELECT doc_id, w, n,
+       |         UNNEST(generate_series(0, (n - 1) // $ChunkStride)) AS chunk_idx
+       |  FROM t
+       |),
+       |x AS (
+       |  SELECT doc_id, w, chunk_idx, chunk_idx * $ChunkStride AS start_token,
+       |         LEAST($ChunkTokens, n - chunk_idx * $ChunkStride) AS chunk_len
+       |  FROM c
+       |)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(start_token AS BIGINT) AS start_token,
+       |  CAST(chunk_len AS BIGINT) AS chunk_len,
+       |  array_to_string(w[start_token + 1 : start_token + chunk_len], ' ') AS chunk_text
+       |FROM x ORDER BY doc_id, chunk_idx""".stripMargin)
+
+  /** Shard-partitioned JSONL export of the corpus and its read-back
+    * (graft.sources.JsonlTables) — the `shard=K/part-*.json` layout
+    * pre-training corpora ship in. Hash-exact vs the source table: JSON
+    * escaping is lossless for strings and integral columns are exact. */
+  private val corpusJsonlRoundtrip = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("shard", (col("doc_id") % JsonlShards).cast("int"))
+      val path = s"${sys.props("java.io.tmpdir")}/graft-docs-jsonl-${Integer.toHexString(d.hashCode)}"
+      graft.sources.JsonlTables.write(docs, path, "shard")
+      graft.sources.JsonlTables.read(s, path, docs.schema).orderBy("doc_id")
+    },
+    s"""SELECT doc_id, text, lang, source, n_chars,
+       |  CAST(doc_id % $JsonlShards AS INTEGER) AS shard
+       |FROM documents ORDER BY doc_id""".stripMargin)
+
+  /** Per-source corpus dashboard: the rollup a curation run reports per
+    * provenance bucket — doc/token/char volume, mean heuristic quality
+    * (10-dp quantize → exact decimal sum → 4-dp round, the §6 contract for
+    * computed-double averages), low-quality share, and language spread.
+    * One hash aggregation keyed by `source`; source cardinality is tiny,
+    * so the plan is a map-side partial agg + one metadata-sized shuffle
+    * regardless of corpus size. */
+  private val corpusStatsBySource = Q(
+    (s, d) => {
+      import graft.sqlx.Exact
+      val q = graft.text.Corpus.quality(s, d)
+        .select("doc_id", "char_len", "token_cnt", "quality_score")
+      Tables.documents(s, d).select("doc_id", "lang", "source")
+        .join(q, "doc_id")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("token_cnt").cast("long")).as("total_tokens"),
+          sum(col("char_len").cast("long")).as("total_chars"),
+          Exact.r4(Exact.decSumAgg(round(col("quality_score"), 10) + lit(0.0)) /
+            count(lit(1)).cast("double")).as("avg_quality"),
+          sum(when(col("quality_score") < 0.5 || col("token_cnt") < 5, 1L)
+            .otherwise(0L)).as("n_low_quality"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy("source")
+    },
+    s"""WITH q1 AS (
+       |  SELECT doc_id, lang, source,
+       |    CAST(length(text) AS INTEGER) AS char_len,
+       |    CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS token_cnt,
+       |    CAST(len(list_distinct(string_split(trim(text), ' '))) AS INTEGER) AS uniq_token_cnt,
+       |    CAST(len(regexp_extract_all(text, '[0-9]')) AS INTEGER) AS digit_cnt
+       |  FROM documents
+       |),
+       |q2 AS (
+       |  SELECT doc_id, lang, source, char_len, token_cnt,
+       |    LEAST(1.0, CAST(token_cnt AS DOUBLE) / 50.0) * 0.4
+       |      + CAST(uniq_token_cnt AS DOUBLE) / CAST(token_cnt AS DOUBLE) * 0.4
+       |      + (1.0 - LEAST(1.0, CAST(digit_cnt AS DOUBLE) / CAST(GREATEST(char_len, 1) AS DOUBLE) * 10.0)) * 0.2 AS quality_score
+       |  FROM q1
+       |)
+       |SELECT source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(token_cnt) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(char_len) AS BIGINT) AS total_chars,
+       |  ${OracleSql.rd(
+            s"CAST(CAST(SUM(CAST(${OracleSql.rnd("quality_score", 10)} AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE)" +
+              " / CAST(COUNT(*) AS DOUBLE)", "avg_quality")},
+       |  CAST(SUM(CASE WHEN quality_score < 0.5 OR token_cnt < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+       |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+       |FROM q2 GROUP BY source ORDER BY source""".stripMargin)
+
   /** End-to-end curation ledger — the decision table a training-data
     * pipeline actually ships: every document with its drop-reason flags
     * (exact/tokenset dup, low heuristic quality, language mismatch,
@@ -387,8 +549,12 @@ object CorpusOpsQueries {
 
   val all: Map[String, Q] = Map(
     "dedup_clusters" -> dedupClusters,
+    "dedup_canonical" -> dedupCanonical,
     "corpus_curation_report" -> corpusCurationReport,
     "corpus_pack" -> corpusPack,
+    "corpus_chunk_overlap" -> corpusChunkOverlap,
+    "corpus_jsonl_roundtrip" -> corpusJsonlRoundtrip,
+    "corpus_stats_by_source" -> corpusStatsBySource,
     "corpus_shuffle" -> corpusShuffle,
     "corpus_dsir_weights" -> corpusDsirWeights,
     "decontaminate" -> decontaminate,

@@ -260,6 +260,45 @@ object LlmQueries {
          |FROM pagg ORDER BY doc_id""".stripMargin
     })
 
+  /** PII scrub (graft.text.Redact): per-class counts + the redacted text.
+    * The synthetic corpus contains no PII, so the query deterministically
+    * salts each document with one well-formed email / IPv4 / digit run
+    * derived from doc_id — the IDENTICAL construction on both engines —
+    * so the full detect-and-replace path is exercised end to end;
+    * RedactSpec covers the pattern classes (multiples, adjacency,
+    * no-PII pass-through) beyond this single shape. */
+  private val textPiiRedact = Q(
+    (s, d) => {
+      import graft.text.Redact
+      val salted = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com via 10.0."),
+        (col("doc_id") % 256).cast("string"), lit(".7 ref 4111111111111111"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), salted.as("_t"))
+        .select(col("doc_id"),
+          Redact.emailCount(col("_t")).as("n_emails"),
+          Redact.ipv4Count(col("_t")).as("n_ipv4"),
+          Redact.digitRunCount(col("_t")).as("n_digit_runs"),
+          Redact.redacted(col("_t")).as("redacted_text"))
+        .orderBy("doc_id")
+    },
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com via 10.0.'
+       |      || CAST(doc_id % 256 AS VARCHAR) || '.7 ref 4111111111111111' AS _t
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(_t, '${graft.text.Redact.EmailRe}')) AS INTEGER) AS n_emails,
+       |  CAST(len(regexp_extract_all(_t, '${graft.text.Redact.Ipv4Re}')) AS INTEGER) AS n_ipv4,
+       |  CAST(len(regexp_extract_all(_t, '${graft.text.Redact.DigitRunRe}')) AS INTEGER) AS n_digit_runs,
+       |  regexp_replace(
+       |    regexp_replace(
+       |      regexp_replace(_t, '${graft.text.Redact.EmailRe}', '${graft.text.Redact.EmailTag}', 'g'),
+       |      '${graft.text.Redact.Ipv4Re}', '${graft.text.Redact.IpTag}', 'g'),
+       |    '${graft.text.Redact.DigitRunRe}', '${graft.text.Redact.NumberTag}', 'g') AS redacted_text
+       |FROM t ORDER BY doc_id""".stripMargin)
+
   private val textTokens = Q(
     (s, d) => Corpus.tokens(s, d).orderBy("doc_id"),
     """SELECT doc_id,
@@ -549,6 +588,7 @@ object LlmQueries {
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
     "text_tokens" -> textTokens,
+    "text_pii_redact" -> textPiiRedact,
     "text_perplexity" -> textPerplexity,
     "embedding_domain_classify" -> embeddingDomainClassify,
     "dedup_semantic" -> dedupSemantic,
