@@ -515,6 +515,32 @@ object LlmQueries {
     (s, d) => graft.text.Bpe.merges(Tables.documents(s, d), "text", nMerges = 12)
       .orderBy("step"), None)
 
+  /** The APPLY half of the tokenizer: learn 12 merges, segment the DISTINCT
+    * word table once (graft.text.Bpe.encodeWords), then roll subword counts
+    * back to documents through a word equi-join — the corpus is never
+    * re-segmented per occurrence. Rows-only (the merge table is
+    * data-dependent, not SQL-expressible); BpeEncodeSpec differential-tests
+    * the per-doc counts and sampled subword sequences against a single-node
+    * encoder using the SAME learned merges. */
+  private val corpusBpeEncode = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.text.Bpe.merges(docs, "text", nMerges = 12)
+        .orderBy("step").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val words = docs.select(explode(split(trim(col("text")), " ")).as("word"))
+        .where(length(col("word")) > 0).distinct()
+      val enc = graft.text.Bpe.encodeWords(words, merges)
+        .select(col("word"), col("n_subwords"))
+      docs.select(col("doc_id"), explode(split(trim(col("text")), " ")).as("word"))
+        .where(length(col("word")) > 0)
+        .join(enc, "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("word")).cast("long")).as("n_chars"),
+          sum(col("n_subwords")).as("n_subwords"))
+        .orderBy("doc_id")
+    }, None)
+
   // ---------------------------------------------------------------- multimodal
   /** Payload layout CTE shared by both multimodal oracles: every synthetic
     * P6 byte is a pure function of (doc_id, n_chars) — see
@@ -598,6 +624,7 @@ object LlmQueries {
     "text_fingerprint" -> textFingerprint,
     "vocab_top_tokens" -> vocabTopTokens,
     "vocab_bpe_merges" -> vocabBpeMerges,
+    "corpus_bpe_encode" -> corpusBpeEncode,
     "corpus_split" -> corpusSplit,
     "corpus_clean" -> corpusClean,
     "mm_features" -> mmFeatures,

@@ -71,17 +71,7 @@ object Bpe {
       else {
         val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         out += ((step, l, r, l + r, cnt))
-        def q(s: String): String = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
-        // left-to-right single-pass merge of (l, r) inside every word:
-        // fold symbols, joining a pending `l` with a following `r`
-        val merged = vocab.select(col("freq"), expr(
-          s"""filter(concat(
-             |  aggregate(syms, array(CAST(NULL AS STRING)),
-             |    (acc, s) -> CASE
-             |      WHEN element_at(acc, -1) = ${q(l)} AND s = ${q(r)}
-             |        THEN concat(slice(acc, 1, size(acc) - 1), array(${q(l + r)}))
-             |      ELSE concat(acc, array(s)) END),
-             |  array()), s -> s IS NOT NULL)""".stripMargin.replaceAll("\n", " ")).as("syms"))
+        val merged = vocab.select(col("freq"), applyMerge(l, r).as("syms"))
         chainDepth += 1
         step += 1
         // last round's merge result is never read — skip its materialization
@@ -97,5 +87,59 @@ object Bpe {
     }
     persisted.unpersist()
     out.result().toDF("step", "left", "right", "merged", "pair_count")
+  }
+
+  /** Left-to-right single-pass merge of (l, r) inside a `syms` column: fold
+    * symbols, joining a pending `l` with a following `r`. */
+  private def applyMerge(l: String, r: String): org.apache.spark.sql.Column = {
+    def q(s: String): String = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    expr(
+      s"""filter(concat(
+         |  aggregate(syms, array(CAST(NULL AS STRING)),
+         |    (acc, s) -> CASE
+         |      WHEN element_at(acc, -1) = ${q(l)} AND s = ${q(r)}
+         |        THEN concat(slice(acc, 1, size(acc) - 1), array(${q(l + r)}))
+         |      ELSE concat(acc, array(s)) END),
+         |  array()), s -> s IS NOT NULL)""".stripMargin.replaceAll("\n", " "))
+  }
+
+  /** Tokenize every distinct word with an already-learned ordered merge
+    * list — the APPLY half of the tokenizer (merges() is the learn half).
+    * Sennrich encode: each merge is applied everywhere in the word, in
+    * learned order, via the same fold as training.
+    *
+    * 100 TB shape: the input is the DISTINCT word table (millions of rows,
+    * never the corpus); each word is segmented once and the result joins
+    * back to documents by word. The merge list is metadata (k rows,
+    * collected by the caller); merge applications chain lazily with the
+    * same every-3rd-round materialization as training, so the pass count
+    * stays ~k/3 over the word table. */
+  def encodeWords(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val ckptEvery = 3
+    var cur = words
+      .select(col("word"),
+        expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))").as("syms"))
+    var persisted: Option[DataFrame] = None
+    var chainDepth = 0
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      cur = cur.select(col("word"), applyMerge(l, r).as("syms"))
+      chainDepth += 1
+      if (chainDepth >= ckptEvery && i < merges.size - 1) {
+        val p = cur.persist()
+        p.count()
+        persisted.foreach(_.unpersist())
+        persisted = Some(p)
+        cur = p
+        chainDepth = 0
+      }
+    }
+    val out = cur.select(col("word"), col("syms").as("subwords"),
+      size(col("syms")).cast("long").as("n_subwords"))
+      .persist()
+    out.count()
+    // word-table-sized and session-shared (same pattern as
+    // Jaccard.cachedShingles); intermediates are dropped
+    persisted.foreach(_.unpersist())
+    out
   }
 }
