@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ann.{Cosine, HyperplaneLSH}
+import graft.ann.{Cosine, HyperplaneLSH, RandomProjection}
 import graft.dedup.{Exact => ExactDedup, Jaccard, MinHashLSH, SimHash}
 import graft.multimodal.Binary
 import graft.text.Corpus
@@ -515,6 +515,38 @@ object LlmQueries {
     (s, d) => graft.text.Bpe.merges(Tables.documents(s, d), "text", nMerges = 12)
       .orderBy("step"), None)
 
+  /** JL random projection 64 → 8 dims (graft.ann.RandomProjection): the
+    * pre-reduction step large-scale ANN/clustering pipelines run before
+    * indexing. Oracle-green: the ±1 sign matrix derives from md5 text
+    * arithmetic both engines compute identically, and the sum follows the
+    * §6 quantize→exact-decimal contract. */
+  private val embeddingProject = Q(
+    (s, d) => RandomProjection.project(
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb")),
+        dim = 64, k = 8)
+      .orderBy("vec_id", "proj_dim"),
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |xv AS (
+       |  SELECT vec_id, i, emb[i] AS x
+       |  FROM e, (SELECT UNNEST(generate_series(1, 64)) AS i)
+       |),
+       |sg AS (
+       |  SELECT i, j,
+       |    CAST(1 - 2 * (ascii(substr(md5(CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 1)) % 2) AS DOUBLE) AS sgn
+       |  FROM (SELECT UNNEST(generate_series(1, 64)) AS i),
+       |       (SELECT UNNEST(generate_series(0, 7)) AS j)
+       |),
+       |t AS (SELECT vec_id, j, ${OracleSql.rnd("x * sgn", 10)} AS term FROM xv JOIN sg USING (i)),
+       |p AS (
+       |  SELECT vec_id, j,
+       |    CAST(CAST(SUM(CAST(term AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS s
+       |  FROM t GROUP BY 1, 2
+       |)
+       |SELECT vec_id, CAST(j AS INTEGER) AS proj_dim,
+       |  ${OracleSql.rnd("s / sqrt(8.0)", 6)} AS proj_val
+       |FROM p ORDER BY vec_id, proj_dim""".stripMargin)
+
   /** The APPLY half of the tokenizer: learn 12 merges, segment the DISTINCT
     * word table once (graft.text.Bpe.encodeWords), then roll subword counts
     * back to documents through a word equi-join — the corpus is never
@@ -625,6 +657,7 @@ object LlmQueries {
     "vocab_top_tokens" -> vocabTopTokens,
     "vocab_bpe_merges" -> vocabBpeMerges,
     "corpus_bpe_encode" -> corpusBpeEncode,
+    "embedding_project" -> embeddingProject,
     "corpus_split" -> corpusSplit,
     "corpus_clean" -> corpusClean,
     "mm_features" -> mmFeatures,
