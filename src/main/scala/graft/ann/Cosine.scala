@@ -59,6 +59,23 @@ object Cosine {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query vector
+    * the k most-similar vectors with a DIFFERENT label — the negatives that
+    * actually teach a retrieval model (same broadcast-query plan as [[topK]],
+    * the label inequality is a residual filter before ranking). */
+  def hardNegatives(spark: SparkSession, dir: String, k: Int = 10, queryMod: Int = 100): DataFrame = {
+    val e = withNorm(spark, embeddings(spark, dir))
+    val q = e.where(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+        col("nrm").as("qnrm"), col("label").as("qlabel"))
+    val scored = e.crossJoin(broadcast(q))
+      .where(col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id"), col("label").as("neg_label"),
+        round(fastCos(spark, col("qemb"), col("qnrm"), col("emb"), col("nrm")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** All pairs with cosine ≥ threshold (exact baseline for embedding
     * near-dup; LSH-bucketed variant in [[HyperplaneLSH]]). */
   def thresholdPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {

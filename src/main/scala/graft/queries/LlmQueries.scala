@@ -76,6 +76,21 @@ object LlmQueries {
       |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin)
 
+  /** Hard negatives per query vector (graft.ann.Cosine.hardNegatives):
+    * top-10 most-similar different-label vectors. */
+  private val annHardNegatives = Q(
+    (s, d) => Cosine.hardNegatives(s, d).orderBy("query_id", "rank"),
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, emb AS qemb, label AS qlabel FROM e WHERE vec_id % 100 = 0),
+      |s AS (
+      |  SELECT query_id, vec_id, label AS neg_label,
+      |    CAST(ROUND(CAST(CAST(list_cosine_similarity(qemb, emb) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS cosine
+      |  FROM e CROSS JOIN q WHERE label <> qlabel
+      |),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank FROM s)
+      |SELECT query_id, vec_id, neg_label, cosine, rank FROM r WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin)
+
   private val dedupEmbedding = Q(
     (s, d) => Cosine.thresholdPairs(s, d, EmbDedupThreshold).orderBy("vec_a", "vec_b"),
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
@@ -511,6 +526,57 @@ object LlmQueries {
     * word-frequency table). Rows-only: k data-dependent argmax rounds have
     * no declarative SQL form; BpeSpec differential-tests the merge sequence
     * against an independent single-node reference implementation. */
+  /** Count-min token-frequency estimation (graft.operators.CountMin):
+    * fixed Depth×Width sketch state regardless of corpus size, probed for
+    * the top-20 true tokens and compared against their exact counts (the
+    * exact side is the bounded demo baseline, same pattern as
+    * `sketch_event_stats_exact`). Estimates are deterministic given the
+    * md5 cell hashes, so the whole query is oracle-green — incl. the
+    * ≥-true overestimate column. */
+  private val sketchTokenFreqCms = Q(
+    (s, d) => {
+      import graft.operators.CountMin
+      val toks = Tables.documents(s, d)
+        .select(explode(split(trim(col("text")), " ")).as("t"))
+        .where(length(col("t")) > 0)
+      val sk = CountMin.sketch(toks, "t")
+      val tc = toks.groupBy("t").agg(count(lit(1)).as("true_cnt"))
+      val probes = tc.orderBy(col("true_cnt").desc, col("t")).limit(20)
+      CountMin.estimate(sk, probes.select("t"))
+        .join(probes, "t")
+        .select(col("t").as("token"), col("true_cnt"), col("cms_est"),
+          (col("cms_est") - col("true_cnt")).as("overestimate"))
+        .orderBy(col("true_cnt").desc, col("token"))
+    },
+    {
+      def cellSql(j: String, t: String): String = {
+        val h = s"md5(CAST($j AS VARCHAR) || ':' || $t)"
+        s"((ascii(substr($h, 1, 1)) * 131 + ascii(substr($h, 2, 1))) * 131 + ascii(substr($h, 3, 1))) % 1024"
+      }
+      s"""WITH toks AS (
+         |  SELECT t FROM (SELECT unnest(string_split(trim(text), ' ')) AS t FROM documents)
+         |  WHERE len(t) > 0
+         |),
+         |cells AS (
+         |  SELECT j, ${cellSql("j", "t")} AS cell, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM toks, (SELECT UNNEST(generate_series(0, 2)) AS j)
+         |  GROUP BY 1, 2
+         |),
+         |tc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM toks GROUP BY 1),
+         |probe AS (SELECT t, true_cnt FROM tc ORDER BY true_cnt DESC, t LIMIT 20),
+         |pc AS (
+         |  SELECT p.t, p.true_cnt, js.j, ${cellSql("js.j", "p.t")} AS cell
+         |  FROM probe p, (SELECT UNNEST(generate_series(0, 2)) AS j) js
+         |),
+         |est AS (
+         |  SELECT pc.t, pc.true_cnt, MIN(c.c) AS cms_est
+         |  FROM pc JOIN cells c ON c.j = pc.j AND c.cell = pc.cell
+         |  GROUP BY 1, 2
+         |)
+         |SELECT t AS token, true_cnt, cms_est, cms_est - true_cnt AS overestimate
+         |FROM est ORDER BY true_cnt DESC, token""".stripMargin
+    })
+
   private val vocabBpeMerges = Q(
     (s, d) => graft.text.Bpe.merges(Tables.documents(s, d), "text", nMerges = 12)
       .orderBy("step"), None)
@@ -658,6 +724,8 @@ object LlmQueries {
     "vocab_bpe_merges" -> vocabBpeMerges,
     "corpus_bpe_encode" -> corpusBpeEncode,
     "embedding_project" -> embeddingProject,
+    "ann_hard_negatives" -> annHardNegatives,
+    "sketch_token_freq_cms" -> sketchTokenFreqCms,
     "corpus_split" -> corpusSplit,
     "corpus_clean" -> corpusClean,
     "mm_features" -> mmFeatures,
