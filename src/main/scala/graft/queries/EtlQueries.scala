@@ -195,8 +195,30 @@ object EtlQueries {
       |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-12' AND DATE '2024-01-14'
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
+  /** Morton z-values over the two event scan dimensions (user_id, day) —
+    * graft.operators.ZOrder: the clustering key an OPTIMIZE ZORDER-style
+    * layout write range-partitions by so box-shaped (user × day) predicates
+    * prune files from footer stats. Pure bit arithmetic, oracle-exact;
+    * ZOrderSpec demonstrates the layout benefit (fewer files touched by a
+    * box query than either single-dimension sort). */
+  private val eventsZorder = Q(
+    (s, d) => {
+      val ev = graft.Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("day"))
+      ev.withColumn("zval",
+          graft.operators.ZOrder.zValue(col("user_id"), col("day"), 16))
+        .orderBy("event_id")
+    },
+    s"""SELECT event_id, user_id,
+       |  CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS INTEGER) AS day,
+       |  CAST(${graft.operators.ZOrder.zValueSql(
+              "user_id", "(CAST(ts AS DATE) - DATE '2024-01-01')", 16)} AS BIGINT) AS zval
+       |FROM events ORDER BY event_id""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "watermark_stale" -> watermarkStale,
+    "events_zorder" -> eventsZorder,
     "watermark_status" -> watermarkStatus,
     "watermark_incremental_features" -> watermarkIncrementalFeatures,
     "symbol_universe" -> symbolUniverse,
