@@ -577,9 +577,26 @@ object LlmQueries {
          |FROM est ORDER BY true_cnt DESC, token""".stripMargin
     })
 
+  /** Learned merge table memoized per (session, dir) — the training
+    * artifact is metadata (12 rows), and both the vocab query and the
+    * encode query consume the SAME artifact, like a shipped tokenizer
+    * (same memoization rationale as the GBT fit in TradeSuccess). */
+  private val mergeCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, String, String, String, Long)]]
+  private def learnedMerges(s: org.apache.spark.sql.SparkSession, d: String) =
+    mergeCache.getOrElseUpdate(graft.sqlx.FrameCache.key(s, "bpemerges", d), {
+      graft.text.Bpe.merges(Tables.documents(s, d), "text", nMerges = 12)
+        .orderBy("step").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+        .toSeq
+    })
+
   private val vocabBpeMerges = Q(
-    (s, d) => graft.text.Bpe.merges(Tables.documents(s, d), "text", nMerges = 12)
-      .orderBy("step"), None)
+    (s, d) => {
+      import s.implicits._
+      learnedMerges(s, d).toDF("step", "left", "right", "merged", "pair_count")
+        .orderBy("step")
+    }, None)
 
   /** JL random projection 64 → 8 dims (graft.ann.RandomProjection): the
     * pre-reduction step large-scale ANN/clustering pipelines run before
@@ -623,8 +640,7 @@ object LlmQueries {
   private val corpusBpeEncode = Q(
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val merges = graft.text.Bpe.merges(docs, "text", nMerges = 12)
-        .orderBy("step").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val merges = learnedMerges(s, d).map { case (_, l, r, _, _) => (l, r) }
       val words = docs.select(explode(split(trim(col("text")), " ")).as("word"))
         .where(length(col("word")) > 0).distinct()
       val enc = graft.text.Bpe.encodeWords(words, merges)
