@@ -45,36 +45,39 @@ object Cosine {
   private def withNorm(spark: SparkSession, e: DataFrame): DataFrame =
     e.withColumn("nrm", sqrt(graft.functions.GraftFunctions.dot(spark, col("emb"), col("emb"))))
 
-  /** Top-k neighbours for query vectors (vec_id % queryMod == 0), self
-    * excluded. */
-  def topK(spark: SparkSession, dir: String, k: Int = 10, queryMod: Int = 100): DataFrame = {
+  /** Shared broadcast-query ranking pipeline behind [[topK]] and
+    * [[hardNegatives]]: one body owns the scoring DAG (norms, 6-dp
+    * quantization, tie-break) so the two operators cannot drift. */
+  private def rankedNeighbors(spark: SparkSession, dir: String, k: Int, queryMod: Int,
+                              negativesOnly: Boolean): DataFrame = {
     val e = withNorm(spark, embeddings(spark, dir))
     val q = e.where(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("query_id"), col("emb").as("qemb"), col("nrm").as("qnrm"))
-    val scored = e.crossJoin(broadcast(q))
-      .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(fastCos(spark, col("qemb"), col("qnrm"), col("emb"), col("nrm")), 6).as("cosine"))
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
+        col("nrm").as("qnrm"), col("label").as("qlabel"))
+    val base = e.crossJoin(broadcast(q))
+    val filtered =
+      if (negativesOnly) base.where(col("label") =!= col("qlabel"))
+      else base.where(col("vec_id") =!= col("query_id"))
+    val scoredCols =
+      Seq(col("query_id"), col("vec_id")) ++
+        (if (negativesOnly) Seq(col("label").as("neg_label")) else Nil) :+
+        round(fastCos(spark, col("qemb"), col("qnrm"), col("emb"), col("nrm")), 6).as("cosine")
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    filtered.select(scoredCols: _*)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** Top-k neighbours for query vectors (vec_id % queryMod == 0), self
+    * excluded. */
+  def topK(spark: SparkSession, dir: String, k: Int = 10, queryMod: Int = 100): DataFrame =
+    rankedNeighbors(spark, dir, k, queryMod, negativesOnly = false)
 
   /** Hard-negative mining for contrastive training: for each query vector
     * the k most-similar vectors with a DIFFERENT label — the negatives that
     * actually teach a retrieval model (same broadcast-query plan as [[topK]],
     * the label inequality is a residual filter before ranking). */
-  def hardNegatives(spark: SparkSession, dir: String, k: Int = 10, queryMod: Int = 100): DataFrame = {
-    val e = withNorm(spark, embeddings(spark, dir))
-    val q = e.where(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
-        col("nrm").as("qnrm"), col("label").as("qlabel"))
-    val scored = e.crossJoin(broadcast(q))
-      .where(col("label") =!= col("qlabel"))
-      .select(col("query_id"), col("vec_id"), col("label").as("neg_label"),
-        round(fastCos(spark, col("qemb"), col("qnrm"), col("emb"), col("nrm")), 6).as("cosine"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-  }
+  def hardNegatives(spark: SparkSession, dir: String, k: Int = 10, queryMod: Int = 100): DataFrame =
+    rankedNeighbors(spark, dir, k, queryMod, negativesOnly = true)
 
   /** All pairs with cosine ≥ threshold (exact baseline for embedding
     * near-dup; LSH-bucketed variant in [[HyperplaneLSH]]). */

@@ -25,11 +25,21 @@ object CountMin {
   val Depth = 3
   val Width = 1024
 
+  private val Mix = 131
+
   /** Cell index of token `t` in hash row `j`. */
   def cell(j: Column, t: Column): Column = {
     val h = md5(concat(j.cast("string"), lit(":"), t))
-    ((ascii(substring(h, 1, 1)) * lit(131) + ascii(substring(h, 2, 1)))
-      * lit(131) + ascii(substring(h, 3, 1))) % lit(Width)
+    ((ascii(substring(h, 1, 1)) * lit(Mix) + ascii(substring(h, 2, 1)))
+      * lit(Mix) + ascii(substring(h, 3, 1))) % lit(Width)
+  }
+
+  /** The same cell arithmetic as ANSI SQL over expressions `j`, `t` — the
+    * oracle mirror kept next to the implementation (and fed by the same
+    * Depth/Width/Mix constants) so the two DAGs cannot drift. */
+  def cellSql(j: String, t: String): String = {
+    val h = s"md5(CAST($j AS VARCHAR) || ':' || $t)"
+    s"((ascii(substr($h, 1, 1)) * $Mix + ascii(substr($h, 2, 1))) * $Mix + ascii(substr($h, 3, 1))) % $Width"
   }
 
   /** Build the sketch from a token stream: (j, cell, c) with at most

@@ -123,21 +123,7 @@ object CorpusOpsQueries {
        |  SELECT dd.doc_id, COALESCE(r.cluster_id, dd.doc_id) AS cluster_id
        |  FROM documents dd LEFT JOIN root r ON r.doc_id = dd.doc_id
        |),
-       |q1 AS (
-       |  SELECT doc_id,
-       |    CAST(length(text) AS INTEGER) AS char_len,
-       |    CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS token_cnt,
-       |    CAST(len(list_distinct(string_split(trim(text), ' '))) AS INTEGER) AS uniq_token_cnt,
-       |    CAST(len(regexp_extract_all(text, '[0-9]')) AS INTEGER) AS digit_cnt
-       |  FROM documents
-       |),
-       |q2 AS (
-       |  SELECT doc_id,
-       |    LEAST(1.0, CAST(token_cnt AS DOUBLE) / 50.0) * 0.4
-       |      + CAST(uniq_token_cnt AS DOUBLE) / CAST(token_cnt AS DOUBLE) * 0.4
-       |      + (1.0 - LEAST(1.0, CAST(digit_cnt AS DOUBLE) / CAST(GREATEST(char_len, 1) AS DOUBLE) * 10.0)) * 0.2 AS quality_score
-       |  FROM q1
-       |),
+       |${LlmQueries.qualityCtes},
        |sel AS (
        |  SELECT lab.doc_id, cluster_id, quality_score,
        |    FIRST_VALUE(lab.doc_id) OVER (
@@ -416,21 +402,7 @@ object CorpusOpsQueries {
           countDistinct(col("lang")).as("n_langs"))
         .orderBy("source")
     },
-    s"""WITH q1 AS (
-       |  SELECT doc_id, lang, source,
-       |    CAST(length(text) AS INTEGER) AS char_len,
-       |    CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS token_cnt,
-       |    CAST(len(list_distinct(string_split(trim(text), ' '))) AS INTEGER) AS uniq_token_cnt,
-       |    CAST(len(regexp_extract_all(text, '[0-9]')) AS INTEGER) AS digit_cnt
-       |  FROM documents
-       |),
-       |q2 AS (
-       |  SELECT doc_id, lang, source, char_len, token_cnt,
-       |    LEAST(1.0, CAST(token_cnt AS DOUBLE) / 50.0) * 0.4
-       |      + CAST(uniq_token_cnt AS DOUBLE) / CAST(token_cnt AS DOUBLE) * 0.4
-       |      + (1.0 - LEAST(1.0, CAST(digit_cnt AS DOUBLE) / CAST(GREATEST(char_len, 1) AS DOUBLE) * 10.0)) * 0.2 AS quality_score
-       |  FROM q1
-       |)
+    s"""WITH ${LlmQueries.qualityCtes}
        |SELECT source,
        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(token_cnt) AS BIGINT) AS total_tokens,
@@ -509,21 +481,7 @@ object CorpusOpsQueries {
          |    doc_id <> MIN(doc_id) OVER (PARTITION BY tokenset_key) AS is_tokenset_dup
          |  FROM k
          |),
-         |q1 AS (
-         |  SELECT doc_id,
-         |    CAST(length(text) AS INTEGER) AS char_len,
-         |    CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS token_cnt,
-         |    CAST(len(list_distinct(string_split(trim(text), ' '))) AS INTEGER) AS uniq_token_cnt,
-         |    CAST(len(regexp_extract_all(text, '[0-9]')) AS INTEGER) AS digit_cnt
-         |  FROM documents
-         |),
-         |q2 AS (
-         |  SELECT doc_id, token_cnt,
-         |    LEAST(1.0, CAST(token_cnt AS DOUBLE) / 50.0) * 0.4
-         |      + CAST(uniq_token_cnt AS DOUBLE) / CAST(token_cnt AS DOUBLE) * 0.4
-         |      + (1.0 - LEAST(1.0, CAST(digit_cnt AS DOUBLE) / CAST(GREATEST(char_len, 1) AS DOUBLE) * 10.0)) * 0.2 AS quality_score
-         |  FROM q1
-         |),
+         |${LlmQueries.qualityCtes},
          |${LlmQueries.langCte},
          |${LlmQueries.perplexityCtes},
          |ppl AS (SELECT doc_id,

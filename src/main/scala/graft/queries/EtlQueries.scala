@@ -198,23 +198,41 @@ object EtlQueries {
   /** Morton z-values over the two event scan dimensions (user_id, day) —
     * graft.operators.ZOrder: the clustering key an OPTIMIZE ZORDER-style
     * layout write range-partitions by so box-shaped (user × day) predicates
-    * prune files from footer stats. Pure bit arithmetic, oracle-exact;
-    * ZOrderSpec demonstrates the layout benefit (fewer files touched by a
-    * box query than either single-dimension sort). */
+    * prune files from footer stats. Both dimensions are first scaled to the
+    * SAME 5-bit budget (the rule ZOrder's scaladoc documents — raw
+    * interleave of a wide dim with a narrow one degenerates to a
+    * single-dim sort) using 1-row max aggregates broadcast like the other
+    * EtlQueries scalars. Pure arithmetic end to end, oracle-exact;
+    * ZOrderSpec demonstrates the layout benefit. */
   private val eventsZorder = Q(
     (s, d) => {
       val ev = graft.Tables.events(s, d)
         .select(col("event_id"), col("user_id"),
           datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("day"))
-      ev.withColumn("zval",
-          graft.operators.ZOrder.zValue(col("user_id"), col("day"), 16))
+      val mx = ev.agg(max("user_id").as("um"), max("day").as("dm"))
+      ev.crossJoin(broadcast(mx))
+        .select(col("event_id"), col("user_id"), col("day"),
+          expr("CAST(user_id * 32 div (um + 1) AS INT)").as("u_cell"),
+          expr("CAST(day * 32 div (dm + 1) AS INT)").as("d_cell"))
+        .withColumn("zval",
+          graft.operators.ZOrder.zValue(col("u_cell"), col("d_cell"), 5))
         .orderBy("event_id")
     },
-    s"""SELECT event_id, user_id,
-       |  CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS INTEGER) AS day,
-       |  CAST(${graft.operators.ZOrder.zValueSql(
-              "user_id", "(CAST(ts AS DATE) - DATE '2024-01-01')", 16)} AS BIGINT) AS zval
-       |FROM events ORDER BY event_id""".stripMargin)
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id,
+       |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS INTEGER) AS day
+       |  FROM events
+       |),
+       |mx AS (SELECT MAX(user_id) AS um, MAX(day) AS dm FROM ev),
+       |sc AS (
+       |  SELECT event_id, user_id, day,
+       |    CAST(user_id * 32 // (um + 1) AS INTEGER) AS u_cell,
+       |    CAST(day * 32 // (dm + 1) AS INTEGER) AS d_cell
+       |  FROM ev CROSS JOIN mx
+       |)
+       |SELECT event_id, user_id, day, u_cell, d_cell,
+       |  CAST(${graft.operators.ZOrder.zValueSql("u_cell", "d_cell", 5)} AS BIGINT) AS zval
+       |FROM sc ORDER BY event_id""".stripMargin)
 
   val all: Map[String, Q] = Map(
     "watermark_stale" -> watermarkStale,

@@ -205,26 +205,39 @@ object LlmQueries {
        |  ${langOrdered.map(l => s"score_$l").mkString(", ")}
        |FROM p ORDER BY doc_id""".stripMargin)
 
-  private val textQuality = Q(
-    (s, d) => Corpus.quality(s, d).orderBy("doc_id"),
-    """WITH q AS (
-      |  SELECT doc_id,
+  /** Shared DuckDB CTE chain for the heuristic quality score (mirrors
+    * graft.text.Corpus.quality — single source of truth for the formula):
+    * emits `q1` (raw counting columns incl. lang/source/punct) and `q2`
+    * (q1 superset + quality_score) over `documents`. Spliced by
+    * text_quality, corpus_curation_report, dedup_canonical, and
+    * corpus_stats_by_source. */
+  private[queries] val qualityCtes: String =
+    """q1 AS (
+      |  SELECT doc_id, lang, source,
       |    CAST(length(text) AS INTEGER) AS char_len,
       |    CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS token_cnt,
       |    CAST(len(list_distinct(string_split(trim(text), ' '))) AS INTEGER) AS uniq_token_cnt,
       |    CAST(len(regexp_extract_all(text, '[0-9]')) AS INTEGER) AS digit_cnt,
       |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS INTEGER) AS punct_cnt
       |  FROM documents
-      |)
-      |SELECT doc_id, char_len, token_cnt, uniq_token_cnt,
-      |  CAST(char_len - (token_cnt - 1) AS DOUBLE) / CAST(token_cnt AS DOUBLE) AS avg_word_len,
-      |  CAST(uniq_token_cnt AS DOUBLE) / CAST(token_cnt AS DOUBLE) AS uniq_ratio,
-      |  CAST(digit_cnt AS DOUBLE) / CAST(GREATEST(char_len, 1) AS DOUBLE) AS digit_ratio,
-      |  punct_cnt,
-      |  LEAST(1.0, CAST(token_cnt AS DOUBLE) / 50.0) * 0.4
-      |    + CAST(uniq_token_cnt AS DOUBLE) / CAST(token_cnt AS DOUBLE) * 0.4
-      |    + (1.0 - LEAST(1.0, CAST(digit_cnt AS DOUBLE) / CAST(GREATEST(char_len, 1) AS DOUBLE) * 10.0)) * 0.2 AS quality_score
-      |FROM q ORDER BY doc_id""".stripMargin)
+      |),
+      |q2 AS (
+      |  SELECT q1.*,
+      |    LEAST(1.0, CAST(token_cnt AS DOUBLE) / 50.0) * 0.4
+      |      + CAST(uniq_token_cnt AS DOUBLE) / CAST(token_cnt AS DOUBLE) * 0.4
+      |      + (1.0 - LEAST(1.0, CAST(digit_cnt AS DOUBLE) / CAST(GREATEST(char_len, 1) AS DOUBLE) * 10.0)) * 0.2 AS quality_score
+      |  FROM q1
+      |)""".stripMargin
+
+  private val textQuality = Q(
+    (s, d) => Corpus.quality(s, d).orderBy("doc_id"),
+    s"""WITH $qualityCtes
+       |SELECT doc_id, char_len, token_cnt, uniq_token_cnt,
+       |  CAST(char_len - (token_cnt - 1) AS DOUBLE) / CAST(token_cnt AS DOUBLE) AS avg_word_len,
+       |  CAST(uniq_token_cnt AS DOUBLE) / CAST(token_cnt AS DOUBLE) AS uniq_ratio,
+       |  CAST(digit_cnt AS DOUBLE) / CAST(GREATEST(char_len, 1) AS DOUBLE) AS digit_ratio,
+       |  punct_cnt, quality_score
+       |FROM q2 ORDER BY doc_id""".stripMargin)
 
   /** Shared DuckDB CTE chain for the bigram-LM perplexity model (mirrors
     * graft.text.Perplexity — single source of truth for the smoothing and
@@ -549,24 +562,21 @@ object LlmQueries {
         .orderBy(col("true_cnt").desc, col("token"))
     },
     {
-      def cellSql(j: String, t: String): String = {
-        val h = s"md5(CAST($j AS VARCHAR) || ':' || $t)"
-        s"((ascii(substr($h, 1, 1)) * 131 + ascii(substr($h, 2, 1))) * 131 + ascii(substr($h, 3, 1))) % 1024"
-      }
+      import graft.operators.CountMin.{cellSql, Depth}
       s"""WITH toks AS (
          |  SELECT t FROM (SELECT unnest(string_split(trim(text), ' ')) AS t FROM documents)
          |  WHERE len(t) > 0
          |),
          |cells AS (
          |  SELECT j, ${cellSql("j", "t")} AS cell, CAST(COUNT(*) AS BIGINT) AS c
-         |  FROM toks, (SELECT UNNEST(generate_series(0, 2)) AS j)
+         |  FROM toks, (SELECT UNNEST(generate_series(0, ${Depth - 1})) AS j)
          |  GROUP BY 1, 2
          |),
          |tc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM toks GROUP BY 1),
          |probe AS (SELECT t, true_cnt FROM tc ORDER BY true_cnt DESC, t LIMIT 20),
          |pc AS (
          |  SELECT p.t, p.true_cnt, js.j, ${cellSql("js.j", "p.t")} AS cell
-         |  FROM probe p, (SELECT UNNEST(generate_series(0, 2)) AS j) js
+         |  FROM probe p, (SELECT UNNEST(generate_series(0, ${Depth - 1})) AS j) js
          |),
          |est AS (
          |  SELECT pc.t, pc.true_cnt, MIN(c.c) AS cms_est
@@ -645,13 +655,21 @@ object LlmQueries {
         .where(length(col("word")) > 0).distinct()
       val enc = graft.text.Bpe.encodeWords(words, merges)
         .select(col("word"), col("n_subwords"))
-      docs.select(col("doc_id"), explode(split(trim(col("text")), " ")).as("word"))
+      val rolled = docs
+        .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("word"))
         .where(length(col("word")) > 0)
         .join(enc, "word")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_words"),
           sum(length(col("word")).cast("long")).as("n_chars"),
           sum(col("n_subwords")).as("n_subwords"))
+      // keep a row for every document: all-whitespace text has no words
+      // but must not vanish from the rollup (cf. corpus_chunk_overlap)
+      docs.select("doc_id").join(rolled, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+          coalesce(col("n_subwords"), lit(0L)).as("n_subwords"))
         .orderBy("doc_id")
     }, None)
 

@@ -133,12 +133,13 @@ object Bpe {
         chainDepth = 0
       }
     }
+    // materialize via localCheckpoint (same lifecycle as
+    // ConnectedComponents' rounds): the result owns its blocks — reclaimed
+    // when the frame is dropped — and every intermediate persist is
+    // released HERE, so repeat callers pin nothing across calls
     val out = cur.select(col("word"), col("syms").as("subwords"),
       size(col("syms")).cast("long").as("n_subwords"))
-      .persist()
-    out.count()
-    // word-table-sized and session-shared (same pattern as
-    // Jaccard.cachedShingles); intermediates are dropped
+      .localCheckpoint()
     persisted.foreach(_.unpersist())
     out
   }
