@@ -10,8 +10,12 @@ import org.apache.spark.sql.SparkSession
   * and quiet machines (round-5 recorded a 1.7×-inflated total from a
   * single loaded pass). The first run of a query still pays any
   * session-shared memoized build exactly once, like a production session.
-  * Emits ONE JSON line: failures are recorded under "errors" with the
-  * message — never disguised as a timing — and excluded from the total. */
+  * Emits the full per-query JSON line (also persisted to BENCH_FULL.json,
+  * since the full map outgrew the harness's bounded stdout-tail capture)
+  * followed by a compact summary line — total, slowest queries, errors —
+  * guaranteed to fit the capture window. Failures are recorded under
+  * "errors" with the message — never disguised as a timing — and excluded
+  * from the total. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -66,7 +70,19 @@ object Bench {
     val qs = timings.map { case (k, v) => s"${q(k)}:${"%.3f".format(v)}" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"sf":${q(sfDir)}}""")
+    val fullLine =
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"sf":${q(sfDir)}}"""
+    // The full per-query map outgrew the harness's bounded stdout-tail capture
+    // (~2000 chars) once the suite passed ~100 queries, truncating the headline
+    // total out of the round artifact. Persist the full detail to a file and
+    // make the LAST printed line a compact summary (total + the slowest
+    // queries) that always fits the capture window intact.
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    println(fullLine)
+    val slowest = timings.toSeq.sortBy(-_._2).take(20)
+      .map { case (k, v) => s"${q(k)}:${"%.3f".format(v)}" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$slowest,"errors":$errs,"runs":$runs,"n_queries":${timings.size},"full":"BENCH_FULL.json","sf":${q(sfDir)}}""")
     spark.stop()
   }
 }

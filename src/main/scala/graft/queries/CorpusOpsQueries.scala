@@ -233,7 +233,10 @@ object CorpusOpsQueries {
     * index mod 4 assigns each domain a rate of 2.5 / 1.0 / 0.5 / 0.25
     * epochs; inclusion of the fractional copy is a deterministic
     * content-hash bucket so both engines (and any re-run) pick the exact
-    * same rows. One scan + explode, no shuffle. */
+    * same rows. One scan + explode, no shuffle. The oracle TRY_CASTs the
+    * extracted digits so a digit-free source name falls through to the
+    * ELSE rate exactly like Spark's NULL-yielding cast (the engines would
+    * otherwise diverge: DuckDB errors on CAST('' AS INTEGER)). */
   private val corpusSampleMix = Q(
     (s, d) => {
       val grp = regexp_extract(col("source"), "([0-9]+)", 1).cast("int") % 4
@@ -247,7 +250,7 @@ object CorpusOpsQueries {
     },
     """WITH m AS (
       |  SELECT doc_id, source,
-      |    CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) % 4 AS g,
+      |    TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) % 4 AS g,
       |    (ascii(substr(md5(text), 1, 1)) * 961 + ascii(substr(md5(text), 2, 1)) * 31
       |       + ascii(substr(md5(text), 3, 1))) % 100 AS mix_bucket
       |  FROM documents
