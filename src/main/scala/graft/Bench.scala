@@ -82,7 +82,9 @@ object Bench {
     println(fullLine)
     val slowest = timings.toSeq.sortBy(-_._2).take(20)
       .map { case (k, v) => s"${q(k)}:${"%.3f".format(v)}" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$slowest,"errors":$errs,"runs":$runs,"n_queries":${timings.size},"full":"BENCH_FULL.json","sf":${q(sfDir)}}""")
+    // n_errors rides next to n_queries so a half-broken run can never read
+    // as a fast run in the round artifact
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$slowest,"errors":$errs,"runs":$runs,"n_queries":${timings.size},"n_errors":${errors.size},"full":"BENCH_FULL.json","sf":${q(sfDir)}}""")
     spark.stop()
   }
 }

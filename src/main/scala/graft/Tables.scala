@@ -15,16 +15,45 @@ object Tables {
   private def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark only reads via the
-    * nanosAsLong legacy flag. The driver's testdata is µs-precision (all
-    * ns % 1000 == 0, verified), so truncating to micros is lossless and the
-    * DuckDB oracle (which reads native ns) orders/derives identically. */
+  /** `events.ts` has shipped in two parquet encodings across testdata
+    * generations: TIMESTAMP(NANOS) (readable only as Long via the nanosAsLong
+    * legacy flag) and TIMESTAMP(MICROS) without UTC adjustment (read natively
+    * as TIMESTAMP_NTZ). Branch on the read schema so either encoding yields
+    * the same session-TZ TimestampType column. Sessions pin
+    * spark.sql.session.timeZone=UTC, so the NTZ→timestamp cast is
+    * value-preserving and matches the DuckDB oracle's native read. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // A NANOS file fails analysis without the flag; for MICROS files the flag
+    // is a no-op, so set it before probing the schema.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      // integer `div`, not `/`: double division loses µs at 1e18-ns epochs
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeTs(read(spark, dir, "events"))
+  }
+
+  /** Streaming twin of [[events]]: file sources need an explicit schema, so
+    * probe it from the staged files with a batch read, then apply the same
+    * `ts` normalization — the stream sees the identical TimestampType
+    * column under either testdata encoding. */
+  def eventsStream(spark: SparkSession, streamDir: String,
+                   maxFilesPerTrigger: Int = 1): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(streamDir).schema
+    normalizeTs(spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(streamDir))
+  }
+
+  private[graft] def normalizeTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // legacy nanos-as-long: integer `div`, not `/` — double division
+        // loses µs at 1e18-ns epochs (testdata is µs-precision, lossless)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw // already session-TZ TimestampType
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")

@@ -16,10 +16,14 @@ import org.apache.spark.sql.functions._
   * reaches the exact shuffled join that removes the FPs. The composed
   * operator is therefore bit-identical to the exact semi-join — the bloom
   * never changes the answer, only the bytes shuffled — which is why the
-  * registered query keeps the exact DuckDB oracle and no cross-engine
-  * hash mirror is needed (the bloom arithmetic cancels out end-to-end;
-  * xxhash64 is free to stay Spark-native, unlike the md5 ascii-mix family
-  * the oracle-checked sketches use).
+  * registered `decontaminate` query (wired through
+  * [[graft.text.Decontaminate.overlap]]'s contaminated-hit path) keeps the
+  * exact DuckDB oracle and no cross-engine hash mirror is needed (the
+  * bloom arithmetic cancels out end-to-end; xxhash64 is free to stay
+  * Spark-native, unlike the md5 ascii-mix family the oracle-checked
+  * sketches use). BloomSpec asserts both halves: results identical to the
+  * unfiltered semi-join, and the bloom Filter sitting on the corpus side
+  * of the plan before any exchange.
   */
 object Bloom {
 

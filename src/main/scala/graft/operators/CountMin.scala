@@ -50,13 +50,16 @@ object CountMin {
       .select(col("j"), cell(col("j"), col("t")).as("cell"))
       .groupBy("j", "cell").agg(count(lit(1)).as("c"))
 
-  /** Point-query the sketch for `probes` (column `t`): (t, cms_est). Every
-    * probed token is present in all its cells (its own occurrences count),
-    * so the inner join never drops a probe. */
+  /** Point-query the sketch for `probes` (column `t`): (t, cms_est). The
+    * left join keeps probes whose cells are all empty (tokens never seen by
+    * the sketch), which correctly estimate 0 — probes need not come from
+    * the sketched stream. In-stream probes hit every cell, so for them the
+    * left join is plan-equivalent to an inner join and the registered
+    * oracle is unchanged. */
   def estimate(sk: DataFrame, probes: DataFrame): DataFrame =
     probes
       .select(col("t"), explode(expr(s"sequence(0, ${Depth - 1})")).as("j"))
       .select(col("t"), col("j"), cell(col("j"), col("t")).as("cell"))
-      .join(sk, Seq("j", "cell"))
-      .groupBy("t").agg(min(col("c")).as("cms_est"))
+      .join(sk, Seq("j", "cell"), "left")
+      .groupBy("t").agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
 }

@@ -11,8 +11,11 @@ import org.apache.spark.sql.types._
   * then unpivoted driver-side into per-column rows (the unpivot touches
   * metadata, never data).
   *
-  * Distinct counts: `exact = true` melts the table into (column, canonical
-  * value) pairs — an injective string encoding, so distinct-pair count =
+  * Distinct counts: `exact = true` is AUDIT-ONLY — it full-shuffles every
+  * cell of the table as strings and exists to anchor the approx twin's
+  * error bound at test SF; at 100 TB run `exact = false`
+  * (`table_profile_approx`), the single-scan HLL++ path. The audit mode
+  * melts the table into (column, canonical value) pairs — an injective string encoding, so distinct-pair count =
   * COUNT(DISTINCT col) — and counts distinct pairs per column: map-side
   * partial dedup means the shuffle carries only distinct pairs, never the
   * N-aggregate Expand blow-up Spark plans for multi-column COUNT(DISTINCT)

@@ -32,15 +32,26 @@ object Decontaminate {
     val sh = precomputedShingles.getOrElse(Jaccard.shingles(docs))
     val holdIds = docs.where(isHoldout).select("doc_id")
     val benchShingles = sh.join(holdIds, "doc_id").select("shingle").distinct()
-      .withColumn("_hit", lit(true))
     val trainSh = sh.join(holdIds, Seq("doc_id"), "left_anti")
-    val agg = trainSh
-      .join(broadcast(benchShingles), Seq("shingle"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("_hit"), 1L).otherwise(0L)).as("n_contaminated"))
+    // n_shingles: per-doc count, map-side combinable, no join involved
+    val totals = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    // n_contaminated: bloom prefilter MAP-SIDE (blooms have no false
+    // negatives, so dropping bloom-misses is exact), then the exact
+    // semi-join removes the ε false positives — bit-identical to the
+    // unfiltered semi-join, but at 100 TB only the bloom-passing sliver of
+    // corpus shingles reaches the join. The bitmap is a plan-size literal
+    // (64 KiB), so even when the holdout's distinct-shingle table outgrows
+    // the broadcast threshold the prefilter still applies before any
+    // exchange; the semi-join then degrades gracefully to a shuffled join
+    // over the already-thinned sliver.
+    val words = graft.operators.Bloom.build(benchShingles, "shingle")
+    val hits = trainSh
+      .where(graft.operators.Bloom.mightContain(words, col("shingle")))
+      .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
     docs.where(!isHoldout).select("doc_id")
-      .join(agg, Seq("doc_id"), "left")
+      .join(totals, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))

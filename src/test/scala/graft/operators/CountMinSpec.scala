@@ -40,6 +40,16 @@ class CountMinSpec extends SparkSpec {
     }
   }
 
+  test("probing a never-seen token estimates >= 0 instead of dropping the probe") {
+    val sk = CountMin.sketch(toks, "t")
+    val probes = Seq("__never_seen_token_xyzzy__", "the").toDF("t")
+    val est = CountMin.estimate(sk, probes)
+      .select(col("t"), col("cms_est").cast("long")).as[(String, Long)].collect().toMap
+    assert(est.keySet == Set("__never_seen_token_xyzzy__", "the"),
+      "left-join estimate must keep every probe")
+    assert(est("__never_seen_token_xyzzy__") >= 0L)
+  }
+
   test("sketches merge: cell-wise sum of shard sketches == whole-corpus sketch") {
     val whole = cells(CountMin.sketch(toks, "t"))
     val shardA = cells(CountMin.sketch(toks.where(col("doc_id") % 2 === 0), "t"))
