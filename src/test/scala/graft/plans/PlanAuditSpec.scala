@@ -48,6 +48,20 @@ class PlanAuditSpec extends SparkSpec {
       s"expected event_type pushdown, got: $pushed")
   }
 
+  test("ts predicates push through the events reader's encoding normalization to the scan") {
+    // Tables.events normalizes ts (nanos-long / NTZ-micros → session-TZ
+    // timestamp); a range predicate on the normalized column must still
+    // reach the parquet scan as a PushedFilter — at 100 TB this is the
+    // difference between pruning row groups and reading the table
+    val df = graft.Tables.events(spark, sf("sf0.001"))
+      .where(col("ts") >= lit("2024-03-01").cast("timestamp"))
+      .select("event_id", "ts")
+    val scan = scans(executed(df)).head
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThanOrEqual(ts") || pushed.contains("GreaterThanOrEqual(`ts`"),
+      s"expected ts range pushdown, got: $pushed")
+  }
+
   test("windowed feature ladder plans a single shuffle exchange (all specs share the symbol partitioning)") {
     val bars = graft.features.Bars.daily(graft.Tables.events(spark, sf("sf0.001")))
     val feats = graft.features.Targets.withTargets(graft.features.Indicators.windowed(bars))
