@@ -59,4 +59,67 @@ class TablesSpec extends SparkSpec {
       assert(df.where(col("ts").isNotNull).count() > 0, s"$s has rows")
     }
   }
+
+  /** Early-warning schema contract: every column the operators read, with
+    * the type CLASS the code depends on (exact physical encodings may
+    * legitimately drift between testdata regenerations — dates have
+    * shipped as DATE and timestamp[us], ints as int32/int64). A driver
+    * regeneration that breaks a dependency then fails THIS test by table
+    * and column name instead of 50 queries failing with cryptic analysis
+    * errors (how round 8 died). */
+  test("driver testdata columns the operators depend on exist with compatible type classes") {
+    import org.apache.spark.sql.types._
+    def cls(dt: DataType): String = dt match {
+      case _: IntegerType | _: LongType | _: ShortType => "int"
+      case _: FloatType | _: DoubleType | _: DecimalType => "float"
+      case _: StringType => "string"
+      case _: DateType | _: TimestampType | _: TimestampNTZType => "time"
+      case ArrayType(e, _) => s"array<${cls(e)}>"
+      case _: BinaryType => "binary"
+      case other => other.simpleString
+    }
+    val contract: Map[String, Map[String, String]] = Map(
+      "events" -> Map("event_id" -> "int", "ts" -> "time", "user_id" -> "int",
+        "event_type" -> "string", "value" -> "float", "props" -> "string"),
+      "documents" -> Map("doc_id" -> "int", "text" -> "string",
+        "lang" -> "string", "source" -> "string", "n_chars" -> "int"),
+      "embeddings" -> Map("vec_id" -> "int", "embedding" -> "array<float>",
+        "label" -> "int"),
+      "orders" -> Map("o_orderkey" -> "int", "o_custkey" -> "int",
+        "o_orderstatus" -> "string", "o_totalprice" -> "float",
+        "o_orderdate" -> "time", "o_orderpriority" -> "string"),
+      "lineitem" -> Map("l_orderkey" -> "int", "l_partkey" -> "int",
+        "l_suppkey" -> "int", "l_quantity" -> "float",
+        "l_extendedprice" -> "float", "l_discount" -> "float", "l_tax" -> "float",
+        "l_returnflag" -> "string", "l_linestatus" -> "string",
+        "l_shipdate" -> "time"),
+      "customer" -> Map("c_custkey" -> "int", "c_name" -> "string",
+        "c_nationkey" -> "int", "c_acctbal" -> "float", "c_mktsegment" -> "string"),
+      "supplier" -> Map("s_suppkey" -> "int", "s_name" -> "string",
+        "s_nationkey" -> "int", "s_acctbal" -> "float"),
+      "part" -> Map("p_partkey" -> "int", "p_name" -> "string",
+        "p_brand" -> "string", "p_type" -> "string", "p_size" -> "int",
+        "p_retailprice" -> "float"),
+      "nation" -> Map("n_nationkey" -> "int", "n_name" -> "string",
+        "n_regionkey" -> "int"),
+      "region" -> Map("r_regionkey" -> "int", "r_name" -> "string"))
+    val readers: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "events" -> Tables.events, "documents" -> Tables.documents,
+      "embeddings" -> Tables.embeddings, "orders" -> Tables.orders,
+      "lineitem" -> Tables.lineitem, "customer" -> Tables.customer,
+      "supplier" -> Tables.supplier, "part" -> Tables.part,
+      "nation" -> Tables.nation, "region" -> Tables.region)
+    val problems = contract.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
+      val schema = readers(table)(spark, sf("sf0.001")).schema
+      cols.toSeq.sortBy(_._1).flatMap { case (name, want) =>
+        schema.fields.find(_.name == name) match {
+          case None => Some(s"$table.$name: MISSING (schema=${schema.fieldNames.mkString(",")})")
+          case Some(f) if cls(f.dataType) != want =>
+            Some(s"$table.$name: ${f.dataType.simpleString} is not a $want")
+          case _ => None
+        }
+      }
+    }
+    assert(problems.isEmpty, s"testdata schema drifted:\n${problems.mkString("\n")}")
+  }
 }
