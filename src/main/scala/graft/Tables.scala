@@ -22,12 +22,8 @@ object Tables {
     * the same session-TZ TimestampType column. Sessions pin
     * spark.sql.session.timeZone=UTC, so the NTZ→timestamp cast is
     * value-preserving and matches the DuckDB oracle's native read. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    // A NANOS file fails analysis without the flag; for MICROS files the flag
-    // is a no-op, so set it before probing the schema.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeTs(read(spark, dir, "events"))
-  }
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(readMaybeNanos(spark)(read(spark, dir, "events")))
 
   /** Streaming twin of [[events]]: file sources need an explicit schema, so
     * probe it from the staged files with a batch read, then apply the same
@@ -35,12 +31,25 @@ object Tables {
     * column under either testdata encoding. */
   def eventsStream(spark: SparkSession, streamDir: String,
                    maxFilesPerTrigger: Int = 1): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(streamDir).schema
+    val schema = readMaybeNanos(spark)(spark.read.parquet(streamDir)).schema
     normalizeTs(spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(streamDir))
   }
+
+  /** Parquet TIMESTAMP(NANOS) fails schema inference without the legacy
+    * nanosAsLong flag; every other encoding reads fine without it. Try the
+    * plain read first and set the flag only on the retry, so a session
+    * reading micros-era testdata is never left with the global legacy flag
+    * flipped (it would make OTHER nanos parquet reads silently yield longs
+    * instead of erroring). */
+  private def readMaybeNanos(spark: SparkSession)(body: => DataFrame): DataFrame =
+    try body catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("Illegal Parquet type") =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        body
+    }
 
   private[graft] def normalizeTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}

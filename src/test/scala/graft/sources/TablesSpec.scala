@@ -60,6 +60,22 @@ class TablesSpec extends SparkSpec {
     }
   }
 
+  test("real TIMESTAMP(NANOS) parquet reads through the legacy-flag retry path") {
+    // committed fixture written by pyarrow with timestamp[ns] (parquet
+    // v2.6) — the round-7-era testdata encoding Spark cannot read without
+    // the nanosAsLong legacy flag. Start from a clean session state so the
+    // first read genuinely fails and the retry path is exercised.
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    val df = Tables.events(spark, "src/test/resources/events_nanos")
+    assert(df.schema("ts").dataType == TimestampType)
+    val got = df.select(col("event_id"), col("ts").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "2024-01-02 03:04:05.123456"),
+      (2L, "2024-06-30 23:59:59.999999"),
+      (3L, "1999-12-31 00:00:00.000001")))
+  }
+
   /** Early-warning schema contract: every column the operators read, with
     * the type CLASS the code depends on (exact physical encodings may
     * legitimately drift between testdata regenerations — dates have
