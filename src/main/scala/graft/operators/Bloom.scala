@@ -38,19 +38,20 @@ object Bloom {
   private def bitOf(j: Int, t: Column): Column =
     pmod(xxhash64(lit(j), t), lit(Bits.toLong))
 
-  /** Build the bitmap from the DISTINCT values of `itemCol`. The collect is
-    * metadata-sized by construction: ≤ min(Hashes·n, Bits) distinct bit
-    * positions, and the bitmap itself is fixed at `Bits/64` longs. */
+  /** Build the bitmap from the values of `itemCol` via a distributed OR:
+    * positions fold into per-word masks map-side (bit_or is idempotent, so
+    * no distinct pass is needed), and the collect is bounded by the bitmap
+    * itself — ≤ `Bits/64` (word, mask) rows no matter how many items — not
+    * by the distinct-position count a collect-positions build would ship. */
   def build(items: DataFrame, itemCol: String): Array[Long] = {
-    val positions = items
+    val masks = items
       .select(explode(array((0 until Hashes).map(j => bitOf(j, col(itemCol))): _*)).as("pos"))
-      .distinct()
+      .select((col("pos") / lit(64L)).cast("int").as("w"),
+        call_function("shiftleft", lit(1L), pmod(col("pos"), lit(64L)).cast("int")).as("m"))
+      .groupBy("w").agg(bit_or(col("m")).as("mask"))
       .collect()
-      .map(_.getLong(0))
     val words = new Array[Long](Words)
-    positions.foreach { p =>
-      words((p / 64).toInt) |= 1L << (p % 64).toInt
-    }
+    masks.foreach(r => words(r.getInt(0)) = r.getLong(1))
     words
   }
 
