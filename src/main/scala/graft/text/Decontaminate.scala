@@ -15,10 +15,15 @@ import graft.dedup.{Jaccard, MinHashLSH}
   *
   * Scale shape: the holdout n-gram set is small by construction (eval sets
   * are thousands of documents, the corpus is billions), so it broadcasts
-  * and the corpus side is scored in one map-side pass — no shuffle of the
-  * corpus n-grams at all. The per-doc rollup then shuffles only
-  * (doc_id, counts). If a holdout ever outgrew broadcast, the same plan
-  * degrades gracefully to a shuffled left join on the n-gram key.
+  * and the corpus side is scored map-side — no shuffle of the corpus
+  * n-grams at all. A [[graft.operators.Bloom]] bitmap of the holdout set
+  * (a plan-size literal) prefilters the corpus BEFORE the contaminated-hit
+  * join: blooms have no false negatives, so the composed result is
+  * bit-identical while only the bloom-passing sliver reaches the exact
+  * semi-join. The per-doc rollups shuffle only (doc_id, counts). If a
+  * holdout ever outgrew broadcast, the semi-join degrades gracefully to a
+  * shuffled join — over the already-thinned sliver, which is the point of
+  * the bloom at 100 TB.
   */
 object Decontaminate {
 
