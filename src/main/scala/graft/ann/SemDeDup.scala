@@ -11,6 +11,13 @@ import org.apache.spark.sql.functions._
   * Clustering first is the whole point at 100 TB: the pair search is
   * O(Σ cell²) instead of corpus², and cells are processed independently
   * (the pair join is keyed on the cell, so it shuffles each vector once).
+  * The scaling rule for the knob: grow `nCells` with the corpus to keep
+  * cell occupancy roughly constant (nCells ≈ n/128 makes Σ cell² linear
+  * in n; the paper runs ~110k clusters at LAION scale), and once nCells
+  * outgrows what the bounded-sample driver Lloyd can fit (~10³ cells),
+  * graduate the coarse fit to a distributed k-means — only the fit
+  * changes, the cell-keyed pair-join shape below is already the scale
+  * path.
   *
   * Reuses [[IvfIndex.assign]] (bounded-sample Lloyd's) for the cells and
   * the codegen'd dot product for the scoring. Representative choice is the
