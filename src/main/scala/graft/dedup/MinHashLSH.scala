@@ -1,40 +1,68 @@
 package graft.dedup
 
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import scala.util.hashing.MurmurHash3
 
 /** MinHash + banded LSH near-duplicate detection — the scale path for
   * document dedup (exact Jaccard verifies only the LSH candidates):
   *
-  *  1. shingle → 32-bit Murmur3 hash (deterministic across JVMs)
-  *  2. k permutations h_i(x) = (a_i·x + b_i) mod p (fixed seeds) → signature
+  *  1. shingle → 32-bit base hash from the first four md5 bytes
+  *     (cross-engine deterministic — same family as
+  *     [[graft.operators.CountMin]]; SQL mirror [[baseHashSql]])
+  *  2. k affine permutations h_i(x) = (a_i·x + b_i) mod p with FIXED
+  *     constants (seeded once, embedded verbatim in the oracle SQL via
+  *     [[paramsSqlValues]]) → signature
   *  3. signature split into b bands of r rows; docs sharing a band bucket
-  *     (band_id, hash(band slice)) become candidates — a bucket equi-join,
-  *     never all-pairs
+  *     become candidates — a bucket equi-join, never all-pairs. The bucket
+  *     key is the comma-joined r-value slice itself (exact equality, no
+  *     second-level hash), so every engine computes identical buckets.
   *  4. candidates exactly verified with [[Jaccard]]
+  *
+  * Because every stage is deterministic md5/affine arithmetic, the
+  * registered `dedup_minhash` query is hash-checked against a DuckDB
+  * oracle that replays signatures, bands, and the candidate-restricted
+  * verify bit-for-bit.
   *
   * For Jaccard threshold t, P(candidate) = 1 − (1 − t^r)^b — with k=128,
   * b=32, r=4 the S-curve midpoint is ≈ (1/32)^(1/4) ≈ 0.42; pairs at
   * t ≥ 0.6 are found with probability > 0.999. At 100 TB every stage is a
-  * shuffle on (band, bucket) keys; signature size is k·4 bytes per doc.
+  * shuffle on (band, bucket) keys; signature size is k·8 bytes per doc.
   */
 object MinHashLSH {
   val NumHashes = 128
   val Bands = 32
   val RowsPerBand: Int = NumHashes / Bands
-  private val Prime = 2147483647L // 2^31 - 1
+  val Prime = 2147483647L // 2^31 - 1
 
-  /** Deterministic permutation parameters from a fixed seed. */
-  private val params: Array[(Long, Long)] = {
+  /** Deterministic permutation parameters from a fixed seed. Public only so
+    * the oracle SQL embeds the identical constants. */
+  val params: Array[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
     Array.fill(NumHashes)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** `(VALUES (0,a_0,b_0), …)` rows for a SQL derived table `p(i, a, b)`. */
+  def paramsSqlValues: String =
+    params.zipWithIndex.map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+
+  /** SQL mirror of [[baseHash32]]: unsigned value of the first 8 md5 hex chars. */
+  def baseHashSql(s: String): String = s"CAST(('0x' || substr(md5($s), 1, 8)) AS BIGINT)"
+
+  /** Unsigned 32-bit value of the first four md5 bytes of `s`. a·x+b with
+    * a,b < 2^31 and x < 2^32 stays below 2^63 — no overflow in either
+    * engine. */
+  private def baseHash32(s: String): Long = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
   private val minhashUdf = udf { (shingles: Seq[String]) =>
     if (shingles == null || shingles.isEmpty) null
     else {
-      val hashes = shingles.map(s => (MurmurHash3.stringHash(s) & 0xffffffffL)).toArray
+      val hashes = shingles.map(baseHash32).toArray
       params.map { case (a, b) =>
         var m = Long.MaxValue
         var i = 0
@@ -48,14 +76,15 @@ object MinHashLSH {
     }
   }
 
-  /** doc_id → (band, bucket) rows, from precomputed shingles. */
+  /** doc_id → (band, bucket) rows, from precomputed shingles. The bucket is
+    * the exact comma-joined slice of r signature values (collision-free). */
   def bandBuckets(sh: DataFrame): DataFrame = {
     val grouped = sh.groupBy("doc_id").agg(collect_list("shingle").as("shingles"))
     val sig = grouped.select(col("doc_id"), minhashUdf(col("shingles")).as("sig"))
       .where(col("sig").isNotNull)
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
-        hash(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)).as("bucket"))
+        concat_ws(",", slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)).as("bucket"))
     }
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))

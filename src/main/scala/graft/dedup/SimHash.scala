@@ -1,31 +1,52 @@
 package graft.dedup
 
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import scala.util.hashing.MurmurHash3
 
 /** 64-bit SimHash near-duplicate detection: each token hashes to 64 bits;
   * the fingerprint's bit i is 1 iff the sum of (±1 per token at bit i) is
   * positive. Near-dup candidates share one of four 16-bit bands (any pair
   * within Hamming distance 3 shares at least one band — pigeonhole), then
   * exact Hamming distance filters. Bucket equi-join, never all-pairs.
+  *
+  * The 64 token bits are md5-derived — bits 0..31 from the first four bytes
+  * of md5("0:" ‖ token), bits 32..63 from md5("1:" ‖ token) — the same
+  * cross-engine hash family as [[graft.operators.CountMin]] and
+  * [[graft.ann.RandomProjection]], so the registered `dedup_simhash` query
+  * replays exactly in the DuckDB oracle ([[bitsSqlLo]]/[[bitsSqlHi]] are the
+  * SQL mirrors kept beside the JVM implementation so the two cannot drift).
+  * Banded + Hamming≤3 ≡ all-pairs + Hamming≤3 (pigeonhole), so the oracle
+  * may verify with a plain fingerprint self-join.
   */
 object SimHash {
-  private def hash64(s: String): Long = {
-    val h1 = MurmurHash3.stringHash(s, 0x9747b28c).toLong
-    val h2 = MurmurHash3.stringHash(s, 0x85ebca6b).toLong
-    (h1 << 32) | (h2 & 0xffffffffL)
+
+  /** Unsigned 32-bit value of the first four md5 bytes of `s` — identical to
+    * parsing the first 8 hex chars of md5(s), which is what the SQL mirror
+    * does. */
+  private def md5Head32(s: String): Long = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
+
+  /** SQL for the low 32 token-hash bits: `CAST(('0x' || substr(md5('0:' || t), 1, 8)) AS BIGINT)`. */
+  def bitsSqlLo(t: String): String = s"CAST(('0x' || substr(md5('0:' || $t), 1, 8)) AS BIGINT)"
+  /** SQL for the high 32 token-hash bits (same, salt "1:"). */
+  def bitsSqlHi(t: String): String = s"CAST(('0x' || substr(md5('1:' || $t), 1, 8)) AS BIGINT)"
 
   private val simhashUdf = udf { (tokens: Seq[String]) =>
     if (tokens == null || tokens.isEmpty) Option.empty[Long]
     else Some {
       val acc = new Array[Int](64)
       tokens.foreach { t =>
-        val h = hash64(t)
+        val lo = md5Head32("0:" + t)
+        val hi = md5Head32("1:" + t)
         var i = 0
-        while (i < 64) {
-          if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+        while (i < 32) {
+          if (((lo >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+          if (((hi >>> i) & 1L) == 1L) acc(i + 32) += 1 else acc(i + 32) -= 1
           i += 1
         }
       }

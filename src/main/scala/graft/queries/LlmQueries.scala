@@ -54,14 +54,81 @@ object LlmQueries {
        |WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin)
 
+  // Replays signatures, bands, and the candidate-restricted verify exactly:
+  // base hash + affine permutations + concat-string buckets are all
+  // cross-engine deterministic (MinHashLSH scaladoc).
   private val dedupMinhash = Q(
     (s, d) => MinHashLSH.nearDuplicatesFromShingles(
         Jaccard.cachedShingles(s, d), JaccardThreshold)
-      .orderBy("doc_a", "doc_b"), None)
+      .orderBy("doc_a", "doc_b"),
+    s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, list_transform(generate_series(1, len(w) - 2),
+       |                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS ss
+       |    FROM toks), UNNEST(ss) AS t(s)
+       |),
+       |bh AS (SELECT doc_id, s, ${MinHashLSH.baseHashSql("s")} AS x FROM sh),
+       |p(i, a, b) AS (VALUES ${MinHashLSH.paramsSqlValues}),
+       |hv AS (
+       |  SELECT doc_id, p.i, MIN((p.a * x + p.b) % ${MinHashLSH.Prime}) AS mh
+       |  FROM bh CROSS JOIN p GROUP BY 1, 2
+       |),
+       |bands AS (
+       |  SELECT doc_id, i // ${MinHashLSH.RowsPerBand} AS band,
+       |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bucket
+       |  FROM hv GROUP BY 1, 2
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |),
+       |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM cand JOIN sh a ON a.doc_id = doc_a
+       |            JOIN sh b ON b.doc_id = doc_b AND b.s = a.s
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b,
+       |       CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) AS jaccard
+       |FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+       |WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin)
 
+  // Banded + Hamming≤3 ≡ all-pairs + Hamming≤3 (pigeonhole over 4 bands),
+  // so the oracle verifies with a plain fingerprint self-join.
   private val dedupSimhash = Q(
     (s, d) => SimHash.nearDuplicates(Tables.documents(s, d), maxHamming = 3)
-      .orderBy("doc_a", "doc_b"), None)
+      .orderBy("doc_a", "doc_b"),
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents
+       |),
+       |th AS (
+       |  SELECT doc_id, t, ${SimHash.bitsSqlLo("t")} AS lo, ${SimHash.bitsSqlHi("t")} AS hi
+       |  FROM toks
+       |),
+       |bits AS (
+       |  SELECT doc_id, i,
+       |    SUM(CASE WHEN ((CASE WHEN i < 32 THEN lo >> i ELSE hi >> (i - 32) END) & 1) = 1
+       |        THEN 1 ELSE -1 END) AS s
+       |  FROM th CROSS JOIN (SELECT unnest(range(64)) AS i)
+       |  GROUP BY 1, 2
+       |),
+       |fp AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN s > 0 THEN
+       |      (CASE WHEN i = 63 THEN CAST(-9223372036854775807 - 1 AS HUGEINT)
+       |            ELSE CAST(power(2, i) AS HUGEINT) END)
+       |      ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS fp
+       |  FROM bits GROUP BY 1
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin)
 
   // ---------------------------------------------------------------- ann
   private val annTopk = Q(
