@@ -3,23 +3,33 @@ package graft.text
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Distributed BPE vocabulary induction (Sennrich et al. 2016): learn the
-  * first `nMerges` byte-pair merges from the corpus word-frequency table.
+/** BPE vocabulary induction (Sennrich et al. 2016): learn the first
+  * `nMerges` byte-pair merges from the corpus word-frequency table.
   *
-  * Spark-first shape: the corpus collapses to a (word, freq) table in one
-  * groupBy — at 100 TB that table is millions of rows, not the corpus size,
-  * and it is the ONLY thing the iteration touches. Each round is one
-  * distributed pass: explode adjacent symbol pairs weighted by word
-  * frequency, aggregate pair counts, take the argmax (a 1-row collect —
-  * metadata, like the packing offsets), and apply the merge to every word's
-  * symbol array with a codegen-free but distributed `aggregate` fold. The
-  * merge decision is deterministic: count DESC, then pair lexicographic.
+  * Spark-first shape: the corpus collapses to a (word, freq) table in ONE
+  * distributed groupBy — at 100 TB that table is millions of rows (bounded
+  * by distinct vocabulary, not corpus size; Heaps' law keeps it ≈10⁷ rows
+  * ≈ hundreds of MB even for web-scale corpora). That bounded table is
+  * collected ONCE and the k sequentially-dependent argmax rounds run
+  * driver-side with incremental pair-count maintenance — the same
+  * bounded-metadata-collect pattern as [[graft.ann.IvfIndex]]'s Lloyd's
+  * fit, and the shape every production tokenizer trainer uses. The
+  * previous formulation ran one full Spark pass per merge (32k merges ⇒
+  * 32k sequential jobs); this one is exactly one Spark job regardless of
+  * k. If the vocabulary ever outgrew driver memory, the distributed
+  * fallback is `minFreq` pre-filtering (a standard trainer knob: the
+  * argmax can never select a pair whose count is below the floor of any
+  * retained word) — not resharding the sequential loop.
   *
-  * The merge table is the training artifact (what a tokenizer ships);
-  * applying it to new text is the already-covered tokenization path.
-  * No SQL oracle — k data-dependent argmax rounds aren't expressible
-  * declaratively — so BpeSpec differential-tests the merge sequence against
-  * an independent single-node reference implementation.
+  * The merge decision is deterministic: count DESC, then pair
+  * lexicographic; merge application is greedy leftmost non-overlapping —
+  * bit-identical to [[applyMerge]], the fold `encodeWords` still applies
+  * distributed. The merge table is the training artifact (what a
+  * tokenizer ships); applying it to new text is the already-covered
+  * tokenization path. No SQL oracle — k data-dependent argmax rounds
+  * aren't expressible declaratively — so BpeSpec differential-tests the
+  * merge sequence against an independent single-node reference
+  * implementation and pins the one-Spark-job bound with a listener.
   */
 object Bpe {
 
@@ -29,64 +39,96 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    // word-frequency table: the working set for every round
-    val base = docs
+    // word-frequency table: the bounded working set — the ONLY Spark job
+    val wordFreq: Array[(String, Long)] = docs
       .select(explode(split(trim(col(textCol)), " ")).as("word"))
       .where(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      // initial symbols: one per character
-      .select(col("freq"),
-        expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))").as("syms"))
-      .persist()
-    base.count()
+      .as[(String, Long)].collect()
 
-    // The merges are sequentially dependent (each argmax needs the previous
-    // round's table), but the merge APPLICATION need not be materialized per
-    // round: chain it lazily onto the working frame and only persist+count
-    // every `ckptEvery` rounds to bound the nested-fold expression depth.
-    // Cuts the per-round job count from 2 to ~1.3 — at 100 TB each job is a
-    // full pass over the vocab table, so fewer passes is the win, not a
-    // local-mode scheduling trick.
-    val ckptEvery = 3
-    var persisted = base  // last materialized ancestor (owns a cache slot)
-    var vocab = base      // current frame: persisted + <chainDepth> lazy merges
-    var chainDepth = 0
+    learn(wordFreq, nMerges).toDF("step", "left", "right", "merged", "pair_count")
+  }
+
+  /** Driver-side merge learning over a collected word-frequency table,
+    * with incremental pair-count maintenance: pair counts are built once
+    * (O(total symbols)) and each merge re-counts only the words that
+    * contain the merged pair — the classic trainer update rule. Pair
+    * occurrences are counted per adjacent position ("aaa" holds (a,a)
+    * twice), matching the previous distributed explode. */
+  private[text] def learn(wordFreq: Array[(String, Long)], nMerges: Int): Seq[(Int, String, String, String, Long)] = {
+    import scala.collection.mutable
+    // split on code points (what Spark's substr(word, i, 1) yielded)
+    val words: Array[Array[String]] = wordFreq.map { case (w, _) =>
+      val b = Array.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        b += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      b.result()
+    }
+    val freqs: Array[Long] = wordFreq.map(_._2)
+
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    def addPairs(wi: Int, sign: Long): Unit = {
+      val syms = words(wi); val f = freqs(wi)
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        val c = pairCount.getOrElse(p, 0L) + sign * f
+        if (c == 0L) pairCount.remove(p) else pairCount(p) = c
+        if (sign > 0) pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+        i += 1
+      }
+    }
+    words.indices.foreach(addPairs(_, 1L))
 
     val out = Seq.newBuilder[(Int, String, String, String, Long)]
     var step = 0
-    var done = false
-    while (step < nMerges && !done) {
-      val top = vocab
-        // single-symbol words have no adjacent pairs (and sequence(0,-1)
-        // would walk backwards into a negative index under ANSI)
-        .where(size(col("syms")) >= 2)
-        .select(col("freq"), explode(expr(
-          "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] as l, syms[i+1] as r))")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1)
-        .collect()
-      if (top.isEmpty) done = true
-      else {
-        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        out += ((step, l, r, l + r, cnt))
-        val merged = vocab.select(col("freq"), applyMerge(l, r).as("syms"))
-        chainDepth += 1
-        step += 1
-        // last round's merge result is never read — skip its materialization
-        if (chainDepth >= ckptEvery && step < nMerges) {
-          val p = merged.persist()
-          p.count()
-          persisted.unpersist()
-          persisted = p
-          vocab = p
-          chainDepth = 0
-        } else vocab = merged
+    while (step < nMerges && pairCount.nonEmpty) {
+      // argmax: count DESC, then (l, r) lexicographic — same ordering as
+      // BpeSpec's reference (and the former orderBy(cnt desc, l, r))
+      var best: ((String, String), Long) = null
+      for (e <- pairCount) {
+        if (best == null) best = e
+        else {
+          val ((bl, br), bc) = best; val ((l, r), c) = e
+          if (c > bc || (c == bc && (l < bl || (l == bl && r < br)))) best = e
+        }
       }
+      val ((l, r), cnt) = best
+      out += ((step, l, r, l + r, cnt))
+      // rewrite only the words that contain the pair; stale indices (words
+      // rewritten since registration) are filtered by a containment scan
+      val touched = pairWords.remove((l, r)).getOrElse(mutable.BitSet.empty)
+      for (wi <- touched) {
+        val syms = words(wi)
+        var has = false
+        var i = 0
+        while (!has && i < syms.length - 1) { has = syms(i) == l && syms(i + 1) == r; i += 1 }
+        if (has) {
+          addPairs(wi, -1L)
+          words(wi) = applyMergeLocal(syms, l, r)
+          addPairs(wi, 1L)
+        }
+      }
+      step += 1
     }
-    persisted.unpersist()
-    out.result().toDF("step", "left", "right", "merged", "pair_count")
+    out.result()
+  }
+
+  /** Greedy leftmost non-overlapping merge of (l, r) — the driver-side
+    * twin of [[applyMerge]]'s fold (after a merge the joined symbol, not
+    * `l`, is what the next input compares against). */
+  private[text] def applyMergeLocal(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (s <- syms) {
+      if (out.nonEmpty && out.last == l && s == r) out(out.length - 1) = l + r
+      else out += s
+    }
+    out.toArray
   }
 
   /** Left-to-right single-pass merge of (l, r) inside a `syms` column: fold

@@ -70,4 +70,30 @@ class BpeSpec extends SparkSpec {
     val got = Bpe.merges(df, "text", nMerges = 5).collect()
     assert(got.isEmpty) // all words are single chars: no adjacent pairs at all
   }
+
+  test("256 merges cost a bounded number of Spark jobs (single word-freq collect)") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val got = Bpe.merges(docs, "text", nMerges = 256)
+        .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+      // listener delivery is async: wait until the job counter is stable
+      var prev = -1
+      var waited = 0
+      while (jobs.get() != prev && waited < 5000) {
+        prev = jobs.get(); Thread.sleep(250); waited += 250
+      }
+      // learning is driver-side over the collected word-freq table: the job
+      // count must not scale with nMerges (was one full pass PER merge)
+      assert(jobs.get() <= 10, s"expected <=10 Spark jobs for 256 merges, saw ${jobs.get()}")
+      assert(got.size > 50) // deep chain (the sf0.001 vocab exhausts at ~89 merges)
+      val texts = docs.select("text").as[String].collect().toSeq
+      assert(got == refBpe(wordFreqs(texts), 256))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
