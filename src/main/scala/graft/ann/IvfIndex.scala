@@ -9,16 +9,22 @@ import org.apache.spark.sql.functions._
   * cell; a query scores only the vectors in its `nProbe` closest cells,
   * exactly (codegen'd dot product), then ranks top-k.
   *
-  * The quantizer is trained FAISS-style: a bounded, deterministic,
-  * content-hash sample of the corpus is collected to the driver and Lloyd's
-  * iterations run locally (k-means cost is O(sample·k·d) and a coarse
-  * quantizer only has to spread cells — recall comes from nProbe, not
-  * centroid optimality). Distributing the fit (MLlib) spends more time on
-  * per-iteration job scheduling than the arithmetic itself, at every scale:
-  * the sample is capped, so driver memory is bounded at 100 TB too.
+  * The quantizer is trained FAISS-style on a bounded, deterministic,
+  * content-hash sample of the corpus. The FIT dispatches on the cell
+  * count, the same way a join picks broadcast vs shuffle: up to
+  * `driverFitMaxCells` the sample is collected and Lloyd's runs on the
+  * driver (k-means cost is O(sample·k·d); a distributed fit at small k
+  * spends more on per-iteration job scheduling than the arithmetic —
+  * measured with MLlib in round 4), while past it [[fitDistributed]] keeps
+  * the sample as a DataFrame and runs Lloyd's as Spark jobs, so the
+  * SemDeDup nCells ≈ n/128 rule survives arbitrarily large cell counts:
+  * nothing sample-sized ever reaches the driver on that path — only k·d
+  * centroid aggregates per iteration. A coarse quantizer only has to
+  * spread cells; recall comes from nProbe, not centroid optimality.
   *
-  * Assignment is then ONE map pass with the centroid table in the task
-  * closure (k·d doubles — a few KB). The per-row argmin is a UDF by choice:
+  * Assignment is then ONE map pass with the centroid table shipped as a
+  * broadcast variable (k·d doubles — KBs at small k, still only MBs at
+  * 10⁵ cells). The per-row argmin is a UDF by choice:
   * its body IS the k·d distance arithmetic, so codegen'd expression trees
   * would save only the row-boundary overhead. At 100 TB the index is just
   * `(cell, vec)` written partitioned BY cell ([[writeIndex]]) so a probe
@@ -27,14 +33,23 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
+  /** Past this many cells the fit graduates from the collected-sample
+    * driver Lloyd's to [[fitDistributed]] — chosen where the per-iteration
+    * job-scheduling overhead of the distributed fit stops dominating the
+    * O(sample·k·d) arithmetic it parallelizes. */
+  val DriverFitMaxCells = 1024
+
   /** Train the coarse quantizer on a ~≤maxTrain deterministic sample and
     * assign each vector to its cell. The stride derives from one cheap
     * count() of the key column (columnar scan of a single int column; an
     * index build amortizes it — callers that already know the corpus size
-    * can pre-count and cache).
+    * can pre-count and cache). Fit dispatch: collected-sample driver
+    * Lloyd's up to `driverFitMaxCells`, [[fitDistributed]] beyond (the
+    * sample never reaches the driver on that path).
     * Returns (assignments: vec_id, emb, cell; centroids: cell, centroid). */
   def assign(vecs: DataFrame, nCells: Int, seed: Long = 42L,
-             maxTrain: Int = 65536): (DataFrame, DataFrame) = {
+             maxTrain: Int = 65536,
+             driverFitMaxCells: Int = DriverFitMaxCells): (DataFrame, DataFrame) = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val total = vecs.count()
@@ -43,32 +58,90 @@ object IvfIndex {
     val stride = math.max(1L, (total + maxTrain - 1) / maxTrain)
     // content-hash stride: the training set is a pure function of the data
     // and seed, independent of partitioning and row order
-    val sample = vecs
+    val sampleDf = vecs
       .where(pmod(xxhash64(col("vec_id"), lit(seed)), lit(stride)) === 0L)
       .select(col("vec_id"), col("emb"))
-      .as[(Long, Seq[Double])].collect()
-      .sortBy(_._1).map(_._2.toArray)
-    val centroids = lloyd(sample, nCells, seed, iters = 5)
-    val nearest = udf { (emb: Seq[Double]) =>
-      val x = emb.toArray
-      var best = 0
-      var bestD = Double.MaxValue
-      var c = 0
-      while (c < centroids.length) {
-        val ce = centroids(c)
-        var d2 = 0.0
-        var i = 0
-        while (i < ce.length) { val df = x(i) - ce(i); d2 += df * df; i += 1 }
-        if (d2 < bestD) { bestD = d2; best = c }
-        c += 1
-      }
-      best
-    }
+    val centroids =
+      if (nCells <= driverFitMaxCells) {
+        val sample = sampleDf
+          .as[(Long, Seq[Double])].collect()
+          .sortBy(_._1).map(_._2.toArray)
+        lloyd(sample, nCells, seed, iters = 5)
+      } else fitDistributed(sampleDf, nCells, seed)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val nearest = udf { (emb: Seq[Double]) => nearestCell(bc.value, emb) }
     val assigned = vecs.select(col("vec_id"), col("emb"), nearest(col("emb")).as("cell"))
     val cents = centroids.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid")
     (assigned, cents)
+  }
+
+  /** Index of the closest centroid by squared euclidean distance (first
+    * minimum wins — deterministic under ties). */
+  private def nearestCell(cents: Array[Array[Double]], emb: Seq[Double]): Int = {
+    val x = emb.toArray
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val ce = cents(c)
+      var d2 = 0.0
+      var i = 0
+      while (i < ce.length) { val df = x(i) - ce(i); d2 += df * df; i += 1 }
+      if (d2 < bestD) { bestD = d2; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Distributed Lloyd's over a sample that STAYS a DataFrame — the scale
+    * path for cell counts past [[DriverFitMaxCells]] (SemDeDup's
+    * nCells ≈ n/128 rule reaches 10⁵+ cells at paper scale). Per
+    * iteration: one Spark job assigns each sample row to its nearest
+    * broadcast centroid and aggregates per-(cell, dim) sums — so the only
+    * thing ever collected is k·d centroid aggregates (metadata), never the
+    * sample. Deterministic for a given (sample, k, seed): init is the k
+    * first rows by content hash, and the per-dimension means are summed as
+    * DECIMAL(25,10) (exact, associative — the §6 convention), so shuffle
+    * order cannot perturb the centroids.
+    *
+    * Returns exactly min(k, sample size) centroids; empty cells keep their
+    * previous centroid, like the driver fit. `iters = 0` returns the init,
+    * which the spec uses as the cost baseline. */
+  def fitDistributed(sample: DataFrame, k: Int, seed: Long,
+                     iters: Int = 5): Array[Array[Double]] = {
+    val spark = sample.sparkSession
+    import spark.implicits._
+    // deterministic init: first k sample rows by content hash — the
+    // distributed analog of the driver fit's seeded shuffle-take(k); a
+    // top-k job, collecting k·d doubles (centroid metadata, not the sample)
+    var cents: Array[Array[Double]] = sample
+      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+      .limit(k)
+      .select(col("emb")).as[Seq[Double]].collect()
+      .map(_.toArray)
+    require(cents.nonEmpty, "empty quantizer training sample")
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val nearest = udf { (emb: Seq[Double]) => nearestCell(bc.value, emb) }
+      // per-(cell, dim) exact decimal sums + member counts: k·d rows out
+      val stats = sample
+        .select(nearest(col("emb")).as("cell"), posexplode(col("emb")))
+        .groupBy("cell", "pos")
+        .agg(sum(graft.sqlx.Exact.dec(col("col"))).as("s"), count(lit(1)).as("n"))
+        .collect()
+      bc.destroy()
+      val next = cents.map(_.clone)
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          r.getDecimal(2).doubleValue() / r.getLong(3)
+      }
+      cents = next
+      it += 1
+    }
+    cents
   }
 
   /** Seeded local Lloyd's: init = k shuffled sample points, empty cells keep

@@ -13,13 +13,15 @@ import org.apache.spark.sql.functions._
   * (the pair join is keyed on the cell, so it shuffles each vector once).
   * The scaling rule for the knob: grow `nCells` with the corpus to keep
   * cell occupancy roughly constant (nCells ≈ n/128 makes Σ cell² linear
-  * in n; the paper runs ~110k clusters at LAION scale), and once nCells
-  * outgrows what the bounded-sample driver Lloyd can fit (~10³ cells),
-  * graduate the coarse fit to a distributed k-means — only the fit
-  * changes, the cell-keyed pair-join shape below is already the scale
-  * path.
+  * in n; the paper runs ~110k clusters at LAION scale). The coarse fit
+  * follows that rule all the way up: past IvfIndex.DriverFitMaxCells,
+  * [[IvfIndex.assign]] dispatches to the distributed Lloyd's
+  * ([[IvfIndex.fitDistributed]] — sample stays a DataFrame, only k·d
+  * centroid aggregates reach the driver), so the cell count is never
+  * capped by driver memory; the cell-keyed pair join below is already the
+  * scale shape.
   *
-  * Reuses [[IvfIndex.assign]] (bounded-sample Lloyd's) for the cells and
+  * Reuses [[IvfIndex.assign]] for the cells and
   * the codegen'd dot product for the scoring. Representative choice is the
   * smallest vec_id of each duplicate group's connected component within
   * the cell — deterministic; the paper keeps a random/centroid-farthest
