@@ -45,10 +45,13 @@ object Decontaminate {
     // semi-join removes the ε false positives — bit-identical to the
     // unfiltered semi-join, but at 100 TB only the bloom-passing sliver of
     // corpus shingles reaches the join. The bitmap is a plan-size literal
-    // (64 KiB), so even when the holdout's distinct-shingle table outgrows
-    // the broadcast threshold the prefilter still applies before any
-    // exchange; the semi-join then degrades gracefully to a shuffled join
-    // over the already-thinned sliver.
+    // sized from the holdout cardinality (Bloom.bitsFor: ~12 bits/item,
+    // FP ≤1%, 64 KiB floor / 16 MiB cap), so even when the holdout's
+    // distinct-shingle table outgrows the broadcast threshold the
+    // prefilter still applies before any exchange; the semi-join then
+    // degrades gracefully to a shuffled join over the already-thinned
+    // sliver. NOTE Bloom.build is EAGER — constructing this plan runs the
+    // count + bit_or jobs (explain-only tooling pays them too).
     val words = graft.operators.Bloom.build(benchShingles, "shingle")
     val hits = trainSh
       .where(graft.operators.Bloom.mightContain(words, col("shingle")))

@@ -28,6 +28,34 @@ class BloomSpec extends SparkSpec {
     assert(fp <= 45, s"FP count $fp over 40k probes exceeds bound")
   }
 
+  test("bitmap scales with item cardinality: power of two, >= 12.37 bits/item between floor and cap") {
+    assert(Bloom.bitsFor(1000) === Bloom.MinBits) // floor
+    assert(Bloom.bitsFor(100000) === (1 << 21)) // 12.37·1e5 ≈ 1.24M → 2^21
+    assert(Bloom.bitsFor(1000000) === (1 << 24))
+    assert(Bloom.bitsFor(100000000) === Bloom.MaxBits) // cap
+    Seq(1L, 50000L, 5000000L).foreach { n =>
+      val m = Bloom.bitsFor(n)
+      assert(Integer.bitCount(m) === 1)
+      assert(m >= Bloom.MinBits && m <= Bloom.MaxBits)
+      if (m < Bloom.MaxBits) assert(m >= 12.37 * n)
+    }
+  }
+
+  test("FP rate <= 1% holds on a planted set past the floor (200k items)") {
+    // 200k items → 2^22 bits (the sizing rule's regime, not the floor);
+    // theoretical FP = (1-e^(-kn/m))^k ≈ 0.24% — assert the documented ≤1%
+    val items = spark.range(200000).select(concat(lit("big"), col("id")).as("t"))
+    val words = Bloom.build(items, "t")
+    assert(words.length * 64 === (1 << 22))
+    assert(items.where(!Bloom.mightContain(words, col("t"))).count() == 0L,
+      "bloom returned a false negative")
+    val probes = 100000L
+    val others = spark.range(200000, 200000 + probes)
+      .select(concat(lit("big"), col("id")).as("t"))
+    val fp = others.where(Bloom.mightContain(words, col("t"))).count()
+    assert(fp <= probes / 100, s"FP count $fp over $probes probes exceeds 1%")
+  }
+
   test("overlap with bloom prefilter is bit-identical to the unfiltered left-join formulation") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val isHold = col("doc_id") % 10 === 3
