@@ -379,7 +379,31 @@ object AggregateQueries {
       .orderBy("column_name"),
     profileOracle("events", EventsCols))
 
+  /** Key-integrity contract report (Contracts.scala): the reference DDL's
+    * PK constraints re-asserted by query. Oracle generated from the same
+    * declared-key list the Spark side uses. */
+  private def contractSelect(table: String, keys: Seq[String]): String = {
+    val nonNull = keys.map(k => s"$k IS NOT NULL").mkString(" AND ")
+    val anyNull = keys.map(k => s"$k IS NULL").mkString(" OR ")
+    val keyExpr = keys.map(k => s"CAST($k AS VARCHAR)").mkString(" || '|' || ")
+    val distinctKeys = s"COUNT(DISTINCT CASE WHEN $nonNull THEN $keyExpr END)"
+    val nullRows = s"COUNT(CASE WHEN $anyNull THEN 1 END)"
+    s"""SELECT '$table' AS table_name, '${keys.mkString(",")}' AS key_columns,
+       |  COUNT(*) AS n_rows,
+       |  $distinctKeys AS n_distinct_keys,
+       |  $nullRows AS n_null_key_rows,
+       |  ($nullRows = 0 AND $distinctKeys = COUNT(*)) AS pk_ok
+       |FROM $table""".stripMargin
+  }
+
+  private val tableContracts = Q(
+    (s, d) => graft.relational.Contracts.report(s, d),
+    graft.relational.Contracts.keysByTable
+      .map { case (t, ks) => contractSelect(t, ks) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name"))
+
   val all: Map[String, Q] = Map(
+    "table_contracts" -> tableContracts,
     "table_profile" -> tableProfile,
     "table_profile_approx" -> tableProfileApprox,
     "table_profile_events" -> tableProfileEvents,
