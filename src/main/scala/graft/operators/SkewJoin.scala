@@ -20,10 +20,24 @@ import org.apache.spark.sql.functions._
   * aggregating partials before the join when algebra allows (§5.1);
   * this operator is for when the joined rows themselves are needed.
   *
-  * (Spark's AQE skew-join handles skew at runtime for sort-merge joins;
-  * explicit salting remains the portable fix when AQE can't split — e.g.
-  * aggregations keyed on the hot column, or bucketed-table joins that
-  * must not re-shuffle.)
+  * == Decision rule: AQE skew join vs explicit salting ==
+  * (evidence: AqeSkewSpec, which trips OptimizeSkewedJoin on a generated
+  * hot key and pins where it cannot fire)
+  *
+  *  1. Plain shuffle (sort-merge) equi-join with a hot key → use the
+  *     PLAIN join and let AQE split it: `spark.sql.adaptive.skewJoin`
+  *     (on by default) rewrites the skewed partition into parallel
+  *     splits at runtime (SortMergeJoinExec.isSkewJoin), with zero
+  *     replication cost and no code change. This operator adds nothing
+  *     there.
+  *  2. Hot-key AGGREGATION → salt. OptimizeSkewedJoin only rewrites
+  *     joins; a groupBy's exchange hash-partitions on the raw key, so
+  *     the hot key is structurally one reducer regardless of AQE. Use
+  *     the two-phase salted rollup (graft.sqlx.Skew.saltedCountSum).
+  *  3. Bucketed / pre-partitioned joins → salt (or re-bucket). Their
+  *     point is having NO exchange, and AQE skew handling works by
+  *     re-reading shuffle output — no exchange, nothing to split.
+  *  4. Broadcast-able small side → neither; broadcast beats both.
   */
 object SkewJoin {
 
