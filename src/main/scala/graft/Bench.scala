@@ -70,8 +70,39 @@ object Bench {
     val qs = timings.map { case (k, v) => s"${q(k)}:${"%.3f".format(v)}" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
+
+    // Per-query regression gate vs the committed baseline (round-9 sf0.1
+    // min-of-3, BASELINE_QUERIES.json — BASELINE.json itself publishes no
+    // numbers, only the "within 2×" criterion). A query is flagged only
+    // when BOTH >2× its baseline AND >0.25 s absolute over it: sub-second
+    // queries jitter well past 2× on scheduling noise alone, and the
+    // absolute slack keeps the gate about real regressions. Flags are
+    // loud (WARNING line + n_over_2x in the summary) but never abort the
+    // run — a half-missing artifact would hide more than it reveals.
+    val baselinePath = java.nio.file.Paths.get("BASELINE_QUERIES.json")
+    val baseline: Map[String, Double] =
+      if (sfDir.endsWith("sf0.1") && java.nio.file.Files.exists(baselinePath)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(baselinePath), "UTF-8")
+        """"([A-Za-z0-9_]+)":\s*([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter { case (k, _) => SparkEntry.queries.contains(k) }
+          .toMap
+      } else Map.empty
+    val common = timings.keys.filter(baseline.contains).toSeq
+    val baseTotal = common.map(baseline).sum
+    val vsBaseline = if (baseTotal > 0) common.map(timings).sum / baseTotal else 0.0
+    val over2x = common
+      .filter(k => timings(k) > 2.0 * baseline(k) && timings(k) - baseline(k) > 0.25)
+      .sortBy(k => -(timings(k) / baseline(k)))
+    if (over2x.nonEmpty)
+      println(s"WARNING: ${over2x.size} queries exceed 2x their committed baseline: " +
+        over2x.map(k => s"$k ${"%.2f".format(timings(k) / baseline(k))}x").mkString(", "))
+    val vsFields =
+      if (baseline.isEmpty) ""
+      else s""","vs_baseline":${"%.3f".format(vsBaseline)},"n_over_2x":${over2x.size},"over_2x":${over2x.take(10).map(k => s"${q(k)}:${"%.2f".format(timings(k) / baseline(k))}").mkString("{", ",", "}")}"""
+
     val fullLine =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"sf":${q(sfDir)}}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs$vsFields,"sf":${q(sfDir)}}"""
     // The full per-query map outgrew the harness's bounded stdout-tail capture
     // (~2000 chars) once the suite passed ~100 queries, truncating the headline
     // total out of the round artifact. Persist the full detail to a file and
@@ -84,7 +115,7 @@ object Bench {
       .map { case (k, v) => s"${q(k)}:${"%.3f".format(v)}" }.mkString("{", ",", "}")
     // n_errors rides next to n_queries so a half-broken run can never read
     // as a fast run in the round artifact
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$slowest,"errors":$errs,"runs":$runs,"n_queries":${timings.size},"n_errors":${errors.size},"full":"BENCH_FULL.json","sf":${q(sfDir)}}""")
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$slowest,"errors":$errs,"runs":$runs,"n_queries":${timings.size},"n_errors":${errors.size}$vsFields,"full":"BENCH_FULL.json","sf":${q(sfDir)}}""")
     spark.stop()
   }
 }
