@@ -42,7 +42,15 @@ object Tables {
     * plain read first and set the flag only on the retry, so a session
     * reading micros-era testdata is never left with the global legacy flag
     * flipped (it would make OTHER nanos parquet reads silently yield longs
-    * instead of erroring). */
+    * instead of erroring).
+    *
+    * Residual leak, by design: once a nanos file HAS been read here, the
+    * session-global flag stays set for the rest of the session — it cannot
+    * be unset after the call because the returned DataFrame reads the conf
+    * lazily at execution time. From that point, non-Tables parquet readers
+    * in the same session see TIMESTAMP(NANOS) columns as LongType instead
+    * of getting the Illegal-Parquet-type error, and must not rely on that
+    * error for encoding detection. */
   private def readMaybeNanos(spark: SparkSession)(body: => DataFrame): DataFrame =
     try body catch {
       case e: org.apache.spark.sql.AnalysisException

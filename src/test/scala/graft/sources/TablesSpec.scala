@@ -23,33 +23,41 @@ class TablesSpec extends SparkSpec {
     ).toDF("event_id", "s")
       .select(col("event_id"), to_timestamp(col("s")).as("ts"))
 
-    val tmp = java.nio.file.Files.createTempDirectory("tablesspec").toString
-    // micros adjusted-to-UTC (what Spark itself writes for TimestampType)
-    base.write.mode("overwrite").parquet(s"$tmp/utc/events.parquet")
-    // micros NOT adjusted to UTC → reads back TIMESTAMP_NTZ (the current
-    // driver testdata encoding, pandas/pyarrow timestamp[us] without tz)
-    base.select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"))
-      .write.mode("overwrite").parquet(s"$tmp/ntz/events.parquet")
-    // epoch-nanos as plain INT64 → reads back LongType, same branch the
-    // legacy TIMESTAMP(NANOS)+nanosAsLong encoding lands in
-    base.select(col("event_id"), (unix_micros(col("ts")) * 1000).as("ts"))
-      .write.mode("overwrite").parquet(s"$tmp/long/events.parquet")
+    val tmpPath = java.nio.file.Files.createTempDirectory("tablesspec")
+    val tmp = tmpPath.toString
+    try {
+      // micros adjusted-to-UTC (what Spark itself writes for TimestampType)
+      base.write.mode("overwrite").parquet(s"$tmp/utc/events.parquet")
+      // micros NOT adjusted to UTC → reads back TIMESTAMP_NTZ (the current
+      // driver testdata encoding, pandas/pyarrow timestamp[us] without tz)
+      base.select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"))
+        .write.mode("overwrite").parquet(s"$tmp/ntz/events.parquet")
+      // epoch-nanos as plain INT64 → reads back LongType, same branch the
+      // legacy TIMESTAMP(NANOS)+nanosAsLong encoding lands in
+      base.select(col("event_id"), (unix_micros(col("ts")) * 1000).as("ts"))
+        .write.mode("overwrite").parquet(s"$tmp/long/events.parquet")
 
-    val frames = Seq("utc", "ntz", "long").map(e => e -> Tables.events(spark, s"$tmp/$e"))
-    frames.foreach { case (e, df) =>
-      assert(df.schema("ts").dataType == TimestampType,
-        s"encoding $e read back as ${df.schema("ts").dataType}, expected TimestampType")
+      val frames = Seq("utc", "ntz", "long").map(e => e -> Tables.events(spark, s"$tmp/$e"))
+      frames.foreach { case (e, df) =>
+        assert(df.schema("ts").dataType == TimestampType,
+          s"encoding $e read back as ${df.schema("ts").dataType}, expected TimestampType")
+      }
+      val collected = frames.map { case (e, df) =>
+        e -> df.select(col("event_id"), col("ts").cast("string"))
+          .as[(Long, String)].collect().sortBy(_._1).toSeq
+      }.toMap
+      assert(collected("ntz") == collected("utc"), "NTZ encoding drifted from UTC-micros")
+      assert(collected("long") == collected("utc"), "long-nanos encoding drifted from UTC-micros")
+      assert(collected("utc").map(_._2) == Seq(
+        "2024-01-02 03:04:05.123456",
+        "2024-06-30 23:59:59.999999",
+        "1999-12-31 00:00:00.000001"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
     }
-    val collected = frames.map { case (e, df) =>
-      e -> df.select(col("event_id"), col("ts").cast("string"))
-        .as[(Long, String)].collect().sortBy(_._1).toSeq
-    }.toMap
-    assert(collected("ntz") == collected("utc"), "NTZ encoding drifted from UTC-micros")
-    assert(collected("long") == collected("utc"), "long-nanos encoding drifted from UTC-micros")
-    assert(collected("utc").map(_._2) == Seq(
-      "2024-01-02 03:04:05.123456",
-      "2024-06-30 23:59:59.999999",
-      "1999-12-31 00:00:00.000001"))
   }
 
   test("driver testdata events reads with a TimestampType ts at every SF") {
@@ -64,16 +72,25 @@ class TablesSpec extends SparkSpec {
     // committed fixture written by pyarrow with timestamp[ns] (parquet
     // v2.6) — the round-7-era testdata encoding Spark cannot read without
     // the nanosAsLong legacy flag. Start from a clean session state so the
-    // first read genuinely fails and the retry path is exercised.
-    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-    val df = Tables.events(spark, "src/test/resources/events_nanos")
-    assert(df.schema("ts").dataType == TimestampType)
-    val got = df.select(col("event_id"), col("ts").cast("string"))
-      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
-    assert(got == Seq(
-      (1L, "2024-01-02 03:04:05.123456"),
-      (2L, "2024-06-30 23:59:59.999999"),
-      (3L, "1999-12-31 00:00:00.000001")))
+    // first read genuinely fails and the retry path is exercised; restore
+    // the prior flag state afterwards so suite order cannot couple through
+    // the shared session (an earlier-set flag would otherwise vanish).
+    val flag = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(flag)
+    spark.conf.unset(flag)
+    try {
+      val df = Tables.events(spark, "src/test/resources/events_nanos")
+      assert(df.schema("ts").dataType == TimestampType)
+      val got = df.select(col("event_id"), col("ts").cast("string"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      assert(got == Seq(
+        (1L, "2024-01-02 03:04:05.123456"),
+        (2L, "2024-06-30 23:59:59.999999"),
+        (3L, "1999-12-31 00:00:00.000001")))
+    } finally prior match {
+      case Some(v) => spark.conf.set(flag, v)
+      case None => spark.conf.unset(flag)
+    }
   }
 
   /** Early-warning schema contract: every column the operators read, with
