@@ -51,11 +51,17 @@ object MinHashLSH {
   /** SQL mirror of [[baseHash32]]: unsigned value of the first 8 md5 hex chars. */
   def baseHashSql(s: String): String = s"CAST(('0x' || substr(md5($s), 1, 8)) AS BIGINT)"
 
+  /** One MD5 instance per executor thread (getInstance() per shingle was
+    * the UDF's hot-loop cost; digest() resets it, so reuse is
+    * value-identical — same optimization as SimHash.md5Local). */
+  private val md5Local: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
   /** Unsigned 32-bit value of the first four md5 bytes of `s`. a·x+b with
     * a,b < 2^31 and x < 2^32 stays below 2^63 — no overflow in either
     * engine. */
   private def baseHash32(s: String): Long = {
-    val d = MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
+    val d = md5Local.get().digest(s.getBytes(StandardCharsets.UTF_8))
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 

@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   * within Hamming distance 3 shares at least one band — pigeonhole), then
   * exact Hamming distance filters. Bucket equi-join, never all-pairs.
   *
-  * The 64 token bits are md5-derived — bits 0..31 from the first four bytes
-  * of md5("0:" ‖ token), bits 32..63 from md5("1:" ‖ token) — the same
+  * The 64 token bits are md5-derived — bits 0..31 from md5 bytes 0-3,
+  * bits 32..63 from bytes 4-7 of the SAME digest (one md5 per token; a
+  * second salted digest measured ~2× the hash cost for no extra
+  * independence md5's avalanche doesn't already give) — the same
   * cross-engine hash family as [[graft.operators.CountMin]] and
   * [[graft.ann.RandomProjection]], so the registered `dedup_simhash` query
   * replays exactly in the DuckDB oracle ([[bitsSqlLo]]/[[bitsSqlHi]] are the
@@ -23,26 +25,33 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  /** Unsigned 32-bit value of the first four md5 bytes of `s` — identical to
-    * parsing the first 8 hex chars of md5(s), which is what the SQL mirror
-    * does. */
-  private def md5Head32(s: String): Long = {
-    val d = MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
-    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-  }
+  /** One MD5 instance per executor thread: getInstance() per hash was the
+    * UDF's hot-loop cost (provider lookup + allocation per TOKEN); digest()
+    * resets the instance, so reuse is value-identical. */
+  private val md5Local: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
-  /** SQL for the low 32 token-hash bits: `CAST(('0x' || substr(md5('0:' || t), 1, 8)) AS BIGINT)`. */
-  def bitsSqlLo(t: String): String = s"CAST(('0x' || substr(md5('0:' || $t), 1, 8)) AS BIGINT)"
-  /** SQL for the high 32 token-hash bits (same, salt "1:"). */
-  def bitsSqlHi(t: String): String = s"CAST(('0x' || substr(md5('1:' || $t), 1, 8)) AS BIGINT)"
+  /** Unsigned 32-bit value of md5 bytes [off, off+4) of `s` — identical to
+    * parsing hex chars [2·off+1, 2·off+8] of md5(s), which is what the SQL
+    * mirrors do. */
+  private def md5Word32(d: Array[Byte], off: Int): Long =
+    ((d(off) & 0xffL) << 24) | ((d(off + 1) & 0xffL) << 16) |
+      ((d(off + 2) & 0xffL) << 8) | (d(off + 3) & 0xffL)
+
+  /** SQL for the low 32 token-hash bits: md5 hex chars 1-8. */
+  def bitsSqlLo(t: String): String = s"CAST(('0x' || substr(md5($t), 1, 8)) AS BIGINT)"
+  /** SQL for the high 32 token-hash bits: md5 hex chars 9-16 (same digest). */
+  def bitsSqlHi(t: String): String = s"CAST(('0x' || substr(md5($t), 9, 8)) AS BIGINT)"
 
   private val simhashUdf = udf { (tokens: Seq[String]) =>
     if (tokens == null || tokens.isEmpty) Option.empty[Long]
     else Some {
       val acc = new Array[Int](64)
+      val md = md5Local.get()
       tokens.foreach { t =>
-        val lo = md5Head32("0:" + t)
-        val hi = md5Head32("1:" + t)
+        val d = md.digest(t.getBytes(StandardCharsets.UTF_8))
+        val lo = md5Word32(d, 0)
+        val hi = md5Word32(d, 4)
         var i = 0
         while (i < 32) {
           if (((lo >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1

@@ -36,7 +36,12 @@ object Decontaminate {
               precomputedShingles: Option[DataFrame] = None): DataFrame = {
     val sh = precomputedShingles.getOrElse(Jaccard.shingles(docs))
     val holdIds = docs.where(isHoldout).select("doc_id")
+    // localCheckpoint: the holdout's distinct-shingle frame is read three
+    // times (cardinality count for the bloom sizing, bitmap build, exact
+    // semi-join) and each recompute would re-scan the corpus-wide shingle
+    // table — materialize it once; it is holdout-sized by construction
     val benchShingles = sh.join(holdIds, "doc_id").select("shingle").distinct()
+      .localCheckpoint()
     val trainSh = sh.join(holdIds, Seq("doc_id"), "left_anti")
     // n_shingles: per-doc count, map-side combinable, no join involved
     val totals = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
