@@ -96,10 +96,12 @@ object Decontaminate {
             precomputedShingles: Option[DataFrame] = None): DataFrame = {
     val sh = precomputedShingles.getOrElse(Jaccard.shingles(docs))
     val holdIds = docs.where(isHoldout).select("doc_id")
-    val bb = MinHashLSH.bandBuckets(sh)
-    val holdBb = bb.join(holdIds, "doc_id")
+    // signatures are per-doc, so banding only the holdout's shingles is
+    // identical to banding everything and then filtering — and skips a
+    // second full-corpus signature pass for the small side
+    val holdBb = MinHashLSH.bandBuckets(sh.join(holdIds, "doc_id"))
       .select(col("doc_id").as("bench_id"), col("band"), col("bucket"))
-    val corpusBb = bb.join(holdIds, Seq("doc_id"), "left_anti")
+    val corpusBb = MinHashLSH.bandBuckets(sh.join(holdIds, Seq("doc_id"), "left_anti"))
     val cand = corpusBb.join(broadcast(holdBb), Seq("band", "bucket"))
       .select(col("doc_id").as("doc_a"), col("bench_id").as("doc_b"))
       .distinct()
