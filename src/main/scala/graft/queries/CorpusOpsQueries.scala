@@ -269,14 +269,38 @@ object CorpusOpsQueries {
   /** Fuzzy (whole-document) decontamination: MinHash-banded candidates vs
     * the full held-out set (val+test, doc_id % 20 >= 18 — training data is
     * decontaminated against everything not trained on), exactly verified at
-    * the dedup Jaccard threshold. Probabilistic (LSH) ⇒ rows-only;
-    * planted-pair recall spec-asserted. */
+    * the dedup Jaccard threshold. Since the round-9 md5 derandomization the
+    * bands replay bit-for-bit in DuckDB, so the LSH miss pattern is
+    * deterministic too and the query is ORACLE-GREEN — the oracle reuses
+    * LlmQueries.minhashBandCtes (the dedup_minhash chain) and only changes
+    * the candidate join from `doc_a < doc_b` to corpus-side × holdout-side.
+    * Planted-pair recall stays spec-asserted (DecontaminateSpec). */
   private val decontaminateFuzzy = Q(
     (s, d) => Decontaminate.fuzzy(
         Tables.documents(s, d), col("doc_id") % 20 >= 18,
         LlmQueries.JaccardThreshold,
         precomputedShingles = Some(Jaccard.cachedShingles(s, d)))
-      .orderBy("doc_id", "benchmark_id"), None)
+      .orderBy("doc_id", "benchmark_id"),
+    s"""WITH ${LlmQueries.minhashBandCtes},
+       |cand AS (
+       |  SELECT DISTINCT c.doc_id AS doc_a, h.doc_id AS doc_b
+       |  FROM bands c JOIN bands h
+       |    ON c.band = h.band AND c.bucket = h.bucket
+       |  WHERE c.doc_id % 20 < 18 AND h.doc_id % 20 >= 18
+       |),
+       |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM cand JOIN sh a ON a.doc_id = doc_a
+       |            JOIN sh b ON b.doc_id = doc_b AND b.s = a.s
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a AS doc_id, doc_b AS benchmark_id, inter,
+       |       ca.n AS na, cb.n AS nb,
+       |       CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) AS jaccard
+       |FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+       |WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) >= ${LlmQueries.JaccardThreshold}
+       |ORDER BY doc_id, benchmark_id""".stripMargin)
 
   /** Deterministic pre-training corpus shuffle: md5-keyed global
     * permutation + round-robin shard assignment (graft.operators

@@ -54,14 +54,14 @@ object LlmQueries {
        |WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin)
 
-  // Replays signatures, bands, and the candidate-restricted verify exactly:
-  // base hash + affine permutations + concat-string buckets are all
-  // cross-engine deterministic (MinHashLSH scaladoc).
-  private val dedupMinhash = Q(
-    (s, d) => MinHashLSH.nearDuplicatesFromShingles(
-        Jaccard.cachedShingles(s, d), JaccardThreshold)
-      .orderBy("doc_a", "doc_b"),
-    s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+  /** Shared oracle CTE chain replaying MinHash signatures and band buckets
+    * (single source of truth for `dedup_minhash` AND
+    * CorpusOpsQueries.decontaminate_fuzzy): word-trigram shingles → md5
+    * base hash → affine permutation minima → comma-joined band buckets —
+    * every stage cross-engine deterministic (MinHashLSH scaladoc).
+    * Produces CTEs `sh(doc_id, s)` and `bands(doc_id, band, bucket)`. */
+  val minhashBandCtes: String =
+    s"""toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
        |sh AS (
        |  SELECT DISTINCT doc_id, s FROM (
        |    SELECT doc_id, list_transform(generate_series(1, len(w) - 2),
@@ -78,7 +78,16 @@ object LlmQueries {
        |  SELECT doc_id, i // ${MinHashLSH.RowsPerBand} AS band,
        |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bucket
        |  FROM hv GROUP BY 1, 2
-       |),
+       |)""".stripMargin
+
+  // Replays signatures, bands, and the candidate-restricted verify exactly:
+  // base hash + affine permutations + concat-string buckets are all
+  // cross-engine deterministic (MinHashLSH scaladoc).
+  private val dedupMinhash = Q(
+    (s, d) => MinHashLSH.nearDuplicatesFromShingles(
+        Jaccard.cachedShingles(s, d), JaccardThreshold)
+      .orderBy("doc_a", "doc_b"),
+    s"""WITH $minhashBandCtes,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
