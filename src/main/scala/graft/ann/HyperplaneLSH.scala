@@ -12,12 +12,44 @@ import org.apache.spark.sql.functions._
   *
   * P(bit match) = 1 − θ/π, so a B-bit bucket matches with (1 − θ/π)^B —
   * L tables + 1-bit probes flatten the miss rate for near neighbours.
-  * Hyperplanes derive from a fixed seed: deterministic across runs/JVMs.
+  *
+  * Hyperplanes are ±1 (Rademacher) entries derived from md5 text
+  * arithmetic — the same database-friendly family [[RandomProjection]]
+  * uses (Achlioptas 2003: sign matrices satisfy the same
+  * distance-preservation bounds as gaussians; for sign-LSH only the
+  * DIRECTION of the hyperplane matters and ±1 directions are uniform
+  * enough at d=64). The planes are built with Spark's own md5 SQL
+  * function and mirrored by [[planesSql]], so every engine computes
+  * identical planes, buckets, and therefore the identical (deterministic)
+  * LSH miss pattern — this is what lets `ann_lsh` and
+  * `dedup_embedding_lsh` carry full DuckDB oracles instead of rows-only
+  * recall specs.
   */
 object HyperplaneLSH {
-  def hyperplanes(dim: Int, tables: Int, bits: Int, seed: Long = 42L): Array[Array[Array[Double]]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(tables, bits)(Array.fill(dim)(rnd.nextGaussian()))
+
+  /** DuckDB mirror of the plane construction: a `(tbl, bit, plane)` table
+    * for `FROM (SELECT unnest(range($tables)) AS t), (SELECT
+    * unnest(range($bits)) AS b)`. Kept beside the Spark builder below so
+    * the two cannot drift. */
+  def planesSql(dim: Int, tables: Int, bits: Int): String =
+    s"""SELECT t.t AS tbl, b.b AS bit,
+       |  list_transform(generate_series(1, $dim),
+       |    i -> CAST(1 - 2 * (ascii(substr(md5(t.t || ':' || b.b || ':' || i), 1, 1)) % 2) AS DOUBLE)) AS plane
+       |FROM (SELECT unnest(range($tables)) AS t) t, (SELECT unnest(range($bits)) AS b) b""".stripMargin
+
+  /** (table, bit, plane) rows, planes computed by Spark's md5 — identical
+    * on any engine that mirrors the text arithmetic. */
+  private def planesDf(spark: org.apache.spark.sql.SparkSession,
+                       dim: Int, tables: Int, bits: Int): DataFrame = {
+    val sgn = (t: Column, b: Column, i: Column) =>
+      (lit(1) - lit(2) * (ascii(substring(md5(concat(
+        t.cast("string"), lit(":"), b.cast("string"), lit(":"), i.cast("string"))),
+        1, 1)) % 2)).cast("double")
+    spark.range(tables).select(col("id").cast("int").as("table"))
+      .crossJoin(spark.range(bits).select(col("id").cast("int").as("bit")))
+      .select(col("table"), col("bit"),
+        transform(sequence(lit(1), lit(dim)),
+          i => sgn(col("table"), col("bit"), i)).as("plane"))
   }
 
   /** (vec_id, table, bucket) with optional Hamming-1 multi-probe buckets.
@@ -28,10 +60,7 @@ object HyperplaneLSH {
   def buckets(vecs: DataFrame, dim: Int, tables: Int = 16, bits: Int = 8,
               multiProbe: Boolean = true): DataFrame = {
     val spark = vecs.sparkSession
-    import spark.implicits._
-    val planes = hyperplanes(dim, tables, bits)
-    val planesDf = (for { t <- 0 until tables; b <- 0 until bits }
-      yield (t, b, planes(t)(b).toSeq)).toDF("table", "bit", "plane")
+    val planesDf = this.planesDf(spark, dim, tables, bits)
     val base = vecs.crossJoin(broadcast(planesDf))
       .select(col("vec_id"), col("table"),
         when(graft.functions.GraftFunctions.dot(spark, col("emb"), col("plane")) > 0.0,

@@ -187,10 +187,48 @@ object LlmQueries {
       HyperplaneLSH.buckets(corpusEmb(s, d), dim = 64)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Shared oracle CTEs replaying the hyperplane LSH bucketing: md5 ±1
+    * planes (HyperplaneLSH.planesSql — the Spark builder's mirror), sign
+    * bits summed into per-(vec, table) buckets, and the corpus side's
+    * Hamming-1 probe buckets. Produces `e(vec_id, emb)`, `vb` (base
+    * buckets) and `vprobe` (base ∪ probes). */
+  private val lshBucketCtes: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |pl AS (
+       |${HyperplaneLSH.planesSql(dim = 64, tables = 16, bits = 8)}
+       |),
+       |vb AS (
+       |  SELECT e.vec_id, pl.tbl,
+       |         CAST(SUM(CASE WHEN list_dot_product(e.emb, pl.plane) > 0.0
+       |                       THEN CAST(1 AS INTEGER) << pl.bit ELSE 0 END) AS INTEGER) AS bucket
+       |  FROM e CROSS JOIN pl GROUP BY 1, 2
+       |),
+       |vprobe AS (
+       |  SELECT vec_id, tbl, bucket FROM vb
+       |  UNION ALL
+       |  SELECT vb.vec_id, vb.tbl,
+       |         CAST(xor(vb.bucket, CAST(1 << g.b AS INTEGER)) AS INTEGER) AS bucket
+       |  FROM vb, (SELECT unnest(range(8)) AS b) g
+       |)""".stripMargin
+
+  // Oracle-green since the Rademacher derandomization: the oracle replays
+  // planes, sign buckets, Hamming-1 probes, the candidate join and the
+  // exact rescore bit-for-bit, so even the LSH miss pattern matches.
   private val dedupEmbeddingLsh = Q(
     (s, d) => HyperplaneLSH.nearDupPairs(corpusEmb(s, d), dim = 64,
         threshold = EmbDedupThreshold, precomputedBuckets = Some(corpusBuckets(s, d)))
-      .orderBy("vec_a", "vec_b"), None)
+      .orderBy("vec_a", "vec_b"),
+    s"""WITH $lshBucketCtes,
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM vprobe a JOIN vprobe b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |)
+       |SELECT c.vec_a, c.vec_b,
+       |       CAST(ROUND(CAST(CAST(list_cosine_similarity(ea.emb, eb.emb) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS cosine
+       |FROM cand c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b
+       |WHERE CAST(ROUND(CAST(CAST(list_cosine_similarity(ea.emb, eb.emb) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) >= $EmbDedupThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin)
 
   private val annLsh = Q(
     (s, d) => {
@@ -199,7 +237,28 @@ object LlmQueries {
         .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
       HyperplaneLSH.approxTopK(e, q, dim = 64, k = 10,
         precomputedBuckets = Some(corpusBuckets(s, d))).orderBy("query_id", "rank")
-    }, None)
+    },
+    s"""WITH $lshBucketCtes,
+       |q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id % 100 = 0),
+       |qb AS (
+       |  SELECT q.query_id, pl.tbl,
+       |         CAST(SUM(CASE WHEN list_dot_product(q.qemb, pl.plane) > 0.0
+       |                       THEN CAST(1 AS INTEGER) << pl.bit ELSE 0 END) AS INTEGER) AS bucket
+       |  FROM q CROSS JOIN pl GROUP BY 1, 2
+       |),
+       |cand AS (
+       |  SELECT DISTINCT qb.query_id, v.vec_id
+       |  FROM qb JOIN vprobe v ON v.tbl = qb.tbl AND v.bucket = qb.bucket
+       |  WHERE v.vec_id <> qb.query_id
+       |),
+       |s AS (
+       |  SELECT c.query_id, c.vec_id,
+       |    CAST(ROUND(CAST(CAST(list_cosine_similarity(q.qemb, e.emb) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS cosine
+       |  FROM cand c JOIN e ON e.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id
+       |),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank FROM s)
+       |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin)
 
   /** The registered IVF query exercises the FULL product path: build the
     * index, persist it partitioned by cell, probe it bucket-pruned
