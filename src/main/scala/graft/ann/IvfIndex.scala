@@ -1,6 +1,6 @@
 package graft.ann
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -19,7 +19,19 @@ import org.apache.spark.sql.functions._
   * the sample as a DataFrame and runs Lloyd's as Spark jobs, so the
   * SemDeDup nCells ≈ n/128 rule survives arbitrarily large cell counts:
   * nothing sample-sized ever reaches the driver on that path — only k·d
-  * centroid aggregates per iteration. A coarse quantizer only has to
+  * centroid aggregates per iteration.
+  *
+  * BOTH fit paths compute the same deterministic, cross-engine-replayable
+  * arithmetic and return bit-identical centroids (IvfDistributedFitSpec
+  * asserts the equivalence): the sample stride and the k init points
+  * derive from md5 text arithmetic (not JVM hashing), and every mean
+  * update sums DECIMAL(25,10)-quantized terms — exact and associative, so
+  * neither collection order (driver) nor shuffle order (distributed) can
+  * perturb a centroid, and a SQL engine can replay the whole fit
+  * iteration-by-iteration. That is what lets the registered `ann_ivf`
+  * query carry a full DuckDB oracle: the oracle re-runs sampling, init,
+  * every Lloyd's round, the full-corpus assignment, the probe, and the
+  * rescore from the same parquet input. A coarse quantizer only has to
   * spread cells; recall comes from nProbe, not centroid optimality.
   *
   * Assignment is then ONE map pass with the centroid table shipped as a
@@ -39,13 +51,27 @@ object IvfIndex {
     * O(sample·k·d) arithmetic it parallelizes. */
   val DriverFitMaxCells = 1024
 
+  /** Lloyd's rounds — few by design (coarse quantizer; see header). */
+  val Iters = 5
+
+  /** md5 hex of `"<vec_id>:<seed>"` — the content hash behind sampling and
+    * init ordering. SQL mirror: `md5(vec_id || ':' || seed)`. */
+  private def md5Key(seed: Long): Column =
+    md5(concat(col("vec_id").cast("string"), lit(":"), lit(seed).cast("string")))
+
+  /** Unsigned value of the first 8 md5 hex chars (the MinHashLSH.baseHashSql
+    * family). SQL mirror: `CAST(('0x' || substr(md5(...), 1, 8)) AS BIGINT)`. */
+  private def md5Head32(seed: Long): Column =
+    conv(substring(md5Key(seed), 1, 8), 16, 10).cast("long")
+
   /** Train the coarse quantizer on a ~≤maxTrain deterministic sample and
     * assign each vector to its cell. The stride derives from one cheap
     * count() of the key column (columnar scan of a single int column; an
     * index build amortizes it — callers that already know the corpus size
     * can pre-count and cache). Fit dispatch: collected-sample driver
     * Lloyd's up to `driverFitMaxCells`, [[fitDistributed]] beyond (the
-    * sample never reaches the driver on that path).
+    * sample never reaches the driver on that path); both paths return
+    * bit-identical centroids.
     * Returns (assignments: vec_id, emb, cell; centroids: cell, centroid). */
   def assign(vecs: DataFrame, nCells: Int, seed: Long = 42L,
              maxTrain: Int = 65536,
@@ -59,17 +85,16 @@ object IvfIndex {
     // content-hash stride: the training set is a pure function of the data
     // and seed, independent of partitioning and row order
     val sampleDf = vecs
-      .where(pmod(xxhash64(col("vec_id"), lit(seed)), lit(stride)) === 0L)
+      .where(pmod(md5Head32(seed), lit(stride)) === 0L)
       .select(col("vec_id"), col("emb"))
     val centroids =
       if (nCells <= driverFitMaxCells) {
-        val sample = sampleDf
-          .as[(Long, Seq[Double])].collect()
-          .sortBy(_._1).map(_._2.toArray)
-        lloyd(sample, nCells, seed, iters = 5)
+        val sample = sampleDf.as[(Long, Seq[Double])].collect()
+          .map { case (id, x) => (id, x.toArray) }
+        lloydExact(sample, nCells, seed, Iters)
       } else fitDistributed(sampleDf, nCells, seed)
     val bc = spark.sparkContext.broadcast(centroids)
-    val nearest = udf { (emb: Seq[Double]) => nearestCell(bc.value, emb) }
+    val nearest = udf { (emb: Seq[Double]) => nearestCell(bc.value, emb.toArray) }
     val assigned = vecs.select(col("vec_id"), col("emb"), nearest(col("emb")).as("cell"))
     val cents = centroids.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq) }
@@ -78,9 +103,10 @@ object IvfIndex {
   }
 
   /** Index of the closest centroid by squared euclidean distance (first
-    * minimum wins — deterministic under ties). */
-  private def nearestCell(cents: Array[Array[Double]], emb: Seq[Double]): Int = {
-    val x = emb.toArray
+    * minimum wins — deterministic under ties). The accumulation order
+    * (ascending dimension) is the contract the SQL mirror replays with a
+    * sequential list dot product over the difference vector. */
+  private def nearestCell(cents: Array[Array[Double]], x: Array[Double]): Int = {
     var best = 0
     var bestD = Double.MaxValue
     var c = 0
@@ -95,6 +121,51 @@ object IvfIndex {
     best
   }
 
+  /** JVM mirror of Spark's double → DECIMAL(25,10) cast (shortest decimal
+    * representation, then HALF_UP at scale 10 — java BigDecimal.valueOf is
+    * exactly the shortest-repr route Spark's Cast takes). */
+  private def dec10(x: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(x).setScale(10, java.math.RoundingMode.HALF_UP)
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** Driver-side Lloyd's over the collected sample — the SAME arithmetic
+    * as [[fitDistributed]] (md5-ordered init, decimal-exact means), so the
+    * two paths return bit-identical centroids and share one SQL oracle.
+    * Sums are order-free (decimal addition is exact/associative), so no
+    * sample ordering is needed. */
+  private[ann] def lloydExact(sample: Array[(Long, Array[Double])], k: Int,
+                              seed: Long, iters: Int): Array[Array[Double]] = {
+    require(sample.nonEmpty, "empty quantizer training sample")
+    val d = sample(0)._2.length
+    var cents = sample
+      .map { case (id, x) => (md5Hex(s"$id:$seed"), id, x) }
+      .sortBy(t => (t._1, t._2))
+      .take(math.min(k, sample.length))
+      .map(_._3.clone)
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cents.length, d)(java.math.BigDecimal.ZERO)
+      val cnts = new Array[Long](cents.length)
+      sample.foreach { case (_, x) =>
+        val best = nearestCell(cents, x)
+        cnts(best) += 1
+        val s = sums(best)
+        var i = 0
+        while (i < d) { s(i) = s(i).add(dec10(x(i))); i += 1 }
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (cnts(c) == 0L) cents(c)
+        else Array.tabulate(d)(i => sums(c)(i).doubleValue() / cnts(c))
+      }
+      it += 1
+    }
+    cents
+  }
+
   /** Distributed Lloyd's over a sample that STAYS a DataFrame — the scale
     * path for cell counts past [[DriverFitMaxCells]] (SemDeDup's
     * nCells ≈ n/128 rule reaches 10⁵+ cells at paper scale). Per
@@ -102,22 +173,22 @@ object IvfIndex {
     * broadcast centroid and aggregates per-(cell, dim) sums — so the only
     * thing ever collected is k·d centroid aggregates (metadata), never the
     * sample. Deterministic for a given (sample, k, seed): init is the k
-    * first rows by content hash, and the per-dimension means are summed as
-    * DECIMAL(25,10) (exact, associative — the §6 convention), so shuffle
-    * order cannot perturb the centroids.
+    * first rows by md5 content hash, and the per-dimension means are
+    * summed as DECIMAL(25,10) (exact, associative — the §6 convention), so
+    * shuffle order cannot perturb the centroids. Bit-identical to
+    * [[lloydExact]] over the same sample.
     *
     * Returns exactly min(k, sample size) centroids; empty cells keep their
-    * previous centroid, like the driver fit. `iters = 0` returns the init,
-    * which the spec uses as the cost baseline. */
+    * previous centroid. `iters = 0` returns the init, which the spec uses
+    * as the cost baseline. */
   def fitDistributed(sample: DataFrame, k: Int, seed: Long,
-                     iters: Int = 5): Array[Array[Double]] = {
+                     iters: Int = Iters): Array[Array[Double]] = {
     val spark = sample.sparkSession
     import spark.implicits._
-    // deterministic init: first k sample rows by content hash — the
-    // distributed analog of the driver fit's seeded shuffle-take(k); a
-    // top-k job, collecting k·d doubles (centroid metadata, not the sample)
+    // deterministic init: first k sample rows by content hash — a top-k
+    // job collecting k·d doubles (centroid metadata, not the sample)
     var cents: Array[Array[Double]] = sample
-      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+      .orderBy(md5Key(seed), col("vec_id"))
       .limit(k)
       .select(col("emb")).as[Seq[Double]].collect()
       .map(_.toArray)
@@ -125,7 +196,7 @@ object IvfIndex {
     var it = 0
     while (it < iters) {
       val bc = spark.sparkContext.broadcast(cents)
-      val nearest = udf { (emb: Seq[Double]) => nearestCell(bc.value, emb) }
+      val nearest = udf { (emb: Seq[Double]) => nearestCell(bc.value, emb.toArray) }
       // per-(cell, dim) exact decimal sums + member counts: k·d rows out
       val stats = sample
         .select(nearest(col("emb")).as("cell"), posexplode(col("emb")))
@@ -139,51 +210,6 @@ object IvfIndex {
           r.getDecimal(2).doubleValue() / r.getLong(3)
       }
       cents = next
-      it += 1
-    }
-    cents
-  }
-
-  /** Seeded local Lloyd's: init = k shuffled sample points, empty cells keep
-    * their centroid. Deterministic for a given (sample, k, seed). */
-  private def lloyd(xs: Array[Array[Double]], k: Int, seed: Long,
-                    iters: Int): Array[Array[Double]] = {
-    require(xs.nonEmpty, "empty quantizer training sample")
-    val d = xs(0).length
-    val rnd = new scala.util.Random(seed)
-    var cents = rnd.shuffle(xs.indices.toVector)
-      .take(math.min(k, xs.length)).map(i => xs(i).clone).toArray
-    var it = 0
-    while (it < iters) {
-      val sums = Array.fill(cents.length)(new Array[Double](d))
-      val cnts = new Array[Long](cents.length)
-      xs.foreach { x =>
-        var best = 0
-        var bestD = Double.MaxValue
-        var c = 0
-        while (c < cents.length) {
-          val ce = cents(c)
-          var d2 = 0.0
-          var i = 0
-          while (i < d) { val df = x(i) - ce(i); d2 += df * df; i += 1 }
-          if (d2 < bestD) { bestD = d2; best = c }
-          c += 1
-        }
-        cnts(best) += 1
-        val s = sums(best)
-        var i = 0
-        while (i < d) { s(i) += x(i); i += 1 }
-      }
-      cents = Array.tabulate(cents.length) { c =>
-        if (cnts(c) == 0L) cents(c)
-        else {
-          val s = sums(c)
-          val out = new Array[Double](d)
-          var i = 0
-          while (i < d) { out(i) = s(i) / cnts(c); i += 1 }
-          out
-        }
-      }
       it += 1
     }
     cents

@@ -265,6 +265,67 @@ object LlmQueries {
     * (IvfIndex.writeIndex/approxTopKStored) — the scan reads only the
     * probed cells' files, which is the 100 TB shape; the in-memory
     * approxTopK stays as the equality baseline in IvfStoreSpec. */
+  /** Oracle CTEs replaying the ENTIRE IVF coarse-quantizer fit plus the
+    * full-corpus assignment (IvfIndex scaladoc: md5 sampling stride, md5
+    * init ordering, per-iteration argmin + DECIMAL(25,10)-exact means with
+    * empty cells keeping their centroid) — k-means re-run in SQL,
+    * iteration by iteration. The squared distance mirrors the JVM's
+    * ascending-dimension accumulation as a sequential list dot product
+    * over the difference vector. Produces `e(vec_id, emb)`, `c$iters`
+    * (final centroids) and `asg(vec_id, emb, cell)`. */
+  private def ivfFitCtes(k: Int, iters: Int, dim: Int, seed: Long, maxTrain: Int): String = {
+    def d2(vec: String, cent: String): String =
+      s"""list_dot_product(list_transform(generate_series(1, $dim), i -> $vec[i] - $cent[i]),
+         |                          list_transform(generate_series(1, $dim), i -> $vec[i] - $cent[i]))""".stripMargin
+    val head =
+      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |st AS (SELECT CAST((COUNT(*) + ${maxTrain - 1}) // $maxTrain AS BIGINT) AS stride FROM e),
+         |samp AS (
+         |  SELECT vec_id, emb FROM e, st
+         |  WHERE CAST(('0x' || substr(md5(vec_id || ':$seed'), 1, 8)) AS BIGINT) % st.stride = 0
+         |),
+         |init AS (SELECT emb, row_number() OVER (ORDER BY md5(vec_id || ':$seed'), vec_id) AS rn FROM samp),
+         |c0 AS (SELECT CAST(rn - 1 AS INTEGER) AS cell, emb AS cent FROM init WHERE rn <= $k)""".stripMargin
+    val iterBlocks = (1 to iters).map { n =>
+      s"""a$n AS (
+         |  SELECT s.vec_id, s.emb, c.cell, ${d2("s.emb", "c.cent")} AS d2
+         |  FROM samp s CROSS JOIN c${n - 1} c
+         |),
+         |b$n AS (
+         |  SELECT vec_id, emb, cell,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+         |  FROM a$n
+         |),
+         |g$n AS (
+         |  SELECT cell, dims.i,
+         |         CAST(CAST(SUM(CAST(emb[dims.i] AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m
+         |  FROM b$n, (SELECT unnest(generate_series(1, $dim)) AS i) dims
+         |  WHERE rk = 1 GROUP BY 1, 2
+         |),
+         |c$n AS (
+         |  SELECT p.cell, COALESCE(gl.cent, p.cent) AS cent
+         |  FROM c${n - 1} p
+         |  LEFT JOIN (SELECT cell, list(m ORDER BY i) AS cent FROM g$n GROUP BY 1) gl USING (cell)
+         |)""".stripMargin
+    }
+    val assignBlock =
+      s"""fa AS (
+         |  SELECT e.vec_id, e.emb, c.cell, ${d2("e.emb", "c.cent")} AS d2
+         |  FROM e CROSS JOIN c$iters c
+         |),
+         |fb AS (
+         |  SELECT vec_id, emb, cell,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+         |  FROM fa
+         |),
+         |asg AS (SELECT vec_id, emb, cell FROM fb WHERE rk = 1)""".stripMargin
+    (head +: iterBlocks :+ assignBlock).mkString(",\n")
+  }
+
+  // Oracle-green: sampling, init, all 5 Lloyd's rounds, the full-corpus
+  // assignment, the centroid probe and the exact rescore replay in DuckDB
+  // (possible because both fit paths use md5 + decimal-exact arithmetic —
+  // see IvfIndex scaladoc and the ivfFitCtes builder above).
   private val annIvf = Q(
     (s, d) => {
       val e = corpusEmb(s, d)
@@ -273,15 +334,67 @@ object LlmQueries {
       val path = s"${sys.props("java.io.tmpdir")}/graft-ivf-${Integer.toHexString(d.hashCode)}"
       graft.ann.IvfIndex.writeIndex(e, path)
       graft.ann.IvfIndex.approxTopKStored(s, path, q, k = 10).orderBy("query_id", "rank")
-    }, None)
+    },
+    s"""WITH ${ivfFitCtes(k = 16, iters = 5, dim = 64, seed = 42L, maxTrain = 65536)},
+       |q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id % 100 = 0),
+       |pc AS (
+       |  SELECT q.query_id, q.qemb, c.cell,
+       |         -(list_dot_product(q.qemb, c.cent)) /
+       |           (sqrt(list_dot_product(q.qemb, q.qemb)) * sqrt(list_dot_product(c.cent, c.cent))) AS cdist
+       |  FROM q CROSS JOIN c5 c
+       |),
+       |pp AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cdist, cell) AS prb FROM pc),
+       |probed AS (SELECT query_id, qemb, cell FROM pp WHERE prb <= 8),
+       |sc AS (
+       |  SELECT p.query_id, a.vec_id,
+       |    CAST(ROUND(CAST(CAST(
+       |      list_dot_product(p.qemb, a.emb) /
+       |        (sqrt(list_dot_product(p.qemb, p.qemb)) * sqrt(list_dot_product(a.emb, a.emb)))
+       |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS cosine
+       |  FROM probed p JOIN asg a USING (cell)
+       |  WHERE a.vec_id <> p.query_id
+       |),
+       |r AS (
+       |  SELECT query_id, vec_id, cosine,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+       |  FROM sc
+       |)
+       |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin)
 
   /** SemDeDup: k-means-cell-restricted semantic dedup at the embedding
-    * near-dup threshold — O(Σ cell²) instead of corpus². Probabilistic
-    * (cell splits trade recall for cost) ⇒ rows-only; SemDeDupSpec checks
-    * planted duplicates and cross-checks the exact global pair set. */
+    * near-dup threshold — O(Σ cell²) instead of corpus². Oracle-green: the
+    * deterministic fit (ivfFitCtes — same cells as IvfIndex.assign) makes
+    * even the cell-split "miss" pattern replayable, so the oracle re-runs
+    * the fit, the in-cell pair search, and the connected-components
+    * resolution (transitive-closure recursive CTE, the dedup_clusters
+    * pattern). SemDeDupSpec's planted-duplicate and no-false-positive
+    * cross-checks stay. */
   private val dedupSemantic = Q(
     (s, d) => graft.ann.SemDeDup.dedup(corpusEmb(s, d), nCells = 16,
-      threshold = EmbDedupThreshold).orderBy("vec_id"), None)
+      threshold = EmbDedupThreshold).orderBy("vec_id"),
+    s"""WITH RECURSIVE ${ivfFitCtes(k = 16, iters = 5, dim = 64, seed = 42L, maxTrain = 65536)},
+       |vn AS (SELECT vec_id, emb, cell, sqrt(list_dot_product(emb, emb)) AS nrm FROM asg),
+       |pr AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst
+       |  FROM vn a JOIN vn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE CAST(ROUND(CAST(CAST(
+       |    CASE WHEN a.nrm <> 0 AND b.nrm <> 0
+       |         THEN list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) END
+       |  AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) >= $EmbDedupThreshold
+       |),
+       |sym AS (SELECT src AS u, dst AS v FROM pr UNION SELECT dst, src FROM pr),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM sym
+       |  UNION
+       |  SELECT r.u, s2.v FROM reach r JOIN sym s2 ON r.v = s2.u
+       |),
+       |root AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS group_id FROM reach GROUP BY u)
+       |SELECT a.vec_id, a.cell,
+       |       COALESCE(r.group_id, a.vec_id) AS group_id,
+       |       COALESCE(r.group_id, a.vec_id) <> a.vec_id AS is_semantic_dup
+       |FROM asg a LEFT JOIN root r USING (vec_id)
+       |ORDER BY vec_id""".stripMargin)
 
   /** Nearest-centroid domain classification (graft.ann.CentroidClassify):
     * per-source centroids fit on the train shard, every doc labelled with

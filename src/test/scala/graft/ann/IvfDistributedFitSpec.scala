@@ -75,6 +75,16 @@ class IvfDistributedFitSpec extends SparkSpec {
     assert(cost(fit) < 0.9 * cost(init))
   }
 
+  test("driver and distributed fits are bit-identical (decimal-exact means, md5 init)") {
+    val k = 32
+    val local = sample.select("vec_id", "emb")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val drv = IvfIndex.lloydExact(local, k, seed = 42L, iters = 3)
+    val dst = IvfIndex.fitDistributed(sample, k, seed = 42L, iters = 3)
+    assert(drv.length === dst.length)
+    drv.indices.foreach(i => assert(drv(i).toSeq === dst(i).toSeq, s"centroid $i drifted"))
+  }
+
   test("assign dispatches to the distributed fit and partitions the corpus") {
     // force the distributed path at a small k via the dispatch knob — the
     // same code that runs at 10^4 cells, observable end-to-end
