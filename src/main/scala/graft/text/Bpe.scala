@@ -54,7 +54,11 @@ object Bpe {
     * (O(total symbols)) and each merge re-counts only the words that
     * contain the merged pair — the classic trainer update rule. Pair
     * occurrences are counted per adjacent position ("aaa" holds (a,a)
-    * twice), matching the previous distributed explode. */
+    * twice), matching the previous distributed explode. The argmax comes
+    * from a sorted set kept in sync with the counts (count DESC, pair
+    * lexicographic), so each merge costs O(log P) to select plus
+    * O(touched words) to update — a linear scan over all P pairs per
+    * merge would dominate a real 32k-merge vocabulary at ~10⁶ pairs. */
   private[text] def learn(wordFreq: Array[(String, Long)], nMerges: Int): Seq[(Int, String, String, String, Long)] = {
     import scala.collection.mutable
     // split on code points (what Spark's substr(word, i, 1) yielded)
@@ -72,13 +76,20 @@ object Bpe {
 
     val pairCount = mutable.HashMap.empty[(String, String), Long]
     val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // argmax order: count DESC, then (l, r) lexicographic — same ordering
+    // as BpeSpec's reference (and the former orderBy(cnt desc, l, r))
+    val ranked = mutable.TreeSet.empty[(Long, String, String)](
+      Ordering.Tuple3(Ordering.Long.reverse, Ordering.String, Ordering.String))
     def addPairs(wi: Int, sign: Long): Unit = {
       val syms = words(wi); val f = freqs(wi)
       var i = 0
       while (i < syms.length - 1) {
         val p = (syms(i), syms(i + 1))
-        val c = pairCount.getOrElse(p, 0L) + sign * f
-        if (c == 0L) pairCount.remove(p) else pairCount(p) = c
+        val old = pairCount.getOrElse(p, 0L)
+        val c = old + sign * f
+        if (old != 0L) ranked.remove((old, p._1, p._2))
+        if (c == 0L) pairCount.remove(p)
+        else { pairCount(p) = c; ranked.add((c, p._1, p._2)) }
         if (sign > 0) pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += wi
         i += 1
       }
@@ -88,17 +99,7 @@ object Bpe {
     val out = Seq.newBuilder[(Int, String, String, String, Long)]
     var step = 0
     while (step < nMerges && pairCount.nonEmpty) {
-      // argmax: count DESC, then (l, r) lexicographic — same ordering as
-      // BpeSpec's reference (and the former orderBy(cnt desc, l, r))
-      var best: ((String, String), Long) = null
-      for (e <- pairCount) {
-        if (best == null) best = e
-        else {
-          val ((bl, br), bc) = best; val ((l, r), c) = e
-          if (c > bc || (c == bc && (l < bl || (l == bl && r < br)))) best = e
-        }
-      }
-      val ((l, r), cnt) = best
+      val (cnt, l, r) = ranked.head
       out += ((step, l, r, l + r, cnt))
       // rewrite only the words that contain the pair; stale indices (words
       // rewritten since registration) are filtered by a containment scan
