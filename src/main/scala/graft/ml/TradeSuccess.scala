@@ -104,6 +104,43 @@ object TradeSuccess {
     (f.model.transform(trainingFrame(spark, dir).where(isTest)), f.aucTest)
   }
 
+  /** Persist the fitted pipeline + its AUC metadata — the reference's
+    * train-once/score-many workflow (trade_success_predictor.py:403-415
+    * pickles the model; filter_trades_by_prediction.py:43 and
+    * trading_bot/daily_signal_scorer.py re-load it to score without
+    * retraining; the repo even ships models/trade_success_model.pkl).
+    * MLlib's native writer is the Spark analog: metadata JSON + per-stage
+    * parquet — metadata-sized I/O for a GBT regardless of training-data
+    * scale, readable by any cluster session. */
+  def save(f: Fitted, path: String): Unit = {
+    f.model.write.overwrite().save(s"$path/pipeline")
+    val spark = SparkSession.active
+    import spark.implicits._
+    Seq((f.aucTrain, f.aucTest)).toDF("auc_train", "auc_test")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/metrics")
+  }
+
+  /** Load a [[save]]d pipeline + metrics. */
+  def load(spark: SparkSession, path: String): Fitted = {
+    val m = PipelineModel.load(s"$path/pipeline")
+    val r = spark.read.parquet(s"$path/metrics").head()
+    Fitted(m, r.getAs[Double]("auc_train"), r.getAs[Double]("auc_test"))
+  }
+
+  private val loadedCache = TrieMap.empty[String, Fitted]
+
+  /** Fit → save → load roundtrip, memoized per (session, dir): the loaded
+    * model is the artifact a production scoring session starts from — the
+    * registered `trades_filter_model_loaded` twin scores through THIS, and
+    * ModelScoringSpec asserts loaded ≡ in-session probabilities
+    * bit-for-bit. */
+  def loadedFitted(spark: SparkSession, dir: String): Fitted =
+    loadedCache.getOrElseUpdate(graft.sqlx.FrameCache.key(spark, "gbt-loaded", dir), {
+      val path = s"${sys.props("java.io.tmpdir")}/graft-gbt-model-${Integer.toHexString(dir.hashCode)}"
+      save(fitted(spark, dir), path)
+      load(spark, path)
+    })
+
   /** Score an arbitrary frame carrying [[FeatureCols]] with the fitted
     * model: adds `success_probability` = P(label=1) and drops the ML vector
     * columns (parquet-unfriendly, and downstream queries only need the
@@ -121,11 +158,16 @@ object TradeSuccess {
     * fabricate scores for unknown states) and attach the fitted GBT's
     * success probability. One broadcast-free equi-join on
     * (symbol_id, date) — both sides are already symbol-partitioned. */
-  def scoreTrades(trades: DataFrame, spark: SparkSession, dir: String): DataFrame = {
+  def scoreTrades(trades: DataFrame, spark: SparkSession, dir: String): DataFrame =
+    scoreTradesWith(fitted(spark, dir).model, trades, spark, dir)
+
+  /** [[scoreTrades]] with an explicit model — the load-then-score half of
+    * the persistence workflow (a session that never trains). */
+  def scoreTradesWith(model: PipelineModel, trades: DataFrame,
+                      spark: SparkSession, dir: String): DataFrame = {
     val feats = trainingFrame(spark, dir)
       .withColumnRenamed("date", "entry_date").drop("label")
-    scoreFrame(fitted(spark, dir).model,
-      trades.join(feats, Seq("symbol_id", "entry_date")))
+    scoreFrame(model, trades.join(feats, Seq("symbol_id", "entry_date")))
   }
 
   /** Feature-importance + AUC export (trade_success_predictor.py:124-294

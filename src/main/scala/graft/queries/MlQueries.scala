@@ -132,15 +132,32 @@ object MlQueries {
     * report also prints). Rows-only: GBT split choices are not portable to
     * a SQL oracle; ModelScoringSpec asserts the filter ≡
     * filter-by-model-probability on the same frame and the AUC bound. */
+  /** Probability-filter + per-strategy performance rollup over a scored
+    * trade frame — shared by the in-session-fit query and its
+    * loaded-model twin. */
+  private def filterPerfRollup(scored: org.apache.spark.sql.DataFrame) = {
+    val filtered = scored.where(col("success_probability") >= ModelThreshold)
+    val avgProb = filtered.groupBy("trade_strategy")
+      .agg(avg("success_probability").as("avg_success_probability"))
+    graft.backtest.Metrics.perStrategy(filtered)
+      .join(broadcast(avgProb), Seq("trade_strategy"))
+      .orderBy(col("total_return").desc, col("trade_strategy"))
+  }
+
   private val tradesFilterModel = Q(
+    (s, d) => filterPerfRollup(scoredTrades(s, d)), None)
+
+  /** The persistence twin (trade_success_predictor.py:403-415 saves,
+    * filter_trades_by_prediction.py:43 loads): identical rollup, but every
+    * probability comes from the SAVED-then-LOADED PipelineModel instead of
+    * the in-session fit. Rows-only like the other model queries;
+    * ModelScoringSpec asserts the loaded model's scores — and therefore
+    * this query — are bit-identical to the in-session fit's. */
+  private val tradesFilterModelLoaded = Q(
     (s, d) => {
-      val filtered = scoredTrades(s, d)
-        .where(col("success_probability") >= ModelThreshold)
-      val avgProb = filtered.groupBy("trade_strategy")
-        .agg(avg("success_probability").as("avg_success_probability"))
-      graft.backtest.Metrics.perStrategy(filtered)
-        .join(broadcast(avgProb), Seq("trade_strategy"))
-        .orderBy(col("total_return").desc, col("trade_strategy"))
+      val f = graft.ml.TradeSuccess.loadedFitted(s, d)
+      filterPerfRollup(graft.ml.TradeSuccess.scoreTradesWith(
+        f.model, BacktestQueries.simulatedTrades(s, d), s, d))
     }, None)
 
   /** Model-scored top-25 report (create_top25_viz_input.py over model
@@ -165,6 +182,7 @@ object MlQueries {
   val all: Map[String, Q] = Map(
     "ml_training_frame" -> mlTrainingFrame,
     "trades_filter_model" -> tradesFilterModel,
+    "trades_filter_model_loaded" -> tradesFilterModelLoaded,
     "top_signals_model" -> topSignalsModel,
     "model_feature_importance" -> modelFeatureImportance)
 }

@@ -55,6 +55,28 @@ class ModelScoringSpec extends SparkSpec {
     assert(memo.exceptAll(again).isEmpty && again.exceptAll(memo).isEmpty)
   }
 
+  test("saved+loaded pipeline scores bit-identically to the in-session fit") {
+    val f = TradeSuccess.fitted(spark, dir)
+    val loaded = TradeSuccess.loadedFitted(spark, dir)
+    // metrics survive the roundtrip exactly
+    assert(loaded.aucTrain == f.aucTrain && loaded.aucTest == f.aucTest)
+    // probabilities from the loaded model are bit-identical — same tree
+    // splits, same leaf weights (MLlib persists them losslessly)
+    val frame = TradeSuccess.scoringFrame(spark, dir)
+    val a = TradeSuccess.scoreFrame(f.model, frame)
+      .select("symbol_id", "date", "success_probability")
+    val b = TradeSuccess.scoreFrame(loaded.model, frame)
+      .select("symbol_id", "date", "success_probability")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("trades_filter_model_loaded equals trades_filter_model row-for-row") {
+    val live = graft.SparkEntry.queries("trades_filter_model")(spark, dir)
+    val fromDisk = graft.SparkEntry.queries("trades_filter_model_loaded")(spark, dir)
+    assert(live.exceptAll(fromDisk).isEmpty && fromDisk.exceptAll(live).isEmpty)
+    assert(fromDisk.count() > 0)
+  }
+
   test("top_signals_model returns the 25 highest-probability trades") {
     val top = graft.SparkEntry.queries("top_signals_model")(spark, dir).collect()
     assert(top.length <= 25 && top.nonEmpty)
