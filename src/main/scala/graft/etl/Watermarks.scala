@@ -49,6 +49,53 @@ object Watermarks {
             (col("last_date_processed").isNull || col("last_date_processed") < lit("2000-01-01").cast("date")))))
       .orderBy(col("last_run_age_hours").desc_nulls_first, col("symbol_id"))
 
+  /** Durable watermark state — the persistence the reference gets from
+    * UPDATEing its Postgres watermark table in place
+    * (transformation_watermark_manager.py:272-325): without it an
+    * incremental pipeline restarted tomorrow has no yesterday. Each
+    * successful batch writes the FULL updated table as a new `v=N` parquet
+    * version under the store root; readers open the highest committed
+    * version. Versioning instead of in-place overwrite because (a) a lazy
+    * plan may still be scanning the current version when the next run
+    * commits (Spark cannot overwrite a path it reads), (b) a crashed write
+    * leaves the previous version intact — restart resumes from the last
+    * commit, and (c) the table is one row per symbol × transformation —
+    * metadata-sized at any corpus scale, so rewriting it whole is cheaper
+    * than merge machinery. Old versions beyond `retain` are vacuumed.
+    * Returns the committed version number. */
+  def writeState(wm: DataFrame, root: String, retain: Int = 8): Long = {
+    val spark = wm.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val next = latestVersion(spark, root).getOrElse(0L) + 1L
+    wm.write.mode("overwrite").parquet(s"$root/v=$next")
+    versions(spark, root).sorted.dropRight(retain).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/v=$v"), true)
+    }
+    next
+  }
+
+  private def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+  }
+
+  def latestVersion(spark: SparkSession, root: String): Option[Long] =
+    versions(spark, root).maxOption
+
+  /** Read the last committed watermark state — what a restarted pipeline
+    * (or any second session) starts from. */
+  def readState(spark: SparkSession, root: String): DataFrame = {
+    val v = latestVersion(spark, root).getOrElse(
+      sys.error(s"no committed watermark state under $root"))
+    spark.read.parquet(s"$root/v=$v")
+  }
+
   /** update_watermark (ref :272-325) for a batch of processed symbols:
     * success resets failures and freshens the run timestamp; failure
     * increments the counter and disables after 3 strikes. */

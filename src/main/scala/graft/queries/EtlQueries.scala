@@ -76,6 +76,45 @@ object EtlQueries {
        |FROM f JOIN stale w ON f.symbol_id = w.symbol_id
        |ORDER BY f.symbol_id, f.date""".stripMargin)
 
+  /** Durable-state roundtrip — the reference's operational cycle with the
+    * persistence wired in (transformation_watermark_manager.py:272-325
+    * UPDATEs its Postgres table; graft versions a parquet store): detect
+    * stale symbols, mark a processed batch successful, COMMIT the updated
+    * table through Watermarks.writeState, re-read the store as a restarted
+    * session would, and re-run stale detection on the re-read. Processed
+    * symbols (age reset to 0) drop out of the stale list only if the write
+    * → read roundtrip preserved the update — the oracle computes the
+    * post-update stale set from the raw tables directly, so any loss or
+    * corruption in the store desyncs the hash. */
+  private val watermarkRoundtrip = Q(
+    (s, d) => {
+      val wm = Watermarks.watermarkTable(s, d)
+      val processed = Watermarks.staleSymbols(wm)
+        .where(col("symbol_id") % 3 =!= 0).select("symbol_id")
+      val updated = Watermarks.updateWatermarks(wm, processed, success = true)
+      val root = s"${sys.props("java.io.tmpdir")}/graft-wm-store-${Integer.toHexString(d.hashCode)}"
+      Watermarks.writeState(updated, root)
+      Watermarks.staleSymbols(Watermarks.readState(s, root))
+    },
+    s"""WITH $wmCte,
+       |proc AS (SELECT symbol_id FROM stale WHERE symbol_id % 3 <> 0),
+       |upd AS (
+       |  SELECT symbol_id,
+       |    CASE WHEN symbol_id IN (SELECT symbol_id FROM proc) THEN 0 ELSE last_run_age_hours END AS last_run_age_hours,
+       |    CASE WHEN symbol_id IN (SELECT symbol_id FROM proc) THEN 0 ELSE consecutive_failures END AS consecutive_failures,
+       |    transformation_eligible, status, last_date_processed
+       |  FROM wm
+       |)
+       |SELECT symbol_id, last_run_age_hours, consecutive_failures,
+       |       transformation_eligible, status, last_date_processed
+       |FROM upd
+       |WHERE transformation_eligible
+       |  AND consecutive_failures < 3
+       |  AND (last_run_age_hours IS NULL OR last_run_age_hours >= ${Watermarks.StalenessHours})
+       |  AND (status = 'Active'
+       |       OR (status = 'Delisted' AND (last_date_processed IS NULL OR last_date_processed < DATE '2000-01-01')))
+       |ORDER BY last_run_age_hours DESC NULLS FIRST, symbol_id""".stripMargin)
+
   /** Watermark status rollup (check_watermarks.py:14-27): fresh vs stale
     * counts within the 48h horizon plus age extremes — one global aggregate
     * over the (tiny) watermark table. */
@@ -236,6 +275,7 @@ object EtlQueries {
 
   val all: Map[String, Q] = Map(
     "watermark_stale" -> watermarkStale,
+    "watermark_roundtrip" -> watermarkRoundtrip,
     "events_zorder" -> eventsZorder,
     "watermark_status" -> watermarkStatus,
     "watermark_incremental_features" -> watermarkIncrementalFeatures,

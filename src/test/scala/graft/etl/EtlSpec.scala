@@ -34,6 +34,41 @@ class EtlSpec extends SparkSpec {
     assert((full -- stale).forall(!touched.contains(_)))
   }
 
+  test("watermark store: a committed update is visible to a fresh read (second session)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-wm-spec").toString
+    val wm = Watermarks.watermarkTable(spark, sf("sf0.001"))
+    val v1 = Watermarks.writeState(wm, root)
+    assert(v1 == 1L && Watermarks.latestVersion(spark, root).contains(1L))
+    // run the cycle against the STORE, not the in-memory frame — exactly
+    // what a restarted pipeline does
+    val state1 = Watermarks.readState(spark, root)
+    val stale = Watermarks.staleSymbols(state1)
+    val nStale = stale.count()
+    assert(nStale > 0)
+    val v2 = Watermarks.writeState(
+      Watermarks.updateWatermarks(state1, stale.select("symbol_id"), success = true), root)
+    assert(v2 == 2L)
+    // nothing session-cached: the re-read plans from the committed parquet
+    val reread = Watermarks.readState(spark, root)
+    assert(Watermarks.staleSymbols(reread).count() == 0,
+      "update lost in the write -> read roundtrip")
+    assert(reread.count() == wm.count(), "row per symbol preserved")
+    // the previous version is still on disk (crash-restart safety)...
+    assert(spark.read.parquet(s"$root/v=1").count() == wm.count())
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("watermark store vacuums versions past the retention window") {
+    val root = java.nio.file.Files.createTempDirectory("graft-wm-spec-vac").toString
+    val wm = Watermarks.watermarkTable(spark, sf("sf0.001")).limit(10)
+    (1 to 5).foreach(_ => Watermarks.writeState(wm, root, retain = 3))
+    val left = new java.io.File(root).listFiles().map(_.getName).filter(_.startsWith("v=")).sorted
+    assert(left.toSeq == Seq("v=3", "v=4", "v=5"), left.mkString(","))
+    // latest still reads fine after the vacuum
+    assert(Watermarks.readState(spark, root).count() == 10)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("failed runs increment failures and disable after 3 strikes") {
     val wm = Watermarks.watermarkTable(spark, sf("sf0.001"))
     val some = Watermarks.staleSymbols(wm).limit(5).select("symbol_id")
