@@ -34,19 +34,61 @@ import org.apache.spark.sql.functions._
 object Bpe {
 
   /** (step, left, right, merged, pair_count) for the first `nMerges`
-    * merges learned from `docs`(textCol). */
-  def merges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    * merges learned from `docs`(textCol).
+    *
+    * `minFreq` is the driver-working-set cap for web-scale corpora: words
+    * occurring fewer than `minFreq` times are dropped INSIDE the
+    * distributed aggregation, before anything is collected. On clean
+    * natural language the distinct-word table is Heaps'-law bounded, but a
+    * 100 TB web corpus's long tail (URLs, typos, code identifiers) reaches
+    * 10⁸–10⁹ distinct words — and that tail is almost entirely
+    * frequency-1, so a small threshold collapses the collected table by
+    * orders of magnitude (standard practice: Sennrich's learn_bpe and the
+    * HF/SentencePiece trainers all expose exactly this knob).
+    *
+    * What the cap guarantees, precisely: every pair's count is undercounted
+    * by at most D = Σ_{dropped w} freq(w)·(symbols(w)−1) — the total pair
+    * mass of the dropped tail, computed in the same job. When every
+    * selected merge's count exceeds D (checked here, WARN otherwise), no
+    * pair VISIBLE ONLY in dropped words could have out-counted any selected
+    * merge, so the cap cannot have surfaced-or-hidden a merge; relative
+    * order among retained pairs whose count gap is < D is the accepted
+    * approximation every production trainer makes (BpeSpec pins empirical
+    * sequence-invariance on the fixture corpus). */
+  def merges(docs: DataFrame, textCol: String, nMerges: Int,
+             minFreq: Long = 1L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    // word-frequency table: the bounded working set — the ONLY Spark job
-    val wordFreq: Array[(String, Long)] = docs
+    // word-frequency table: the bounded working set — ONE distributed
+    // aggregation; the minFreq cap filters it before collection
+    val wordTable = docs
       .select(explode(split(trim(col(textCol)), " ")).as("word"))
       .where(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .as[(String, Long)].collect()
+    val (wordFreq, droppedMass) =
+      if (minFreq <= 1L) {
+        (wordTable.as[(String, Long)].collect(), 0L)
+      } else {
+        val t = wordTable.persist()
+        val kept = t.where(col("freq") >= minFreq).as[(String, Long)].collect()
+        // max undercount of ANY pair: total pair slots in dropped words —
+        // char count is ≥ codepoint count, so D only gets more conservative
+        // on astral-plane text
+        val dropped = t.where(col("freq") < minFreq)
+          .agg(coalesce(sum(col("freq") * (length(col("word")) - 1)), lit(0L)))
+          .as[Long].head()
+        t.unpersist()
+        (kept, dropped)
+      }
 
-    learn(wordFreq, nMerges).toDF("step", "left", "right", "merged", "pair_count")
+    val learned = learn(wordFreq, nMerges)
+    learned.find(_._5 <= droppedMass).foreach { m =>
+      System.err.println(s"[bpe] WARN: merge ${m._1} ('${m._2}'+'${m._3}', count ${m._5}) " +
+        s"does not exceed the dropped-tail pair mass $droppedMass — " +
+        s"minFreq=$minFreq may have perturbed the merge sequence from here on")
+    }
+    learned.toDF("step", "left", "right", "merged", "pair_count")
   }
 
   /** Driver-side merge learning over a collected word-frequency table,

@@ -71,6 +71,34 @@ class BpeSpec extends SparkSpec {
     assert(got.isEmpty) // all words are single chars: no adjacent pairs at all
   }
 
+  test("minFreq cap: tail dropped in-aggregation, merge sequence invariant when counts dominate the dropped mass") {
+    // head: high-frequency words (selected pair counts >= 40);
+    // tail: five distinct frequency-1 words (the web-corpus long tail
+    // stand-in) -> dropped pair mass D = 5 * (3-1) = 10 << 40
+    val common = Seq.fill(40)("lower newest newest widest").mkString(" ")
+    val tail = Seq("qa1", "qa2", "qa3", "qa4", "qa5").mkString(" ")
+    val texts = Seq(common, tail)
+    val df = texts.toDF("text")
+    val uncapped = Bpe.merges(df, "text", 8)
+      .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val capped = Bpe.merges(df, "text", 8, minFreq = 2L)
+      .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    // the cap didn't perturb the sequence (every selected count > D)...
+    assert(capped == uncapped, s"\ncapped   $capped\nuncapped $uncapped")
+    // ...and the capped run is exactly the reference over the capped table
+    // (the declared semantics: learn over words with freq >= minFreq)
+    val cappedRef = refBpe(wordFreqs(texts).filter(_._2 >= 2L), 8)
+    assert(capped == cappedRef)
+    assert(capped.nonEmpty && capped.forall(_._5 >= 40L))
+  }
+
+  test("minFreq cap: an all-tail corpus collapses to zero merges") {
+    val df = Seq("each word appears exactly once here").toDF("text")
+    assert(Bpe.merges(df, "text", 5, minFreq = 2L).collect().isEmpty)
+    // sanity: uncapped still learns
+    assert(Bpe.merges(df, "text", 5).collect().nonEmpty)
+  }
+
   test("256 merges cost a bounded number of Spark jobs (single word-freq collect)") {
     val docs = graft.Tables.documents(spark, sf("sf0.001"))
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
