@@ -34,11 +34,11 @@ import org.apache.spark.sql.functions._
   * rescore from the same parquet input. A coarse quantizer only has to
   * spread cells; recall comes from nProbe, not centroid optimality.
   *
-  * Assignment is then ONE map pass with the centroid table shipped as a
-  * broadcast variable (k·d doubles — KBs at small k, still only MBs at
-  * 10⁵ cells). The per-row argmin is a UDF by choice:
-  * its body IS the k·d distance arithmetic, so codegen'd expression trees
-  * would save only the row-boundary overhead. At 100 TB the index is just
+  * Assignment is then ONE map pass: the per-row argmin is the codegen'd
+  * [[graft.functions.NearestCell]] expression (centroid matrix as a
+  * plan-referenced double[][] — k·d doubles, KBs at small k, MBs at 10⁵
+  * cells), so the corpus-wide scan stays in whole-stage codegen with no
+  * per-row boxing. At 100 TB the index is just
   * `(cell, vec)` written partitioned BY cell ([[writeIndex]]) so a probe
   * ([[approxTopKStored]]) reads nProbe/nCells of the data via partition
   * pruning — and the candidate join is a cell equi-join, never all-pairs.
@@ -93,9 +93,8 @@ object IvfIndex {
           .map { case (id, x) => (id, x.toArray) }
         lloydExact(sample, nCells, seed, Iters)
       } else fitDistributed(sampleDf, nCells, seed)
-    val bc = spark.sparkContext.broadcast(centroids)
-    val nearest = udf { (emb: Seq[Double]) => nearestCell(bc.value, emb.toArray) }
-    val assigned = vecs.select(col("vec_id"), col("emb"), nearest(col("emb")).as("cell"))
+    val assigned = vecs.select(col("vec_id"), col("emb"),
+      graft.functions.NearestCell.nearest(spark, col("emb"), centroids).as("cell"))
     val cents = centroids.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid")
@@ -195,19 +194,29 @@ object IvfIndex {
     require(cents.nonEmpty, "empty quantizer training sample")
     var it = 0
     while (it < iters) {
-      val bc = spark.sparkContext.broadcast(cents)
-      val nearest = udf { (emb: Seq[Double]) => nearestCell(bc.value, emb.toArray) }
-      // per-(cell, dim) exact decimal sums + member counts: k·d rows out
+      // per-(cell, dim) exact decimal sums, re-rolled to ONE row per cell
+      // (pos-sorted struct array + the member count) before collection —
+      // k rows instead of k·d Row objects on the driver heap. Practical
+      // ceiling: the k·d decimal aggregates themselves must fit the
+      // driver (10⁵ cells × 64 dims ≈ 6.4M decimals ≈ low hundreds of
+      // MB); past that, shrink the sample stride or the cell count — the
+      // coarse quantizer needs spread, not optimality.
       val stats = sample
-        .select(nearest(col("emb")).as("cell"), posexplode(col("emb")))
+        .select(graft.functions.NearestCell.nearest(spark, col("emb"), cents).as("cell"),
+          posexplode(col("emb")))
         .groupBy("cell", "pos")
         .agg(sum(graft.sqlx.Exact.dec(col("col"))).as("s"), count(lit(1)).as("n"))
+        .groupBy("cell")
+        .agg(max(col("n")).as("n"), // n is the cell's member count — identical across dims
+          sort_array(collect_list(struct(col("pos"), col("s")))).as("dims"))
         .collect()
-      bc.destroy()
       val next = cents.map(_.clone)
       stats.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) =
-          r.getDecimal(2).doubleValue() / r.getLong(3)
+        val cell = r.getInt(0)
+        val n = r.getLong(1)
+        r.getSeq[org.apache.spark.sql.Row](2).foreach { ds =>
+          next(cell)(ds.getInt(0)) = ds.getDecimal(1).doubleValue() / n
+        }
       }
       cents = next
       it += 1

@@ -1,7 +1,5 @@
 package graft.dedup
 
-import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -51,42 +49,21 @@ object MinHashLSH {
   /** SQL mirror of [[baseHash32]]: unsigned value of the first 8 md5 hex chars. */
   def baseHashSql(s: String): String = s"CAST(('0x' || substr(md5($s), 1, 8)) AS BIGINT)"
 
-  /** One MD5 instance per executor thread (getInstance() per shingle was
-    * the UDF's hot-loop cost; digest() resets it, so reuse is
-    * value-identical — same optimization as SimHash.md5Local). */
-  private val md5Local: ThreadLocal[MessageDigest] =
-    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
-
-  /** Unsigned 32-bit value of the first four md5 bytes of `s`. a·x+b with
-    * a,b < 2^31 and x < 2^32 stays below 2^63 — no overflow in either
-    * engine. */
-  private def baseHash32(s: String): Long = {
-    val d = md5Local.get().digest(s.getBytes(StandardCharsets.UTF_8))
-    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-  }
-
-  private val minhashUdf = udf { (shingles: Seq[String]) =>
-    if (shingles == null || shingles.isEmpty) null
-    else {
-      val hashes = shingles.map(baseHash32).toArray
-      params.map { case (a, b) =>
-        var m = Long.MaxValue
-        var i = 0
-        while (i < hashes.length) {
-          val h = (a * hashes(i) + b) % Prime
-          if (h < m) m = h
-          i += 1
-        }
-        m
-      }
-    }
-  }
+  // flat permutation arrays for the codegen kernel. Base hash = unsigned
+  // 32-bit value of the first four md5 bytes; a·x+b with a,b < 2^31 and
+  // x < 2^32 stays below 2^63 — no overflow in either engine.
+  private val (permA, permB) = (params.map(_._1), params.map(_._2))
 
   /** doc_id → (band, bucket) rows, from precomputed shingles. The bucket is
-    * the exact comma-joined slice of r signature values (collision-free). */
+    * the exact comma-joined slice of r signature values (collision-free).
+    * The signature is the codegen'd [[graft.functions.MinHashSig]]
+    * expression (was a Scala UDF — same md5/affine arithmetic, no String
+    * boxing, stays in whole-stage codegen). */
   def bandBuckets(sh: DataFrame): DataFrame = {
+    val spark = sh.sparkSession
     val grouped = sh.groupBy("doc_id").agg(collect_list("shingle").as("shingles"))
-    val sig = grouped.select(col("doc_id"), minhashUdf(col("shingles")).as("sig"))
+    val sig = grouped.select(col("doc_id"),
+        graft.functions.MinHashSig.sig(spark, col("shingles"), permA, permB, Prime).as("sig"))
       .where(col("sig").isNotNull)
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),

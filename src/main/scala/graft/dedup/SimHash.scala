@@ -1,7 +1,5 @@
 package graft.dedup
 
-import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -25,50 +23,18 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  /** One MD5 instance per executor thread: getInstance() per hash was the
-    * UDF's hot-loop cost (provider lookup + allocation per TOKEN); digest()
-    * resets the instance, so reuse is value-identical. */
-  private val md5Local: ThreadLocal[MessageDigest] =
-    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
-
-  /** Unsigned 32-bit value of md5 bytes [off, off+4) of `s` — identical to
-    * parsing hex chars [2·off+1, 2·off+8] of md5(s), which is what the SQL
-    * mirrors do. */
-  private def md5Word32(d: Array[Byte], off: Int): Long =
-    ((d(off) & 0xffL) << 24) | ((d(off + 1) & 0xffL) << 16) |
-      ((d(off + 2) & 0xffL) << 8) | (d(off + 3) & 0xffL)
-
   /** SQL for the low 32 token-hash bits: md5 hex chars 1-8. */
   def bitsSqlLo(t: String): String = s"CAST(('0x' || substr(md5($t), 1, 8)) AS BIGINT)"
   /** SQL for the high 32 token-hash bits: md5 hex chars 9-16 (same digest). */
   def bitsSqlHi(t: String): String = s"CAST(('0x' || substr(md5($t), 9, 8)) AS BIGINT)"
 
-  private val simhashUdf = udf { (tokens: Seq[String]) =>
-    if (tokens == null || tokens.isEmpty) Option.empty[Long]
-    else Some {
-      val acc = new Array[Int](64)
-      val md = md5Local.get()
-      tokens.foreach { t =>
-        val d = md.digest(t.getBytes(StandardCharsets.UTF_8))
-        val lo = md5Word32(d, 0)
-        val hi = md5Word32(d, 4)
-        var i = 0
-        while (i < 32) {
-          if (((lo >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
-          if (((hi >>> i) & 1L) == 1L) acc(i + 32) += 1 else acc(i + 32) -= 1
-          i += 1
-        }
-      }
-      var fp = 0L
-      var i = 0
-      while (i < 64) { if (acc(i) > 0) fp |= (1L << i); i += 1 }
-      fp
-    }
-  }
-
+  /** Fingerprints via the codegen'd [[graft.functions.SimHash64]]
+    * expression (was a Scala UDF — same md5-derived votes, no String
+    * boxing, stays in whole-stage codegen). */
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      simhashUdf(split(trim(col("text")), " ")).as("simhash"))
+      graft.functions.SimHash64.fingerprint(docs.sparkSession,
+        split(trim(col("text")), " ")).as("simhash"))
 
   /** Pairs within the given Hamming distance, found via 16-bit band buckets. */
   def nearDuplicates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
