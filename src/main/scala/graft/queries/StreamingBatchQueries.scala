@@ -156,8 +156,54 @@ object StreamingBatchQueries {
       |WHERE t.event_type = 'click' AND c.event_type = 'purchase'
       |ORDER BY trigger_id, conversion_id""".stripMargin)
 
+  private val memSinkId = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The REAL file-source streaming path (#58b), registered end-to-end:
+    * stage the events table as an "arriving" parquet file in a stream
+    * directory, run `readStream.parquet` (graft.Tables.eventsStream —
+    * explicit schema + the same ts normalization as the batch reader,
+    * micro-batched via maxFilesPerTrigger) through the production windowed
+    * aggregation (EventAggregates.windowedCounts), drain it into a memory
+    * sink with processAllAvailable, and return the sink table. The oracle
+    * is the batch aggregation over the same rows — stream ≡ batch is
+    * exactly the Structured Streaming contract (FileStreamSpec asserts it
+    * per-row too). approx_users (HLL++) is projected out: deterministic,
+    * but not SQL-portable. At 100 TB this is the incremental-ingest shape:
+    * each arriving file is one micro-batch, state bounded by the
+    * watermark. */
+  private val streamFileSource = Q(
+    (s, d) => {
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft-stream-src-${Integer.toHexString(d.hashCode)}")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(d, "events.parquet"),
+        dir.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val qname = s"stream_file_source_${memSinkId.incrementAndGet()}"
+      val q = graft.streaming.EventAggregates
+        .windowedCounts(Tables.eventsStream(s, dir.toString))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qname)
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          unix_micros(col("window_end")).as("window_end_us"),
+          col("event_type"), col("n_events"), col("value_sum"))
+        .orderBy("window_start_us", "event_type")
+    },
+    """SELECT epoch_us(time_bucket(INTERVAL 10 MINUTE, ts)) AS window_start_us,
+      |       epoch_us(time_bucket(INTERVAL 10 MINUTE, ts) + INTERVAL 10 MINUTE) AS window_end_us,
+      |       event_type,
+      |       COUNT(*) AS n_events,
+      |       CAST(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS value_sum
+      |FROM events GROUP BY 1, 2, 3
+      |ORDER BY window_start_us, event_type""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "stream_window_agg" -> streamWindowAgg,
+    "stream_file_source" -> streamFileSource,
     "sessionization" -> sessionization,
     "stream_dedup" -> streamDedup,
     "stream_enrich" -> streamEnrich,
