@@ -30,10 +30,18 @@ import org.apache.spark.sql.functions._
   *     splits at runtime (SortMergeJoinExec.isSkewJoin), with zero
   *     replication cost and no code change. This operator adds nothing
   *     there.
-  *  2. Hot-key AGGREGATION → salt. OptimizeSkewedJoin only rewrites
-  *     joins; a groupBy's exchange hash-partitions on the raw key, so
-  *     the hot key is structurally one reducer regardless of AQE. Use
-  *     the two-phase salted rollup (graft.sqlx.Skew.saltedCountSum).
+  *  2. Hot-key AGGREGATION of a NON-COMBINABLE aggregate → salt.
+  *     OptimizeSkewedJoin only rewrites joins, and a groupBy's exchange
+  *     hash-partitions on the raw key — but for algebraic aggregates
+  *     (count/sum/min/max/avg) Spark's map-side partial aggregation
+  *     already collapses the hot key to one partial row per mapper
+  *     before the exchange, so the lone reducer receives ~numMappers
+  *     rows, not the hot key's raw rows — no salt needed. Salting
+  *     matters where partials don't collapse: collect_list/collect_set,
+  *     exact countDistinct (every distinct value of the hot key meets
+  *     at one reducer), or high-cardinality intermediate state. Then
+  *     use the two-phase salted rollup (graft.sqlx.Skew.saltedCountSum
+  *     shows the shape).
   *  3. Bucketed / pre-partitioned joins → salt (or re-bucket). Their
   *     point is having NO exchange, and AQE skew handling works by
   *     re-reading shuffle output — no exchange, nothing to split.

@@ -140,12 +140,27 @@ object LlmQueries {
        |ORDER BY doc_a, doc_b""".stripMargin)
 
   // ---------------------------------------------------------------- ann
+  /** Guarded cosine, the SQL mirror of the Spark family's zero-norm guard
+    * (Cosine.fastCos / HyperplaneLSH.approxTopK / IvfIndex.rescoreTopK all
+    * emit NULL via `when(na =!= 0 && nb =!= 0, …)`): explicit
+    * dot/(|a|·|b|) with the identical op DAG, NULL on a zero norm. Every
+    * cosine oracle routes through this so a zero-norm embedding at any SF
+    * desyncs nothing (previously the oracles divided unguarded — green
+    * only because the synthetic embeddings happen to have no zero rows). */
+  private def cosSql(a: String, b: String): String =
+    s"CASE WHEN sqrt(list_dot_product($a, $a)) <> 0 AND sqrt(list_dot_product($b, $b)) <> 0" +
+      s" THEN list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END"
+
+  /** [[cosSql]] rounded to 6dp through the §6 VARCHAR→DECIMAL route. */
+  private def cosRndSql(a: String, b: String): String =
+    s"CAST(ROUND(CAST(CAST(${cosSql(a, b)} AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)"
+
   private val annTopk = Q(
     (s, d) => Cosine.topK(s, d).orderBy("query_id", "rank"),
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
       |q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id % 100 = 0),
       |s AS (
-      |  SELECT query_id, vec_id, CAST(ROUND(CAST(CAST(list_cosine_similarity(qemb, emb) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS cosine
+      |  SELECT query_id, vec_id, ${cosRndSql("qemb", "emb")} AS cosine
       |  FROM e CROSS JOIN q WHERE vec_id <> query_id
       |),
       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank FROM s)
@@ -156,11 +171,11 @@ object LlmQueries {
     * top-10 most-similar different-label vectors. */
   private val annHardNegatives = Q(
     (s, d) => Cosine.hardNegatives(s, d).orderBy("query_id", "rank"),
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
       |q AS (SELECT vec_id AS query_id, emb AS qemb, label AS qlabel FROM e WHERE vec_id % 100 = 0),
       |s AS (
       |  SELECT query_id, vec_id, label AS neg_label,
-      |    CAST(ROUND(CAST(CAST(list_cosine_similarity(qemb, emb) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS cosine
+      |    ${cosRndSql("qemb", "emb")} AS cosine
       |  FROM e CROSS JOIN q WHERE label <> qlabel
       |),
       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank FROM s)
@@ -171,9 +186,9 @@ object LlmQueries {
     (s, d) => Cosine.thresholdPairs(s, d, EmbDedupThreshold).orderBy("vec_a", "vec_b"),
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |       CAST(ROUND(CAST(CAST(list_cosine_similarity(a.emb, b.emb) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS cosine
+       |       ${cosRndSql("a.emb", "b.emb")} AS cosine
        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-       |WHERE CAST(ROUND(CAST(CAST(list_cosine_similarity(a.emb, b.emb) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) >= $EmbDedupThreshold
+       |WHERE ${cosRndSql("a.emb", "b.emb")} >= $EmbDedupThreshold
        |ORDER BY vec_a, vec_b""".stripMargin)
 
   private def corpusEmb(s: org.apache.spark.sql.SparkSession, d: String) =
@@ -225,9 +240,9 @@ object LlmQueries {
        |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
        |)
        |SELECT c.vec_a, c.vec_b,
-       |       CAST(ROUND(CAST(CAST(list_cosine_similarity(ea.emb, eb.emb) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS cosine
+       |       ${cosRndSql("ea.emb", "eb.emb")} AS cosine
        |FROM cand c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b
-       |WHERE CAST(ROUND(CAST(CAST(list_cosine_similarity(ea.emb, eb.emb) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) >= $EmbDedupThreshold
+       |WHERE ${cosRndSql("ea.emb", "eb.emb")} >= $EmbDedupThreshold
        |ORDER BY vec_a, vec_b""".stripMargin)
 
   private val annLsh = Q(
@@ -253,7 +268,7 @@ object LlmQueries {
        |),
        |s AS (
        |  SELECT c.query_id, c.vec_id,
-       |    CAST(ROUND(CAST(CAST(list_cosine_similarity(q.qemb, e.emb) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS cosine
+       |    ${cosRndSql("q.qemb", "e.emb")} AS cosine
        |  FROM cand c JOIN e ON e.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id
        |),
        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank FROM s)
@@ -347,10 +362,7 @@ object LlmQueries {
        |probed AS (SELECT query_id, qemb, cell FROM pp WHERE prb <= 8),
        |sc AS (
        |  SELECT p.query_id, a.vec_id,
-       |    CAST(ROUND(CAST(CAST(
-       |      list_dot_product(p.qemb, a.emb) /
-       |        (sqrt(list_dot_product(p.qemb, p.qemb)) * sqrt(list_dot_product(a.emb, a.emb)))
-       |    AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) AS cosine
+       |    ${cosRndSql("p.qemb", "a.emb")} AS cosine
        |  FROM probed p JOIN asg a USING (cell)
        |  WHERE a.vec_id <> p.query_id
        |),
@@ -414,7 +426,7 @@ object LlmQueries {
        |         FROM ex GROUP BY 1, 2),
        |cvec AS (SELECT source AS cand, list(c ORDER BY i) AS cv FROM cent GROUP BY 1),
        |sc AS (SELECT j.doc_id, j.source AS true_source, c.cand,
-       |       ${OracleSql.rnd("list_cosine_similarity(j.emb, c.cv)", 6)} AS cosine
+       |       ${cosRndSql("j.emb", "c.cv")} AS cosine
        |       FROM j CROSS JOIN cvec c),
        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cosine DESC, cand) AS rk FROM sc)
        |SELECT doc_id, true_source, cand AS predicted_source, cosine,
