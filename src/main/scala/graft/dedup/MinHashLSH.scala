@@ -62,9 +62,14 @@ object MinHashLSH {
   def bandBuckets(sh: DataFrame): DataFrame = {
     val spark = sh.sparkSession
     val grouped = sh.groupBy("doc_id").agg(collect_list("shingle").as("shingles"))
-    val sig = grouped.select(col("doc_id"),
+    // guard on the CHEAP input, not the signature: a `sig IS NOT NULL`
+    // filter gets pushed below the project and re-evaluates the whole
+    // md5 loop a second time per row (seen in the PLANS.md audit) —
+    // size(shingles) > 0 is the exact same predicate (the signature is
+    // null iff the array is empty) at scan-cheap cost
+    val sig = grouped.where(size(col("shingles")) > 0)
+      .select(col("doc_id"),
         graft.functions.MinHashSig.sig(spark, col("shingles"), permA, permB, Prime).as("sig"))
-      .where(col("sig").isNotNull)
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)).as("bucket"))

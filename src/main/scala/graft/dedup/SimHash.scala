@@ -30,16 +30,21 @@ object SimHash {
 
   /** Fingerprints via the codegen'd [[graft.functions.SimHash64]]
     * expression (was a Scala UDF — same md5-derived votes, no String
-    * boxing, stays in whole-stage codegen). */
+    * boxing, stays in whole-stage codegen). Null texts are filtered on
+    * the INPUT column — a `simhash IS NOT NULL` filter downstream would
+    * be pushed below the project and re-run the whole md5 vote loop a
+    * second time per row; for non-null text `split(trim(text), " ")`
+    * always yields ≥1 token, so the fingerprint itself is never null. */
   def fingerprints(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      graft.functions.SimHash64.fingerprint(docs.sparkSession,
-        split(trim(col("text")), " ")).as("simhash"))
+    docs.where(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.SimHash64.fingerprint(docs.sparkSession,
+          split(trim(col("text")), " ")).as("simhash"))
 
   /** Pairs within the given Hamming distance, found via 16-bit band buckets. */
   def nearDuplicates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4 bands of 16 bits guarantee recall only for distance <= 3")
-    val fp = fingerprints(docs).where(col("simhash").isNotNull)
+    val fp = fingerprints(docs) // never-null by construction (see above)
     val banded = fp.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
