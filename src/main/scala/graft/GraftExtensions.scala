@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Library entry point for `spark.sql.extensions`
+  * (`--conf spark.sql.extensions=graft.GraftExtensions`): injects graft's
+  * native Catalyst functions into every session built with the config, so
+  * plain SQL text — notebooks, spark-sql, thrift — can call them without
+  * touching the Scala API:
+  *
+  *   - `graft_dot(array<double>, array<double>)` — codegen dot product
+  *     ([[graft.functions.DotProduct]], the ANN hot loop)
+  *   - `graft_simhash64(array<string>)` — 64-bit SimHash fingerprint
+  *     ([[graft.functions.SimHash64]])
+  *   - `graft_minhash_sig(array<string>)` — 128-value MinHash signature
+  *     with the library's fixed LSH permutation constants
+  *     ([[graft.functions.MinHashSig]] / [[graft.dedup.MinHashLSH]]), so
+  *     SQL-side signatures join against DataFrame-side band buckets
+  *
+  * The query layer itself registers these lazily per call (the registry
+  * route in each expression's companion), so the extension is additive —
+  * the injection path is what a cluster-wide deployment configures once.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => graft.functions.DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "graft_simhash64"),
+      (exprs: Seq[Expression]) => graft.functions.SimHash64(exprs.head)))
+    val (a, b) = (graft.dedup.MinHashLSH.params.map(_._1), graft.dedup.MinHashLSH.params.map(_._2))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "graft_minhash_sig"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.MinHashSig(exprs.head, a, b, graft.dedup.MinHashLSH.Prime)))
+  }
+}

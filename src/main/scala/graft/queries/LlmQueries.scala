@@ -795,6 +795,51 @@ object LlmQueries {
        |FROM r WHERE rank <= 5
        |ORDER BY doc_id, rank""".stripMargin)
 
+  /** BM25 more-like-this retrieval (graft.text.Bm25): lexical top-10 per
+    * query doc. Oracle replays the identical dyadic-constant score DAG —
+    * integer tf/df/dl/N, shared ln expression, 10dp quantize →
+    * DECIMAL(25,10) exact sum, rank on the exact total. */
+  private val textBm25 = Q(
+    (s, d) => graft.text.Bm25.moreLikeThis(s, d, k = 10).orderBy("query_id", "rank"),
+    {
+      val tsExpr =
+        "ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)" +
+          " * (CAST(t.tf AS DOUBLE) * 2.5)" +
+          " / (CAST(t.tf AS DOUBLE) + 1.5 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)" +
+          " / (CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents
+         |),
+         |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+         |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tok),
+         |qt AS (SELECT doc_id AS query_id, token FROM tf WHERE doc_id % 100 = 0),
+         |bsc AS (
+         |  SELECT q.query_id, t.doc_id,
+         |         ${OracleSql.rnd(tsExpr, 10)} AS ts_q
+         |  FROM qt q JOIN tf t USING (token)
+         |            JOIN df USING (token)
+         |            JOIN dl ON dl.doc_id = t.doc_id
+         |            CROSS JOIN nd CROSS JOIN nt
+         |  WHERE t.doc_id <> q.query_id
+         |),
+         |agg AS (
+         |  SELECT query_id, doc_id,
+         |         CAST(CAST(SUM(CAST(ts_q AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS s
+         |  FROM bsc GROUP BY 1, 2
+         |),
+         |r AS (
+         |  SELECT query_id, doc_id, s,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS INTEGER) AS rank
+         |  FROM agg
+         |)
+         |SELECT query_id, doc_id, ${OracleSql.rd("s", "bm25")}, rank
+         |FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+    })
+
   /** Distributed BPE vocabulary induction (first 12 merges from the corpus
     * word-frequency table). Rows-only: k data-dependent argmax rounds have
     * no declarative SQL form; BpeSpec differential-tests the merge sequence
@@ -1013,6 +1058,7 @@ object LlmQueries {
     "text_repetition" -> textRepetition,
     "text_dup_spans" -> textDupSpans,
     "text_keywords" -> textKeywords,
+    "text_bm25" -> textBm25,
     "text_fingerprint" -> textFingerprint,
     "vocab_top_tokens" -> vocabTopTokens,
     "vocab_bpe_merges" -> vocabBpeMerges,

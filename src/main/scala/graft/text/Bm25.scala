@@ -1,0 +1,77 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** BM25 lexical retrieval (Robertson–Spärck Jones idf × tf saturation) —
+  * the LEXICAL twin of the embedding ANN queries, completing the
+  * training-data retrieval surface: `ann_topk` finds semantic neighbours,
+  * this finds term-overlap neighbours ("more-like-this": every 100th
+  * document is a query, same convention as the ANN family; its DISTINCT
+  * terms fetch posting lists and candidates are ranked top-k).
+  *
+  * Scale shape: the score join is an inverted-index equi-join on `token`
+  * (query terms × posting lists) — never doc × doc; the query-term table
+  * is broadcast like the ANN query side; tf/df/dl are one-shuffle
+  * aggregations. Stopword-grade hot tokens are the skew keys at corpus
+  * scale — BM25's idf already weights them to ~0, so the production cap is
+  * the same df-threshold drop Jaccard.shingles uses, which changes scores
+  * negligibly by construction.
+  *
+  * Cross-engine exactness (§6): tf/df/dl/N are integers; the per-term
+  * score is one shared IEEE op DAG whose constants are DYADIC
+  * (k1 = 1.5, b = 0.75, so k1+1 = 2.5 and 1−b = 0.25 are exact binary
+  * doubles — no decimal-literal parsing hazard); term scores are
+  * 10dp-quantized then DECIMAL(25,10)-summed (the Perplexity rule) so
+  * aggregation order can't perturb a total, and ranking uses the exact
+  * sum with a doc_id tie-break.
+  */
+object Bm25 {
+  /** tf saturation: chosen dyadic (see header); standard range 1.2–2.0. */
+  val K1 = 1.5
+  /** length normalization: the universal default, also dyadic. */
+  val B = 0.75
+
+  /** Top-k BM25 matches per query document (doc_id % 100 == 0). Returns
+    * (query_id, doc_id, bm25 rounded 4dp, rank). */
+  def moreLikeThis(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select(col("doc_id"),
+      explode(split(trim(col("text")), " ")).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // corpus scalars: one 1-row frame, broadcast like the other metadata
+    val scalars = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(tok.agg(count(lit(1)).as("n_tokens")))
+    val qt = tf.where(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"), col("token"))
+
+    val nd = col("n_docs").cast("double")
+    val dfd = col("df").cast("double")
+    val tfd = col("tf").cast("double")
+    val dld = col("dl").cast("double")
+    val avgdl = col("n_tokens").cast("double") / nd
+    val idf = log((nd - dfd + lit(0.5)) / (dfd + lit(0.5)) + lit(1.0))
+    val termScore = idf * (tfd * lit(2.5)) /
+      (tfd + lit(1.5) * (lit(0.25) + lit(0.75) * dld / avgdl))
+
+    val scored = broadcast(qt).join(tf, "token")
+      .where(col("doc_id") =!= col("query_id"))
+      .join(df, "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(scalars))
+      // quantize-then-exact-sum (§6 / Perplexity rule)
+      .select(col("query_id"), col("doc_id"),
+        (round(termScore, 10) + lit(0.0)).as("ts_q"))
+      .groupBy("query_id", "doc_id")
+      .agg(graft.sqlx.Exact.decSumAgg(col("ts_q")).as("s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("s").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"),
+        graft.sqlx.Exact.r4(col("s")).as("bm25"), col("rank"))
+  }
+}
