@@ -52,7 +52,12 @@ def check_profile_approx(con, out_dir):
         er = e[cname]
         for k in er:
             if k == "n_distinct":
-                if er[k] and abs(ar[k] - er[k]) > 0.05 * er[k]:
+                # None/0 exacts demand an equal approx — `if er[k]` would
+                # silently disable the bound exactly when it must be tight
+                if ar[k] is None or er[k] is None or not er[k]:
+                    if ar[k] != er[k]:
+                        return f"FAIL: {cname}.n_distinct approx={ar[k]} exact={er[k]}"
+                elif abs(ar[k] - er[k]) > 0.05 * er[k]:
                     return f"FAIL: {cname}.n_distinct approx={ar[k]} exact={er[k]} (>5%)"
             elif canon(ar[k]) != canon(er[k]):
                 return f"FAIL: {cname}.{k} approx={ar[k]!r} exact={er[k]!r}"
@@ -73,6 +78,9 @@ def check_sketch_stats(con, out_dir):
         er = e[et]
         if ar["n_events"] != er["n_events"]:
             return f"FAIL: {et}.n_events {ar['n_events']} vs exact {er['n_events']}"
+        if None in (ar["approx_users"], er["n_users"], ar["p50_value"],
+                    ar["p95_value"], er["min_value"], er["max_value"]):
+            return f"FAIL: {et} has NULL stats: approx={ar} exact={er}"
         if abs(ar["approx_users"] - er["n_users"]) > 0.05 * er["n_users"]:
             return f"FAIL: {et}.approx_users={ar['approx_users']} exact={er['n_users']} (>5%)"
         for qc in ("p50_value", "p95_value"):
@@ -110,8 +118,14 @@ def main():
             f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table()
         if name not in oracles:
             if name in BOUNDED:
-                verdict = BOUNDED[name](con, out_dir)
-                print(f"[{'BOUNDED' if verdict == 'bounded-ok' else 'BOUND-FAIL'}] {name}: rows={got.num_rows} {verdict}")
+                try:
+                    verdict = BOUNDED[name](con, out_dir)
+                except Exception as e:  # a broken dump must record a FAIL, not abort the sweep
+                    verdict = f"FAIL: bounded check raised {e!r}"
+                label = ("BOUNDED" if verdict == "bounded-ok"
+                         else "BOUND-SKIP" if verdict.startswith("skip")
+                         else "BOUND-FAIL")
+                print(f"[{label}] {name}: rows={got.num_rows} {verdict}")
                 if verdict == "bounded-ok":
                     n_bounded += 1; record(name, "bounded-ok", f"rows={got.num_rows}")
                 elif verdict.startswith("skip"):
@@ -149,9 +163,12 @@ def main():
             print(f"[OK] {name}: {len(g)} rows"); n_pass += 1
             record(name, "ok", f"rows={len(g)}")
     print(f"\n{n_pass} ok, {n_bounded} bounded-ok, {n_fail} failed")
-    with open(os.path.join(out_dir, "CHECK_LOCAL.json"), "w") as f:
-        json.dump({"sf": sf_dir, "n_ok": n_pass, "n_bounded_ok": n_bounded,
-                   "n_fail": n_fail, "queries": statuses}, f, indent=1, sort_keys=True)
+    # only a FULL sweep writes the committed artifact — a single-query dev
+    # run must never clobber the round's correctness record
+    if not only:
+        with open(os.path.join(out_dir, "CHECK_LOCAL.json"), "w") as f:
+            json.dump({"sf": sf_dir, "n_ok": n_pass, "n_bounded_ok": n_bounded,
+                       "n_fail": n_fail, "queries": statuses}, f, indent=1, sort_keys=True)
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":

@@ -25,19 +25,31 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    def arity(name: String, n: Int, exprs: Seq[Expression]): Unit =
+      if (exprs.length != n)
+        throw new IllegalArgumentException(
+          s"$name expects $n argument(s), got ${exprs.length}")
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => graft.functions.DotProduct(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        arity("graft_dot", 2, exprs)
+        graft.functions.DotProduct(exprs(0), exprs(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "graft_simhash64"),
-      (exprs: Seq[Expression]) => graft.functions.SimHash64(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        arity("graft_simhash64", 1, exprs)
+        graft.functions.SimHash64(exprs.head)
+      }))
     val (a, b) = (graft.dedup.MinHashLSH.params.map(_._1), graft.dedup.MinHashLSH.params.map(_._2))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "graft_minhash_sig"),
-      (exprs: Seq[Expression]) =>
-        graft.functions.MinHashSig(exprs.head, a, b, graft.dedup.MinHashLSH.Prime)))
+      (exprs: Seq[Expression]) => {
+        arity("graft_minhash_sig", 1, exprs)
+        graft.functions.MinHashSig(exprs.head, a, b, graft.dedup.MinHashLSH.Prime)
+      }))
   }
 }

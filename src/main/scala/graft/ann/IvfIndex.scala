@@ -201,15 +201,19 @@ object IvfIndex {
       // driver (10⁵ cells × 64 dims ≈ 6.4M decimals ≈ low hundreds of
       // MB); past that, shrink the sample stride or the cell count — the
       // coarse quantizer needs spread, not optimality.
+      val (fname, nearestCol) =
+        graft.functions.NearestCell.nearestNamed(spark, col("emb"), cents)
       val stats = sample
-        .select(graft.functions.NearestCell.nearest(spark, col("emb"), cents).as("cell"),
-          posexplode(col("emb")))
+        .select(nearestCol.as("cell"), posexplode(col("emb")))
         .groupBy("cell", "pos")
         .agg(sum(graft.sqlx.Exact.dec(col("col"))).as("s"), count(lit(1)).as("n"))
         .groupBy("cell")
         .agg(max(col("n")).as("n"), // n is the cell's member count — identical across dims
           sort_array(collect_list(struct(col("pos"), col("s")))).as("dims"))
         .collect()
+      // the iteration's plan is fully executed: release this centroid
+      // snapshot from the registry (each iteration registers a fresh one)
+      graft.functions.NearestCell.drop(spark, fname)
       val next = cents.map(_.clone)
       stats.foreach { r =>
         val cell = r.getInt(0)

@@ -85,11 +85,26 @@ object NearestCell {
   /** Column API. Each call registers a uniquely-named temp function binding
     * THIS centroid matrix (the registry path avoids private Column ctors,
     * same as [[GraftFunctions.dot]]); a fit happens a handful of times per
-    * session, so the registry growth is metadata-sized. */
-  def nearest(spark: SparkSession, emb: Column, cents: Array[Array[Double]]): Column = {
+    * session, so the registry growth is metadata-sized. Callers whose plan
+    * is consumed eagerly (the distributed Lloyd's iterations) should use
+    * [[nearestNamed]] and [[drop]] to release the centroid snapshot —
+    * otherwise every iteration's k·d matrix stays pinned in the registry
+    * closure for the session lifetime. */
+  def nearest(spark: SparkSession, emb: Column, cents: Array[Array[Double]]): Column =
+    nearestNamed(spark, emb, cents)._2
+
+  /** [[nearest]] plus the registered function name, for eager consumers
+    * that drop the registration (and its captured centroids) after use. */
+  def nearestNamed(spark: SparkSession, emb: Column,
+                   cents: Array[Array[Double]]): (String, Column) = {
     val name = s"graft_nearest_cell_${counter.incrementAndGet()}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, exprs => NearestCell(exprs.head, cents), "built-in")
-    org.apache.spark.sql.functions.call_function(name, emb)
+    (name, org.apache.spark.sql.functions.call_function(name, emb))
   }
+
+  /** Unregister a [[nearestNamed]] function once its plan has executed. */
+  def drop(spark: SparkSession, name: String): Unit =
+    spark.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name))
 }

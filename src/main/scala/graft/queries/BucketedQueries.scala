@@ -32,12 +32,17 @@ object BucketedQueries {
     val suffix = Integer.toHexString(d.hashCode)
     val featT = s"graft_feat_sym_$suffix"
     val sigT = s"graft_sig_sym_$suffix"
-    if (written.add(graft.sqlx.FrameCache.key(s, "bucketed-write", d))) {
+    // mark written only AFTER both writes succeed — adding the key first
+    // would turn a transient write failure into a permanently poisoned
+    // session (every later call would skip the write and fail the read)
+    val wkey = graft.sqlx.FrameCache.key(s, "bucketed-write", d)
+    if (!written.contains(wkey)) {
       BucketedTables.write(SignalQueries.signalFeatures(s, d), featT,
         Seq("symbol_id"), numBuckets = 8, sortCols = Seq("symbol_id", "date"))
       BucketedTables.write(
         SignalQueries.allSignals(s, d),
         sigT, Seq("symbol_id"), numBuckets = 8)
+      written.add(wkey)
     }
 
     val ft = BucketedTables.read(s, featT)

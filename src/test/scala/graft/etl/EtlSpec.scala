@@ -58,6 +58,25 @@ class EtlSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("watermark store ignores an uncommitted (crashed) version directory") {
+    val root = java.nio.file.Files.createTempDirectory("graft-wm-spec-crash").toString
+    val wm = Watermarks.watermarkTable(spark, sf("sf0.001")).limit(7)
+    Watermarks.writeState(wm, root)
+    // simulate a crash mid-write of v=2: directory + a stray part file,
+    // but no _SUCCESS commit marker
+    val dead = java.nio.file.Paths.get(root, "v=2")
+    java.nio.file.Files.createDirectories(dead)
+    java.nio.file.Files.writeString(dead.resolve("part-00000.parquet"), "garbage")
+    assert(Watermarks.latestVersion(spark, root).contains(1L),
+      "uncommitted v=2 must not be visible")
+    assert(Watermarks.readState(spark, root).count() == 7)
+    // the next successful commit claims v=2 (overwrite) and becomes latest
+    val v = Watermarks.writeState(wm, root)
+    assert(v == 2L && Watermarks.latestVersion(spark, root).contains(2L))
+    assert(Watermarks.readState(spark, root).count() == 7)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("watermark store vacuums versions past the retention window") {
     val root = java.nio.file.Files.createTempDirectory("graft-wm-spec-vac").toString
     val wm = Watermarks.watermarkTable(spark, sf("sf0.001")).limit(10)
