@@ -82,11 +82,11 @@ object LlmQueries {
 
   // Replays signatures, bands, and the candidate-restricted verify exactly:
   // base hash + affine permutations + concat-string buckets are all
-  // cross-engine deterministic (MinHashLSH scaladoc).
-  private val dedupMinhash = Q(
-    (s, d) => MinHashLSH.nearDuplicatesFromShingles(
-        Jaccard.cachedShingles(s, d), JaccardThreshold)
-      .orderBy("doc_a", "doc_b"),
+  // cross-engine deterministic (MinHashLSH scaladoc). Shared with
+  // `stream_neardup` (StreamingBatchQueries): with the whole corpus
+  // streamed through, the stream's bucket-state pair set IS the batch
+  // bucket join's, so one oracle covers both.
+  private[queries] val minhashNearDupSql: String =
     s"""WITH $minhashBandCtes,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -104,7 +104,13 @@ object LlmQueries {
        |       CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) AS jaccard
        |FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
        |WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) >= $JaccardThreshold
-       |ORDER BY doc_a, doc_b""".stripMargin)
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val dedupMinhash = Q(
+    (s, d) => MinHashLSH.nearDuplicatesFromShingles(
+        Jaccard.cachedShingles(s, d), JaccardThreshold)
+      .orderBy("doc_a", "doc_b"),
+    minhashNearDupSql)
 
   // Banded + Hamming≤3 ≡ all-pairs + Hamming≤3 (pigeonhole over 4 bands),
   // so the oracle verifies with a plain fingerprint self-join.
@@ -840,10 +846,14 @@ object LlmQueries {
          |ORDER BY query_id, rank""".stripMargin
     })
 
-  /** Distributed BPE vocabulary induction (first 12 merges from the corpus
-    * word-frequency table). Rows-only: k data-dependent argmax rounds have
-    * no declarative SQL form; BpeSpec differential-tests the merge sequence
-    * against an independent single-node reference implementation. */
+  /** Distributed BPE vocabulary induction (first [[BpeMerges]] merges from
+    * the corpus word-frequency table). Oracle-green: the merge rounds are
+    * data-dependent but their COUNT is a query constant, so the loop
+    * unrolls into k chained DuckDB CTE stages
+    * ([[OracleSql.bpeMergesSql]] — pair count → argmax → boundary-anchored
+    * `replace` rewrite, bit-exact to Bpe.learn's fold); BpeSpec additionally
+    * differential-tests the merge sequence against an independent
+    * single-node reference implementation. */
   /** Count-min token-frequency estimation (graft.operators.CountMin):
     * fixed Depth×Width sketch state regardless of corpus size, probed for
     * the top-20 true tokens and compared against their exact counts (the
@@ -896,11 +906,13 @@ object LlmQueries {
     * artifact is metadata (12 rows), and both the vocab query and the
     * encode query consume the SAME artifact, like a shipped tokenizer
     * (same memoization rationale as the GBT fit in TradeSuccess). */
+  private val BpeMerges = 12
+
   private val mergeCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, String, String, String, Long)]]
   private def learnedMerges(s: org.apache.spark.sql.SparkSession, d: String) =
     mergeCache.getOrElseUpdate(graft.sqlx.FrameCache.key(s, "bpemerges", d), {
-      graft.text.Bpe.merges(Tables.documents(s, d), "text", nMerges = 12)
+      graft.text.Bpe.merges(Tables.documents(s, d), "text", nMerges = BpeMerges)
         .orderBy("step").collect()
         .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
         .toSeq
@@ -911,7 +923,7 @@ object LlmQueries {
       import s.implicits._
       learnedMerges(s, d).toDF("step", "left", "right", "merged", "pair_count")
         .orderBy("step")
-    }, None)
+    }, OracleSql.bpeMergesSql(BpeMerges))
 
   /** JL random projection 64 → 8 dims (graft.ann.RandomProjection): the
     * pre-reduction step large-scale ANN/clustering pipelines run before
@@ -945,13 +957,16 @@ object LlmQueries {
        |  ${OracleSql.rnd("s / sqrt(8.0)", 6)} AS proj_val
        |FROM p ORDER BY vec_id, proj_dim""".stripMargin)
 
-  /** The APPLY half of the tokenizer: learn 12 merges, segment the DISTINCT
-    * word table once (graft.text.Bpe.encodeWords), then roll subword counts
-    * back to documents through a word equi-join — the corpus is never
-    * re-segmented per occurrence. Rows-only (the merge table is
-    * data-dependent, not SQL-expressible); BpeEncodeSpec differential-tests
-    * the per-doc counts and sampled subword sequences against a single-node
-    * encoder using the SAME learned merges. */
+  /** The APPLY half of the tokenizer: learn [[BpeMerges]] merges, segment
+    * the DISTINCT word table once (graft.text.Bpe.encodeWords), then roll
+    * subword counts back to documents through a word equi-join — the corpus
+    * is never re-segmented per occurrence. Oracle-green via the same
+    * unrolled merge chain as `vocab_bpe_merges`: training's per-round
+    * rewrite applies every selected merge to every word in learned order,
+    * which IS encodeWords' fold, so the chain's final word table carries
+    * each word's subword count ([[OracleSql.bpeEncodeSql]]).
+    * BpeEncodeSpec additionally differential-tests per-doc counts and
+    * sampled subword sequences against a single-node encoder. */
   private val corpusBpeEncode = Q(
     (s, d) => {
       val docs = Tables.documents(s, d)
@@ -976,7 +991,7 @@ object LlmQueries {
           coalesce(col("n_chars"), lit(0L)).as("n_chars"),
           coalesce(col("n_subwords"), lit(0L)).as("n_subwords"))
         .orderBy("doc_id")
-    }, None)
+    }, OracleSql.bpeEncodeSql(BpeMerges))
 
   // ---------------------------------------------------------------- multimodal
   /** Payload layout CTE shared by both multimodal oracles: every synthetic

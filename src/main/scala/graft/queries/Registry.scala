@@ -72,4 +72,91 @@ object OracleSql {
     s"CAST(ROUND(CAST(CAST($expr AS VARCHAR) AS DECIMAL(38,20)), $scale) + 0.0 AS DOUBLE)"
 
   def rd(expr: String, as: String): String = s"${rnd(expr, 4)} AS $as"
+
+  /** Unrolled BPE merge replay — the oracle for `vocab_bpe_merges` /
+    * `corpus_bpe_encode`. The k merge rounds are data-DEPENDENT but the
+    * round COUNT is a query constant, so the "no declarative form" argument
+    * only rules out a fixed query for unbounded k: for the registered k the
+    * loop unrolls into k chained CTE stages (the same trick as the IVF
+    * Lloyd's-iteration replay), each stage = count adjacent pairs → argmax
+    * (count DESC, pair lexicographic — Bpe.learn's ranked order) → rewrite.
+    *
+    * State encoding: each word's symbol list rides as ONE varchar with
+    * TWO-space boundaries around every token (`"  a  b  "`), so the greedy
+    * leftmost non-overlapping merge of (l, r) is exactly one
+    * `replace(s, ' l  r ', ' lr ')`: the pattern takes one space from each
+    * flanking boundary (leaving one intact ⇒ adjacent matches still see a
+    * leading space), spaces never occur inside tokens (words are
+    * space-split) so every match is token-aligned, and `replace` scans
+    * left-to-right without re-examining replacement text — the same
+    * "a just-merged token never re-merges in the same pass" semantics as
+    * [[graft.text.Bpe.applyMergeLocal]]'s fold. Validated bit-exact against
+    * the Spark dumps at sf 0.001/0.01/0.1.
+    *
+    * Every CTE is MATERIALIZED: stage i references stage i−1 more than
+    * once, and DuckDB's default CTE inlining would re-expand the chain
+    * exponentially (~4^k scans). With materialization the oracle runs the
+    * same work as the trainer: k passes over the word table. */
+  private def bpeStageCtes(nMerges: Int): Seq[String] = {
+    val head = Seq(
+      """wt AS MATERIALIZED (
+        |  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)
+        |  WHERE len(w) > 0 GROUP BY 1)""".stripMargin,
+      """w0 AS MATERIALIZED (
+        |  SELECT word, freq,
+        |    '  ' || array_to_string(list_transform(generate_series(1, length(word)), i -> word[i]), '  ') || '  ' AS s
+        |  FROM wt)""".stripMargin)
+    val stages = (0 until nMerges).flatMap { i =>
+      Seq(
+        s"""p$i AS MATERIALIZED (
+           |  SELECT tk[j] AS l, tk[j+1] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT freq, list_filter(string_split(s, '  '), t -> len(t) > 0) AS tk FROM w$i),
+           |       UNNEST(generate_series(1, len(tk) - 1)) AS u(j)
+           |  GROUP BY 1, 2)""".stripMargin,
+        s"""b$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1)""",
+        s"""w${i + 1} AS MATERIALIZED (
+           |  SELECT word, freq,
+           |    replace(s, (SELECT ' ' || l || '  ' || r || ' ' FROM b$i),
+           |               (SELECT ' ' || l || r || ' ' FROM b$i)) AS s
+           |  FROM w$i)""".stripMargin)
+    }
+    head ++ stages
+  }
+
+  /** (step, left, right, merged, pair_count) for the first k merges. */
+  def bpeMergesSql(nMerges: Int): String = {
+    val sel = (0 until nMerges).map { i =>
+      s"""SELECT CAST($i AS INTEGER) AS step, l AS "left", r AS "right", l || r AS merged, cnt AS pair_count FROM b$i"""
+    }.mkString(" UNION ALL ")
+    "WITH " + bpeStageCtes(nMerges).mkString(",\n") +
+      s"\nSELECT * FROM ($sel) ORDER BY step"
+  }
+
+  /** Per-document word/char/subword rollup after k merges. The fully-merged
+    * word table w<k> IS the encode result: training rewrites every word with
+    * each selected merge in learned order — exactly encodeWords' fold — so
+    * the subword count per word falls out of the same chain. */
+  def bpeEncodeSql(nMerges: Int): String = {
+    val ctes = bpeStageCtes(nMerges) ++ Seq(
+      s"""enc AS MATERIALIZED (
+         |  SELECT word, CAST(len(list_filter(string_split(s, '  '), t -> len(t) > 0)) AS BIGINT) AS n_subwords
+         |  FROM w$nMerges)""".stripMargin,
+      """occ AS MATERIALIZED (
+        |  SELECT doc_id, w AS word
+        |  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents)
+        |  WHERE len(w) > 0)""".stripMargin,
+      """rolled AS MATERIALIZED (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |         CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+        |         CAST(SUM(n_subwords) AS BIGINT) AS n_subwords
+        |  FROM occ JOIN enc USING (word) GROUP BY 1)""".stripMargin)
+    "WITH " + ctes.mkString(",\n") +
+      """
+        |SELECT d.doc_id,
+        |  COALESCE(r.n_words, 0) AS n_words,
+        |  COALESCE(r.n_chars, 0) AS n_chars,
+        |  COALESCE(r.n_subwords, 0) AS n_subwords
+        |FROM documents d LEFT JOIN rolled r USING (doc_id) ORDER BY d.doc_id""".stripMargin
+  }
 }

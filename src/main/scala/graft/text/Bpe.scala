@@ -26,8 +26,11 @@ import org.apache.spark.sql.functions._
   * bit-identical to [[applyMerge]], the fold `encodeWords` still applies
   * distributed. The merge table is the training artifact (what a
   * tokenizer ships); applying it to new text is the already-covered
-  * tokenization path. No SQL oracle — k data-dependent argmax rounds
-  * aren't expressible declaratively — so BpeSpec differential-tests the
+  * tokenization path. The registered queries carry full DuckDB oracles:
+  * the merge rounds are data-dependent but their count is a query
+  * constant, so the loop unrolls into k chained CTE stages
+  * ([[graft.queries.OracleSql.bpeMergesSql]]) that replay count → argmax →
+  * greedy rewrite bit-exactly. BpeSpec additionally differential-tests the
   * merge sequence against an independent single-node reference
   * implementation and pins the one-Spark-job bound with a listener.
   */
