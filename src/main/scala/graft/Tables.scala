@@ -73,6 +73,14 @@ object Tables {
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
+
+  /** Streaming twin of [[documents]] over a staged stream directory (file
+    * sources need an explicit schema, probed from the staged files). */
+  def documentsStream(spark: SparkSession, streamDir: String,
+                      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream.schema(spark.read.parquet(streamDir).schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(streamDir)
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
   def customer(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "customer")
   def orders(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "orders")

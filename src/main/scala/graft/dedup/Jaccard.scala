@@ -23,15 +23,21 @@ import graft.Tables
   *    never to corpus². This is the verify stage [[MinHashLSH]] uses.
   */
 object Jaccard {
-  /** Distinct word-trigram shingles per document. */
-  def shingles(docs: DataFrame): DataFrame = {
-    val w = split(trim(col("text")), " ")
+  /** Distinct word-trigram shingle SET of a text column, as one array —
+    * the per-row form a stream can compute without aggregation state;
+    * [[shingles]] is its exploded table twin. */
+  def shingleArray(text: Column): Column = {
+    val w = split(trim(text), " ")
     val tri = when(size(w) >= 3,
       transform(sequence(lit(1), size(w) - 2),
         i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
       .otherwise(array().cast("array<string>"))
-    docs.select(col("doc_id"), explode(array_distinct(tri)).as("shingle"))
+    array_distinct(tri)
   }
+
+  /** Distinct word-trigram shingles per document. */
+  def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(shingleArray(col("text"))).as("shingle"))
 
   /** Memoized + persisted shingle index per (session, dir): the exact-pair
     * self-join reads it twice and the MinHash path reads it for signatures

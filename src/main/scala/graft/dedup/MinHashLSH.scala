@@ -59,15 +59,23 @@ object MinHashLSH {
     * The signature is the codegen'd [[graft.functions.MinHashSig]]
     * expression (was a Scala UDF — same md5/affine arithmetic, no String
     * boxing, stays in whole-stage codegen). */
-  def bandBuckets(sh: DataFrame): DataFrame = {
-    val spark = sh.sparkSession
-    val grouped = sh.groupBy("doc_id").agg(collect_list("shingle").as("shingles"))
+  def bandBuckets(sh: DataFrame): DataFrame =
+    bandBucketsFromArrays(
+      sh.groupBy("doc_id").agg(collect_list("shingle").as("shingles")))
+
+  /** (doc_id, band, bucket) from per-row shingle ARRAYS — the variant a
+    * STREAM can run (no global collect_list aggregation, which would be a
+    * second stateful operator in a streaming plan): every stage is a
+    * per-row deterministic expression. [[bandBuckets]] delegates here, so
+    * batch and stream band identically by construction. */
+  def bandBucketsFromArrays(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     // guard on the CHEAP input, not the signature: a `sig IS NOT NULL`
     // filter gets pushed below the project and re-evaluates the whole
     // md5 loop a second time per row (seen in the PLANS.md audit) —
     // size(shingles) > 0 is the exact same predicate (the signature is
     // null iff the array is empty) at scan-cheap cost
-    val sig = grouped.where(size(col("shingles")) > 0)
+    val sig = docs.where(size(col("shingles")) > 0)
       .select(col("doc_id"),
         graft.functions.MinHashSig.sig(spark, col("shingles"), permA, permB, Prime).as("sig"))
     val bandCols = (0 until Bands).map { b =>

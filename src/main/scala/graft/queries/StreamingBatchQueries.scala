@@ -201,9 +201,44 @@ object StreamingBatchQueries {
       |FROM events GROUP BY 1, 2, 3
       |ORDER BY window_start_us, event_type""".stripMargin)
 
+  /** Streaming near-dup ingestion end-to-end (graft.streaming.StreamNearDup):
+    * stage the documents table as FOUR arriving parquet files
+    * (maxFilesPerTrigger=1 ⇒ four micro-batches, so the LSH bucket state
+    * genuinely carries across triggers), shingle/sign/band each batch with
+    * the shared codegen kernel, pair against bucket state, drain the
+    * candidate stream into a memory sink, then batch-verify the distinct
+    * candidates against the static corpus (Jaccard.pairsForCandidates —
+    * the stream-detects / store-verifies split). With the whole corpus
+    * streamed, candidates ≡ the batch bucket join, so the result shares
+    * `dedup_minhash`'s bit-exact oracle. */
+  private val streamNearDup = Q(
+    (s, d) => {
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft-neardup-src-${Integer.toHexString(d.hashCode)}")
+      if (!java.nio.file.Files.isDirectory(dir)) {
+        Tables.documents(s, d).repartition(4)
+          .write.mode("overwrite").parquet(dir.toString)
+      }
+      val qname = s"stream_neardup_${memSinkId.incrementAndGet()}"
+      val q = graft.streaming.StreamNearDup.candidatePairs(
+          graft.streaming.StreamNearDup.bandedDocs(Tables.documentsStream(s, dir.toString)))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.dedup.Jaccard.pairsForCandidates(
+          graft.dedup.Jaccard.cachedShingles(s, d),
+          s.table(qname).distinct(),
+          LlmQueries.JaccardThreshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    },
+    LlmQueries.minhashNearDupSql)
+
   val all: Map[String, Q] = Map(
     "stream_window_agg" -> streamWindowAgg,
     "stream_file_source" -> streamFileSource,
+    "stream_neardup" -> streamNearDup,
     "sessionization" -> sessionization,
     "stream_dedup" -> streamDedup,
     "stream_enrich" -> streamEnrich,

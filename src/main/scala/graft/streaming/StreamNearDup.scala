@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.dedup.{Jaccard, MinHashLSH}
+
+/** Streaming near-duplicate detection — incremental corpus ingestion with
+  * MinHash-LSH bucket state. Batch near-dup re-banding the whole corpus per
+  * increment is the thing a 100 TB ingest pipeline cannot afford; here each
+  * arriving micro-batch of documents is shingled, signed, and banded with
+  * per-row deterministic expressions (the SAME codegen'd
+  * [[graft.functions.MinHashSig]] kernel and band layout as the batch path
+  * — [[MinHashLSH.bandBucketsFromArrays]] is shared by construction), and a
+  * stateful operator keyed on (band, bucket) holds the doc-ids seen in each
+  * bucket, emitting a candidate pair the moment a new doc lands in a
+  * non-empty bucket.
+  *
+  * Scale shape: state is ONE id-list per occupied bucket — O(corpus · bands)
+  * ids total, the same cardinality as the batch band table, sharded across
+  * executors by the (band, bucket) grouping key, with no corpus-wide
+  * shuffle per increment (only the increment is banded). Emitted work is
+  * proportional to true bucket collisions, exactly like the batch bucket
+  * equi-join. In production the state is bounded the standard way —
+  * `GroupStateTimeout.ProcessingTimeTimeout` (or an event-time watermark)
+  * evicts buckets untouched for the dedup horizon; the tests run
+  * NoTimeout so stream ≡ batch holds exactly.
+  *
+  * Candidate verification stays OUT of the stream: exact Jaccard needs the
+  * shingle sets of both sides, i.e. a lookup against the document store, so
+  * the emitted pairs are joined to the static corpus downstream
+  * ([[Jaccard.pairsForCandidates]]) — the classic stream-detects /
+  * store-verifies split. When every document has streamed through, the
+  * pair set equals the batch [[MinHashLSH.candidatesFromShingles]] output
+  * (the pair SET over a bucket is arrival-order invariant: any split of a
+  * bucket's members into micro-batches yields the same unordered pairs),
+  * so the registered `stream_neardup` query shares `dedup_minhash`'s
+  * bit-exact DuckDB oracle. StreamNearDupSpec drives multi-batch arrival
+  * through MemoryStream and asserts stream ≡ batch plus genuinely
+  * cross-batch pairs.
+  */
+object StreamNearDup {
+
+  /** One doc's membership in one LSH band bucket. */
+  final case class BandedDoc(doc_id: Long, band: Int, bucket: String)
+
+  /** Candidate near-dup pair, doc_a < doc_b. */
+  final case class CandPair(doc_a: Long, doc_b: Long)
+
+  /** (doc_id, band, bucket) rows for a (possibly streaming) frame with
+    * `doc_id` and `text` — per-row expressions only, so the plan's single
+    * stateful operator is the pairing stage. */
+  def bandedDocs(docs: DataFrame): DataFrame =
+    MinHashLSH.bandBucketsFromArrays(
+      docs.select(col("doc_id"), Jaccard.shingleArray(col("text")).as("shingles")))
+
+  /** Pair a bucket's newly-arrived docs against everything the bucket has
+    * seen (and each other). Pure function of (state, batch) — emitted pair
+    * sets are arrival-order invariant because every pair is canonicalized
+    * to doc_a < doc_b and each (old × new) + (new × new) pair surfaces in
+    * exactly the trigger where its later member arrives. */
+  private[streaming] def pairBucket(
+      key: (Int, String), rows: Iterator[BandedDoc],
+      state: GroupState[Seq[Long]]): Iterator[CandPair] = {
+    val prev = state.getOption.getOrElse(Seq.empty)
+    val seen = prev.toSet
+    val fresh = rows.map(_.doc_id).toSeq.distinct.filterNot(seen).sorted
+    if (fresh.isEmpty) Iterator.empty
+    else {
+      state.update(prev ++ fresh)
+      val cross = for { b <- fresh.iterator; a <- prev.iterator }
+        yield CandPair(math.min(a, b), math.max(a, b))
+      val within = for {
+        i <- fresh.indices.iterator; j <- (i + 1 until fresh.size).iterator
+      } yield CandPair(fresh(i), fresh(j))
+      cross ++ within
+    }
+  }
+
+  /** Streaming candidate pairs from banded rows: group on (band, bucket),
+    * hold the bucket's members as state, emit pairs as they collide. The
+    * output may repeat a pair that collides in several bands (same as the
+    * batch bucket join pre-distinct) — the downstream verify dedups. */
+  def candidatePairs(banded: DataFrame): Dataset[CandPair] = {
+    import banded.sparkSession.implicits._
+    banded.as[BandedDoc]
+      .groupByKey(bd => (bd.band, bd.bucket))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(pairBucket)
+  }
+}
