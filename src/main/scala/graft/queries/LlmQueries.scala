@@ -821,7 +821,13 @@ object LlmQueries {
          |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
          |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
          |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tok),
-         |qt AS (SELECT doc_id AS query_id, token FROM tf WHERE doc_id % 100 = 0),
+         |qt AS (
+         |  SELECT query_id, token FROM (
+         |    SELECT f.doc_id AS query_id, f.token,
+         |           row_number() OVER (PARTITION BY f.doc_id ORDER BY df, f.token) AS trank
+         |    FROM tf f JOIN df USING (token) WHERE f.doc_id % 100 = 0)
+         |  WHERE trank <= ${graft.text.Bm25.MaxQueryTerms}
+         |),
          |bsc AS (
          |  SELECT q.query_id, t.doc_id,
          |         ${OracleSql.rnd(tsExpr, 10)} AS ts_q

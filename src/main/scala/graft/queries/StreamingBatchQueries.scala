@@ -202,10 +202,13 @@ object StreamingBatchQueries {
       |ORDER BY window_start_us, event_type""".stripMargin)
 
   /** Streaming near-dup ingestion end-to-end (graft.streaming.StreamNearDup):
-    * stage the documents table as FOUR arriving parquet files
-    * (maxFilesPerTrigger=1 ⇒ four micro-batches, so the LSH bucket state
-    * genuinely carries across triggers), shingle/sign/band each batch with
-    * the shared codegen kernel, pair against bucket state, drain the
+    * stage the documents table as TWO arriving parquet files
+    * (maxFilesPerTrigger=1 ⇒ two micro-batches, so the LSH bucket state
+    * genuinely carries across triggers — StreamNearDupSpec drives a
+    * finer 3-batch split; each extra trigger costs ~1.6 s of micro-batch
+    * machinery at local[32], so the registered demo keeps the minimum
+    * that still crosses a trigger boundary), shingle/sign/band each batch
+    * with the shared codegen kernel, pair against bucket state, drain the
     * candidate stream into a memory sink, then batch-verify the distinct
     * candidates against the static corpus (Jaccard.pairsForCandidates —
     * the stream-detects / store-verifies split). With the whole corpus
@@ -214,18 +217,27 @@ object StreamingBatchQueries {
   private val streamNearDup = Q(
     (s, d) => {
       val dir = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), s"graft-neardup-src-${Integer.toHexString(d.hashCode)}")
+        sys.props("java.io.tmpdir"), s"graft-neardup-src2-${Integer.toHexString(d.hashCode)}")
       if (!java.nio.file.Files.isDirectory(dir)) {
-        Tables.documents(s, d).repartition(4)
+        Tables.documents(s, d).repartition(2)
           .write.mode("overwrite").parquet(dir.toString)
       }
       val qname = s"stream_neardup_${memSinkId.incrementAndGet()}"
-      val q = graft.streaming.StreamNearDup.candidatePairs(
-          graft.streaming.StreamNearDup.bandedDocs(Tables.documentsStream(s, dir.toString)))
-        .writeStream.format("memory").queryName(qname)
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      // a stateful streaming query fixes its state-store partition count to
+      // spark.sql.shuffle.partitions at START — size it to the increment
+      // (micro-batches are increment-sized, not corpus-sized; the session
+      // default pays 32 state commits per trigger for no parallelism gain
+      // at this batch size). Production jobs set this per-stream anyway.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.StreamNearDup.candidatePairs(
+            graft.streaming.StreamNearDup.bandedDocs(Tables.documentsStream(s, dir.toString)))
+          .writeStream.format("memory").queryName(qname)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       graft.dedup.Jaccard.pairsForCandidates(
           graft.dedup.Jaccard.cachedShingles(s, d),
           s.table(qname).distinct(),

@@ -14,10 +14,18 @@ import graft.Tables
   * Scale shape: the score join is an inverted-index equi-join on `token`
   * (query terms × posting lists) — never doc × doc; the query-term table
   * is broadcast like the ANN query side; tf/df/dl are one-shuffle
-  * aggregations. Stopword-grade hot tokens are the skew keys at corpus
-  * scale — BM25's idf already weights them to ~0, so the production cap is
-  * the same df-threshold drop Jaccard.shingles uses, which changes scores
-  * negligibly by construction.
+  * aggregations. Stopword-grade hot tokens are the skew keys: a token in
+  * every document joins |corpus| rows PER QUERY DOC while BM25's idf
+  * weights it to ~0, so each query keeps only its [[MaxQueryTerms]] most
+  * SELECTIVE terms (ascending df, token tiebreak) — Lucene MoreLikeThis'
+  * maxQueryTerms gate, applied identically in the oracle. This bounds the
+  * posting-list fan-out at |queries|·maxQueryTerms·df and, unlike a
+  * df-percentage cut (MLT's other knob, maxDocFreqPct), degrades
+  * gracefully on a dense vocabulary: the synthetic corpus has 31 tokens
+  * nearly all in ~78% of docs, where any percentage gate returns either
+  * everything or nothing (measured 5.5 s ungated at sf0.1 — the fan-out
+  * grows with corpus size, so the gate is what keeps cost proportional
+  * to term selectivity at 100 TB).
   *
   * Cross-engine exactness (§6): tf/df/dl/N are integers; the per-term
   * score is one shared IEEE op DAG whose constants are DYADIC
@@ -32,6 +40,11 @@ object Bm25 {
   val K1 = 1.5
   /** length normalization: the universal default, also dyadic. */
   val B = 0.75
+  /** keep each query doc's k most selective distinct terms, ranked by
+    * ascending document frequency with the token string as tiebreak
+    * (Lucene MoreLikeThis maxQueryTerms; integer df ⇒ the ranking is
+    * cross-engine exact). */
+  val MaxQueryTerms = 8
 
   /** Top-k BM25 matches per query document (doc_id % 100 == 0). Returns
     * (query_id, doc_id, bm25 rounded 4dp, rank). */
@@ -39,14 +52,26 @@ object Bm25 {
     val docs = Tables.documents(spark, dir)
     val tok = docs.select(col("doc_id"),
       explode(split(trim(col("text")), " ")).as("token"))
+    // tf is the hub every other frame derives from (dl = Σtf per doc,
+    // df = row count per token, n_tokens = Σdl, query terms = a filter of
+    // it): materialize it ONCE — without this the tokenize+aggregate scan
+    // re-runs four times in one query (measured 5.5 s → ~2 s at sf0.1).
+    // localCheckpoint (not persist) so the blocks die with the frame.
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .localCheckpoint()
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     // corpus scalars: one 1-row frame, broadcast like the other metadata
     val scalars = docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(tok.agg(count(lit(1)).as("n_tokens")))
+      .crossJoin(tf.agg(sum(col("tf")).as("n_tokens")))
+    val qtw = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("df"), col("token"))
     val qt = tf.where(col("doc_id") % 100 === 0)
       .select(col("doc_id").as("query_id"), col("token"))
+      .join(df, "token")
+      .withColumn("trank", row_number().over(qtw))
+      .where(col("trank") <= MaxQueryTerms)
+      .select("query_id", "token")
 
     val nd = col("n_docs").cast("double")
     val dfd = col("df").cast("double")

@@ -24,7 +24,9 @@ class Bm25Spec extends SparkSpec {
     val avgdl = dl.values.sum.toDouble / nDocs
     val out = Seq.newBuilder[(Long, Long, Double, Int)]
     for (q <- docs.map(_._1).filter(_ % 100 == 0).sorted) {
+      // MoreLikeThis maxQueryTerms gate: the k most selective terms only
       val qTerms = toks(q).distinct
+        .sortBy(t => (df(t), t)).take(Bm25.MaxQueryTerms)
       val scores = scala.collection.mutable.Map.empty[Long, java.math.BigDecimal]
       for (t <- qTerms; ((d, tok), f) <- tf if tok == t && d != q) {
         val idf = math.log((nDocs - df(t) + 0.5) / (df(t) + 0.5) + 1.0)
