@@ -96,7 +96,12 @@ object OracleSql {
     * Every CTE is MATERIALIZED: stage i references stage i−1 more than
     * once, and DuckDB's default CTE inlining would re-expand the chain
     * exponentially (~4^k scans). With materialization the oracle runs the
-    * same work as the trainer: k passes over the word table. */
+    * same work as the trainer: k passes over the word table.
+    *
+    * A corpus exhausting its pairs before k merges leaves b_i empty; the
+    * rewrite stage CASE-guards that (replace(s, NULL, NULL) would null
+    * every word's state — the merge UNION degrades gracefully on its own,
+    * the encode rollup would not). */
   private def bpeStageCtes(nMerges: Int): Seq[String] = {
     val head = Seq(
       """wt AS MATERIALIZED (
@@ -117,8 +122,9 @@ object OracleSql {
         s"""b$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1)""",
         s"""w${i + 1} AS MATERIALIZED (
            |  SELECT word, freq,
-           |    replace(s, (SELECT ' ' || l || '  ' || r || ' ' FROM b$i),
-           |               (SELECT ' ' || l || r || ' ' FROM b$i)) AS s
+           |    CASE WHEN (SELECT count(*) FROM b$i) = 0 THEN s
+           |         ELSE replace(s, (SELECT ' ' || l || '  ' || r || ' ' FROM b$i),
+           |                         (SELECT ' ' || l || r || ' ' FROM b$i)) END AS s
            |  FROM w$i)""".stripMargin)
     }
     head ++ stages

@@ -218,7 +218,11 @@ object StreamingBatchQueries {
     (s, d) => {
       val dir = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), s"graft-neardup-src2-${Integer.toHexString(d.hashCode)}")
-      if (!java.nio.file.Files.isDirectory(dir)) {
+      // stage-once guard keyed on the _SUCCESS marker, not the directory:
+      // a crash mid-write leaves the dir existing but incomplete, and a
+      // bare isDirectory check would stream a truncated corpus forever
+      // (the watermark store uses the same marker convention)
+      if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
         Tables.documents(s, d).repartition(2)
           .write.mode("overwrite").parquet(dir.toString)
       }

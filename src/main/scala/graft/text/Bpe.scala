@@ -121,10 +121,14 @@ object Bpe {
 
     val pairCount = mutable.HashMap.empty[(String, String), Long]
     val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
-    // argmax order: count DESC, then (l, r) lexicographic — same ordering
-    // as BpeSpec's reference (and the former orderBy(cnt desc, l, r))
+    // argmax order: count DESC, then (l, r) lexicographic BY CODE POINT —
+    // the order Spark's UTF8String and DuckDB's VARCHAR binary collation
+    // both implement, so the SQL-unrolled oracle picks the same merge on a
+    // tie. Java's String.compareTo is UTF-16 code-unit order, which
+    // diverges for supplementary-plane tokens (a surrogate sorts before
+    // U+E000..U+FFFF); harmless on ASCII but wrong in general.
     val ranked = mutable.TreeSet.empty[(Long, String, String)](
-      Ordering.Tuple3(Ordering.Long.reverse, Ordering.String, Ordering.String))
+      Ordering.Tuple3(Ordering.Long.reverse, codePointOrdering, codePointOrdering))
     def addPairs(wi: Int, sign: Long): Unit = {
       val syms = words(wi); val f = freqs(wi)
       var i = 0
@@ -163,6 +167,23 @@ object Bpe {
       step += 1
     }
     out.result()
+  }
+
+  /** Unicode code-point string order (≡ UTF-8 binary order): what Spark's
+    * UTF8String.compareTo and DuckDB's VARCHAR collation compute. Equal to
+    * Java's UTF-16 order except when exactly one side has a
+    * supplementary-plane code point at the first difference. */
+  private[text] val codePointOrdering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      var i = 0
+      val la = a.length; val lb = b.length
+      while (i < la && i < lb) {
+        val ca = a.codePointAt(i); val cb = b.codePointAt(i)
+        if (ca != cb) return Integer.compare(ca, cb)
+        i += Character.charCount(ca)
+      }
+      Integer.compare(la - i, lb - i)
+    }
   }
 
   /** Greedy leftmost non-overlapping merge of (l, r) — the driver-side

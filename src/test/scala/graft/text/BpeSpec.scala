@@ -99,6 +99,23 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.merges(df, "text", 5).collect().nonEmpty)
   }
 
+  test("tie-break ordering is code-point order == UTF-8 byte order (what the SQL oracle compares)") {
+    // supplementary-plane vs BMP-private-use is exactly where Java's
+    // UTF-16 code-unit compareTo inverts the UTF-8 binary order
+    val samples = Seq("a", "b", "ab", "", new String(Character.toChars(0x1F600)),
+      "z", "z" + new String(Character.toChars(0x1F600)), "", "aa")
+    for (x <- samples; y <- samples) {
+      val bytes = java.util.Arrays.compareUnsigned(
+        x.getBytes("UTF-8"), y.getBytes("UTF-8"))
+      assert(Integer.signum(Bpe.codePointOrdering.compare(x, y)) == Integer.signum(bytes),
+        s"order of ${x.codePoints().toArray.toSeq} vs ${y.codePoints().toArray.toSeq}")
+    }
+    // and Java's order indeed differs on the critical pair (the reason the
+    // explicit ordering exists)
+    assert("".compareTo(new String(Character.toChars(0x1F600))) > 0)
+    assert(Bpe.codePointOrdering.compare("", new String(Character.toChars(0x1F600))) < 0)
+  }
+
   test("256 merges cost a bounded number of Spark jobs (single word-freq collect)") {
     val docs = graft.Tables.documents(spark, sf("sf0.001"))
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
