@@ -162,7 +162,7 @@ object LlmQueries {
     s"CAST(ROUND(CAST(CAST(${cosSql(a, b)} AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)"
 
   private val annTopk = Q(
-    (s, d) => Cosine.topK(s, d).orderBy("query_id", "rank"),
+    (s, d) => annTopK(s, d).orderBy("query_id", "rank"),
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
       |q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id % 100 = 0),
       |s AS (
@@ -805,15 +805,14 @@ object LlmQueries {
     * query doc. Oracle replays the identical dyadic-constant score DAG —
     * integer tf/df/dl/N, shared ln expression, 10dp quantize →
     * DECIMAL(25,10) exact sum, rank on the exact total. */
-  private val textBm25 = Q(
-    (s, d) => graft.text.Bm25.moreLikeThis(s, d, k = 10).orderBy("query_id", "rank"),
-    {
+  /** BM25 chain CTEs (tok…r) shared by `text_bm25` and `retrieval_rrf`. */
+  private val bm25ChainCtes: String = {
       val tsExpr =
         "ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)" +
           " * (CAST(t.tf AS DOUBLE) * 2.5)" +
           " / (CAST(t.tf AS DOUBLE) + 1.5 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)" +
           " / (CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
-      s"""WITH tok AS (
+      s"""tok AS (
          |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents
          |),
          |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
@@ -846,10 +845,67 @@ object LlmQueries {
          |  SELECT query_id, doc_id, s,
          |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS INTEGER) AS rank
          |  FROM agg
+         |)""".stripMargin
+  }
+
+  /** Memoized top-k retrieval lists per (session, dir): `text_bm25` and
+    * `retrieval_rrf` share one BM25 pass, `ann_topk` and `retrieval_rrf`
+    * one ANN pass — a retrieval stack computes each list once and fuses,
+    * it doesn't re-retrieve per consumer. localCheckpoint: the lists are
+    * |queries|·k rows (metadata-sized). */
+  private def bm25TopK(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.sqlx.FrameCache.getOrElseUpdate(graft.sqlx.FrameCache.key(s, "bm25topk", d))(
+      graft.text.Bm25.moreLikeThis(s, d, k = 10).localCheckpoint())
+  private def annTopK(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.sqlx.FrameCache.getOrElseUpdate(graft.sqlx.FrameCache.key(s, "anntopk", d))(
+      Cosine.topK(s, d).localCheckpoint())
+
+  private val textBm25 = Q(
+    (s, d) => bm25TopK(s, d).orderBy("query_id", "rank"),
+    s"""WITH $bm25ChainCtes
+       |SELECT query_id, doc_id, ${OracleSql.rd("s", "bm25")}, rank
+       |FROM r WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin)
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the ANN top-k (semantic)
+    * and BM25 top-k (lexical) lists — graft.retrieval.Fusion. The oracle
+    * replays BOTH retrieval chains (the BM25 CTEs above + the ann_topk
+    * cross-scoring, renamed ae/aq/asc0/ar) and fuses with the identical
+    * quantize → decimal-add → rank-on-exact-sum DAG. */
+  private val retrievalRrf = Q(
+    (s, d) => graft.retrieval.Fusion.rrf(
+        annTopK(s, d).select(col("query_id"), col("vec_id").as("item_id"), col("rank")),
+        bm25TopK(s, d).select(col("query_id"), col("doc_id").as("item_id"), col("rank")))
+      .orderBy("query_id", "rank"),
+    {
+      val c = (r: String) =>
+        s"CAST(COALESCE(${OracleSql.rnd(s"1.0/(60.0 + CAST($r AS DOUBLE))", 10)}, 0.0) AS DECIMAL(25,10))"
+      s"""WITH $bm25ChainCtes,
+         |lex AS (SELECT query_id, doc_id AS item_id, rank FROM r WHERE rank <= 10),
+         |ae AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |aq AS (SELECT vec_id AS query_id, emb AS qemb FROM ae WHERE vec_id % 100 = 0),
+         |asc0 AS (
+         |  SELECT query_id, vec_id, ${cosRndSql("qemb", "emb")} AS cosine
+         |  FROM ae CROSS JOIN aq WHERE vec_id <> query_id
+         |),
+         |ar AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank FROM asc0),
+         |sem AS (SELECT query_id, vec_id AS item_id, rank FROM ar WHERE rank <= 10),
+         |fused AS (
+         |  SELECT COALESCE(s.query_id, l.query_id) AS query_id,
+         |         COALESCE(s.item_id, l.item_id) AS item_id,
+         |         s.rank AS sem_rank, l.rank AS lex_rank,
+         |         ${c("s.rank")} + ${c("l.rank")} AS sd
+         |  FROM sem s FULL OUTER JOIN lex l
+         |    ON s.query_id = l.query_id AND s.item_id = l.item_id
+         |),
+         |rr AS (
+         |  SELECT query_id, item_id, sem_rank, lex_rank,
+         |         CAST(CAST(sd AS VARCHAR) AS DOUBLE) AS rrf,
+         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sd DESC, item_id) AS INTEGER) AS rank
+         |  FROM fused
          |)
-         |SELECT query_id, doc_id, ${OracleSql.rd("s", "bm25")}, rank
-         |FROM r WHERE rank <= 10
-         |ORDER BY query_id, rank""".stripMargin
+         |SELECT query_id, item_id, sem_rank, lex_rank, rrf, rank
+         |FROM rr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     })
 
   /** Distributed BPE vocabulary induction (first [[BpeMerges]] merges from
@@ -1080,6 +1136,7 @@ object LlmQueries {
     "text_dup_spans" -> textDupSpans,
     "text_keywords" -> textKeywords,
     "text_bm25" -> textBm25,
+    "retrieval_rrf" -> retrievalRrf,
     "text_fingerprint" -> textFingerprint,
     "vocab_top_tokens" -> vocabTopTokens,
     "vocab_bpe_merges" -> vocabBpeMerges,
