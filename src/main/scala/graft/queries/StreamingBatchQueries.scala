@@ -251,10 +251,78 @@ object StreamingBatchQueries {
     },
     LlmQueries.minhashNearDupSql)
 
+  /** The incremental-ingest shape of stream_neardup — the one a production
+    * pipeline actually runs: bucket state is PRELOADED from the
+    * already-ingested corpus (docs with doc_id % 7 ≠ 3, banded once,
+    * batch), and only the daily increment (doc_id % 7 = 3 — the
+    * dedup_incremental convention) streams through, in two arriving files.
+    * Per increment the work is O(increment + touched buckets); the corpus
+    * is never re-banded. Emitted pairs = every bucket collision with ≥1
+    * increment member, batch-verified against the doc store — the oracle
+    * is dedup_minhash's restricted to increment-touching pairs.
+    *
+    * Cost shape as registered: almost all of the measured time is the
+    * one-time state SEED (banding the corpus + writing ~|corpus|·bands
+    * state entries in batch 0), which a production deployment pays once at
+    * bootstrap and then amortizes over every subsequent increment; the
+    * per-increment marginal cost is the two small triggers. The bench
+    * re-seeds every run because each run is a fresh stream. */
+  private val streamNearDupIncremental = Q(
+    (s, d) => {
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft-neardup-incr-${Integer.toHexString(d.hashCode)}")
+      if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
+        Tables.documents(s, d).where(col("doc_id") % 7 === 3).repartition(2)
+          .write.mode("overwrite").parquet(dir.toString)
+      }
+      val qname = s"stream_neardup_incr_${memSinkId.incrementAndGet()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val initial = graft.streaming.StreamNearDup.initialBucketState(
+          Tables.documents(s, d).where(col("doc_id") % 7 =!= 3))
+        val q = graft.streaming.StreamNearDup.candidatePairsFromState(
+            graft.streaming.StreamNearDup.bandedDocs(Tables.documentsStream(s, dir.toString)),
+            initial)
+          .writeStream.format("memory").queryName(qname)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      graft.dedup.Jaccard.pairsForCandidates(
+          graft.dedup.Jaccard.cachedShingles(s, d),
+          s.table(qname).distinct(),
+          LlmQueries.JaccardThreshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    },
+    s"""WITH ${LlmQueries.minhashBandCtes},
+       |newids AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 3),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |  WHERE a.doc_id IN (SELECT doc_id FROM newids)
+       |     OR b.doc_id IN (SELECT doc_id FROM newids)
+       |),
+       |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM cand JOIN sh a ON a.doc_id = doc_a
+       |            JOIN sh b ON b.doc_id = doc_b AND b.s = a.s
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b,
+       |       CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) AS jaccard
+       |FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+       |WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) >= ${LlmQueries.JaccardThreshold}
+       |ORDER BY doc_a, doc_b""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "stream_window_agg" -> streamWindowAgg,
     "stream_file_source" -> streamFileSource,
     "stream_neardup" -> streamNearDup,
+    "stream_neardup_incremental" -> streamNearDupIncremental,
     "sessionization" -> sessionization,
     "stream_dedup" -> streamDedup,
     "stream_enrich" -> streamEnrich,

@@ -88,4 +88,36 @@ object StreamNearDup {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(pairBucket)
   }
+
+  /** The already-ingested corpus's bucket membership in the form
+    * `flatMapGroupsWithState` preloads: one (band, bucket) → member-ids
+    * state row per occupied bucket — built with ONE batch banding pass
+    * over the corpus, never re-run per increment. */
+  def initialBucketState(corpus: DataFrame): org.apache.spark.sql.KeyValueGroupedDataset[(Int, String), Seq[Long]] = {
+    import corpus.sparkSession.implicits._
+    bandedDocs(corpus)
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .as[(Int, String, Seq[Long])]
+      .groupByKey { case (band, bucket, _) => (band, bucket) }
+      .mapValues { case (_, _, ids) => ids }
+  }
+
+  /** The PRODUCTION shape: stream an increment against bucket state
+    * preloaded from the already-ingested corpus ([[initialBucketState]]).
+    * Per increment the work is O(increment bands + touched buckets) — the
+    * corpus is banded once at state load, never re-shuffled per batch,
+    * which is exactly what the full-corpus replay in [[candidatePairs]]
+    * cannot give you. Emits every pair with ≥1 increment member (the
+    * same [[pairBucket]] logic — state docs never re-pair with each
+    * other). */
+  def candidatePairsFromState(
+      banded: DataFrame,
+      initial: org.apache.spark.sql.KeyValueGroupedDataset[(Int, String), Seq[Long]]): Dataset[CandPair] = {
+    import banded.sparkSession.implicits._
+    banded.as[BandedDoc]
+      .groupByKey(bd => (bd.band, bd.bucket))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout, initial)(pairBucket)
+  }
 }
