@@ -82,16 +82,19 @@ object LlmQueries {
 
   // Replays signatures, bands, and the candidate-restricted verify exactly:
   // base hash + affine permutations + concat-string buckets are all
-  // cross-engine deterministic (MinHashLSH scaladoc). Shared with
-  // `stream_neardup` (StreamingBatchQueries): with the whole corpus
+  // cross-engine deterministic (MinHashLSH scaladoc). Shared with the
+  // streaming twins (StreamingBatchQueries): with the whole corpus
   // streamed through, the stream's bucket-state pair set IS the batch
-  // bucket join's, so one oracle covers both.
-  private[queries] val minhashNearDupSql: String =
+  // bucket join's (`minhashNearDupSql`), and with preloaded state + a
+  // streamed increment it is the join restricted to increment-touching
+  // pairs (`candFilter`) — one oracle body covers all three.
+  private[queries] def minhashNearDupSqlWith(candFilter: String): String =
     s"""WITH $minhashBandCtes,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |  $candFilter
        |),
        |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
        |inter AS (
@@ -105,6 +108,8 @@ object LlmQueries {
        |FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
        |WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  private[queries] val minhashNearDupSql: String = minhashNearDupSqlWith("")
 
   private val dedupMinhash = Q(
     (s, d) => MinHashLSH.nearDuplicatesFromShingles(
@@ -162,7 +167,7 @@ object LlmQueries {
     s"CAST(ROUND(CAST(CAST(${cosSql(a, b)} AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE)"
 
   private val annTopk = Q(
-    (s, d) => annTopK(s, d).orderBy("query_id", "rank"),
+    (s, d) => Cosine.topK(s, d).orderBy("query_id", "rank"),
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
       |q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id % 100 = 0),
       |s AS (
@@ -848,11 +853,14 @@ object LlmQueries {
          |)""".stripMargin
   }
 
-  /** Memoized top-k retrieval lists per (session, dir): `text_bm25` and
-    * `retrieval_rrf` share one BM25 pass, `ann_topk` and `retrieval_rrf`
-    * one ANN pass — a retrieval stack computes each list once and fuses,
-    * it doesn't re-retrieve per consumer. localCheckpoint: the lists are
-    * |queries|·k rows (metadata-sized). */
+  /** Memoized top-k retrieval lists per (session, dir), used ONLY by
+    * `retrieval_rrf` — a retrieval stack computes each list once and
+    * fuses, it doesn't re-retrieve per consumer. The `ann_topk` and
+    * `text_bm25` registrations deliberately compute FRESH: they are the
+    * benched retrieval passes, and a memoized registration would collapse
+    * their min-of-N to a checkpoint-block scan, masking any future
+    * regression against their committed baselines. localCheckpoint: the
+    * lists are |queries|·k rows (metadata-sized). */
   private def bm25TopK(s: org.apache.spark.sql.SparkSession, d: String) =
     graft.sqlx.FrameCache.getOrElseUpdate(graft.sqlx.FrameCache.key(s, "bm25topk", d))(
       graft.text.Bm25.moreLikeThis(s, d, k = 10).localCheckpoint())
@@ -861,7 +869,7 @@ object LlmQueries {
       Cosine.topK(s, d).localCheckpoint())
 
   private val textBm25 = Q(
-    (s, d) => bm25TopK(s, d).orderBy("query_id", "rank"),
+    (s, d) => graft.text.Bm25.moreLikeThis(s, d, k = 10).orderBy("query_id", "rank"),
     s"""WITH $bm25ChainCtes
        |SELECT query_id, doc_id, ${OracleSql.rd("s", "bm25")}, rank
        |FROM r WHERE rank <= 10

@@ -214,41 +214,51 @@ object StreamingBatchQueries {
     * the stream-detects / store-verifies split). With the whole corpus
     * streamed, candidates ≡ the batch bucket join, so the result shares
     * `dedup_minhash`'s bit-exact oracle. */
+  /** Shared stage-stream-drain-verify scaffold for the near-dup streaming
+    * queries: stage `toStage` as TWO arriving parquet files (stage-once
+    * guard keyed on the _SUCCESS marker, not the directory — a crash
+    * mid-write leaves the dir existing but incomplete, and a bare
+    * isDirectory check would stream a truncated corpus forever; the
+    * watermark store uses the same marker convention), run the caller's
+    * streaming pair detector over the staged stream with state partitions
+    * sized to the increment (a stateful streaming query fixes its
+    * state-store partition count to spark.sql.shuffle.partitions at
+    * START; the session default pays 32 state commits per trigger for no
+    * parallelism gain at micro-batch size — production jobs set this
+    * per-stream anyway), drain into a memory sink, then batch-verify the
+    * distinct candidates against the static corpus. */
+  private def runNearDupStream(
+      s: org.apache.spark.sql.SparkSession, d: String, dirTag: String,
+      toStage: org.apache.spark.sql.DataFrame)(
+      pairs: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[graft.streaming.StreamNearDup.CandPair])
+      : org.apache.spark.sql.DataFrame = {
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft-$dirTag-${Integer.toHexString(d.hashCode)}")
+    if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
+      toStage.repartition(2).write.mode("overwrite").parquet(dir.toString)
+    }
+    val qname = s"${dirTag.replace('-', '_')}_${memSinkId.incrementAndGet()}"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = pairs(graft.streaming.StreamNearDup.bandedDocs(
+          Tables.documentsStream(s, dir.toString)))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    graft.dedup.Jaccard.pairsForCandidates(
+        graft.dedup.Jaccard.cachedShingles(s, d),
+        s.table(qname).distinct(),
+        LlmQueries.JaccardThreshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
   private val streamNearDup = Q(
-    (s, d) => {
-      val dir = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), s"graft-neardup-src2-${Integer.toHexString(d.hashCode)}")
-      // stage-once guard keyed on the _SUCCESS marker, not the directory:
-      // a crash mid-write leaves the dir existing but incomplete, and a
-      // bare isDirectory check would stream a truncated corpus forever
-      // (the watermark store uses the same marker convention)
-      if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
-        Tables.documents(s, d).repartition(2)
-          .write.mode("overwrite").parquet(dir.toString)
-      }
-      val qname = s"stream_neardup_${memSinkId.incrementAndGet()}"
-      // a stateful streaming query fixes its state-store partition count to
-      // spark.sql.shuffle.partitions at START — size it to the increment
-      // (micro-batches are increment-sized, not corpus-sized; the session
-      // default pays 32 state commits per trigger for no parallelism gain
-      // at this batch size). Production jobs set this per-stream anyway.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = graft.streaming.StreamNearDup.candidatePairs(
-            graft.streaming.StreamNearDup.bandedDocs(Tables.documentsStream(s, dir.toString)))
-          .writeStream.format("memory").queryName(qname)
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-          .start()
-        try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      graft.dedup.Jaccard.pairsForCandidates(
-          graft.dedup.Jaccard.cachedShingles(s, d),
-          s.table(qname).distinct(),
-          LlmQueries.JaccardThreshold)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
-    },
+    (s, d) => runNearDupStream(s, d, "neardup-src2", Tables.documents(s, d))(
+      graft.streaming.StreamNearDup.candidatePairs),
     LlmQueries.minhashNearDupSql)
 
   /** The incremental-ingest shape of stream_neardup — the one a production
@@ -268,55 +278,14 @@ object StreamingBatchQueries {
     * per-increment marginal cost is the two small triggers. The bench
     * re-seeds every run because each run is a fresh stream. */
   private val streamNearDupIncremental = Q(
-    (s, d) => {
-      val dir = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), s"graft-neardup-incr-${Integer.toHexString(d.hashCode)}")
-      if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
-        Tables.documents(s, d).where(col("doc_id") % 7 === 3).repartition(2)
-          .write.mode("overwrite").parquet(dir.toString)
-      }
-      val qname = s"stream_neardup_incr_${memSinkId.incrementAndGet()}"
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val initial = graft.streaming.StreamNearDup.initialBucketState(
-          Tables.documents(s, d).where(col("doc_id") % 7 =!= 3))
-        val q = graft.streaming.StreamNearDup.candidatePairsFromState(
-            graft.streaming.StreamNearDup.bandedDocs(Tables.documentsStream(s, dir.toString)),
-            initial)
-          .writeStream.format("memory").queryName(qname)
-          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-          .start()
-        try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      graft.dedup.Jaccard.pairsForCandidates(
-          graft.dedup.Jaccard.cachedShingles(s, d),
-          s.table(qname).distinct(),
-          LlmQueries.JaccardThreshold)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
+    (s, d) => runNearDupStream(s, d, "neardup-incr",
+        Tables.documents(s, d).where(col("doc_id") % 7 === 3)) { banded =>
+      graft.streaming.StreamNearDup.candidatePairsFromState(banded,
+        graft.streaming.StreamNearDup.initialBucketState(
+          Tables.documents(s, d).where(col("doc_id") % 7 =!= 3)))
     },
-    s"""WITH ${LlmQueries.minhashBandCtes},
-       |newids AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 3),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-       |  WHERE a.doc_id IN (SELECT doc_id FROM newids)
-       |     OR b.doc_id IN (SELECT doc_id FROM newids)
-       |),
-       |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
-       |inter AS (
-       |  SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS inter
-       |  FROM cand JOIN sh a ON a.doc_id = doc_a
-       |            JOIN sh b ON b.doc_id = doc_b AND b.s = a.s
-       |  GROUP BY 1, 2
-       |)
-       |SELECT doc_a, doc_b,
-       |       CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) AS jaccard
-       |FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
-       |WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) >= ${LlmQueries.JaccardThreshold}
-       |ORDER BY doc_a, doc_b""".stripMargin)
+    LlmQueries.minhashNearDupSqlWith(
+      """WHERE a.doc_id % 7 = 3 OR b.doc_id % 7 = 3"""))
 
   val all: Map[String, Q] = Map(
     "stream_window_agg" -> streamWindowAgg,
