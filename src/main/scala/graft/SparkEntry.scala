@@ -32,7 +32,25 @@ object SparkEntry {
     registry.map { case (k, q) => k -> q.run }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    *
+    * Context-dependent oracles (`Q.oracleGen` — the model-scored queries
+    * serialize the session's fitted GBT into the SQL) are resolved against
+    * (spark, dir); a generator failure degrades that entry to the driver's
+    * rows-only check rather than losing the whole dump. */
+  def oracleSql(spark: SparkSession, dir: String): Map[String, String] =
+    registry.flatMap { case (k, q) =>
+      q.oracle.map(k -> _).orElse(
+        q.oracleGen.flatMap(g => scala.util.Try(g(spark, dir)).toOption.map(k -> _)))
+    }
+
+  /** Driver-contract form: static oracles always; generated ones when an
+    * active session exists (Verify publishes its sfDir via the
+    * `graft.sf.dir` property before dumping). */
   def oracleSql: Map[String, String] =
-    registry.collect { case (k, Q(_, Some(sql))) => k -> sql }
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
+      case Some(s) =>
+        oracleSql(s, sys.props.getOrElse("graft.sf.dir", "/root/testdata/sf0.001"))
+      case None => registry.collect { case (k, Q(_, Some(sql), _)) => k -> sql }
+    }
 }

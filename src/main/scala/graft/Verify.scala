@@ -6,6 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
+    // published for SparkEntry.oracleSql's no-arg contract form (the
+    // model-scored oracles are generated against this dir's fitted model)
+    sys.props("graft.sf.dir") = sfDir
     // optional extra args: restrict the dump to these query names (dev loop)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -142,14 +142,36 @@ object TradeSuccess {
     })
 
   /** Score an arbitrary frame carrying [[FeatureCols]] with the fitted
-    * model: adds `success_probability` = P(label=1) and drops the ML vector
-    * columns (parquet-unfriendly, and downstream queries only need the
-    * probability). */
+    * model via MLlib's transform: adds `success_probability` = P(label=1)
+    * and drops the ML vector columns (parquet-unfriendly, and downstream
+    * queries only need the probability). Spec/evaluation path — the
+    * registered queries score through [[scoreFrameExpr]] instead. */
   def scoreFrame(model: PipelineModel, frame: DataFrame): DataFrame =
     model.transform(frame)
       .withColumn("success_probability",
         vector_to_array(col("probability")).getItem(1))
       .drop("features", "rawPrediction", "probability", "prediction")
+
+  /** Score through the fitted ensemble rendered as ONE Column expression
+    * ([[GbtSql]] — nested CASE tree walks + the weighted margin sum + the
+    * logistic link): the registered queries' scoring path.
+    *
+    * Two reasons over MLlib's transform:
+    *  - scale: transform is a per-row black-box UDF over an assembled
+    *    vector (no codegen, vector boxing per row); a pure expression
+    *    chain compiles into whole-stage codegen beside the rest of the
+    *    query plan — the "no hot-path UDFs" rule applied to model scoring;
+    *  - exactness: netlib's JVM ddot accumulates tree·weight products with
+    *    Math.fma in 4 lanes, which no SQL engine can replay bit-for-bit.
+    *    The expression form is plain IEEE mul/add in a fixed order — the
+    *    SAME op DAG the DuckDB oracle runs, so Spark and the oracle agree
+    *    bit-for-bit by construction, and GbtSqlSpec pins the expression ≡
+    *    MLlib agreement at the 6dp canon the queries publish.
+    */
+  def scoreFrameExpr(gbt: GBTClassificationModel, frame: DataFrame): DataFrame =
+    frame.withColumn("success_probability",
+      org.apache.spark.sql.functions.expr(
+        GbtSql.probabilitySql(GbtSql.marginSql(gbt, i => FeatureCols(i)))))
 
   /** Model-scored trades (filter_trades_by_prediction.py:179-215's
     * predict_and_filter, pre-threshold): join each simulated trade to its
@@ -167,7 +189,8 @@ object TradeSuccess {
                       spark: SparkSession, dir: String): DataFrame = {
     val feats = trainingFrame(spark, dir)
       .withColumnRenamed("date", "entry_date").drop("label")
-    scoreFrame(model, trades.join(feats, Seq("symbol_id", "entry_date")))
+    scoreFrameExpr(model.stages.last.asInstanceOf[GBTClassificationModel],
+      trades.join(feats, Seq("symbol_id", "entry_date")))
   }
 
   /** Feature-importance + AUC export (trade_success_predictor.py:124-294

@@ -134,31 +134,51 @@ object BacktestQueries {
        |FROM trades_all
        |ORDER BY trade_strategy, symbol_id, entry_date""".stripMargin)
 
+  /** Metrics.perStrategy with the oracle's 4dp canonicalization applied to
+    * every derived double (counts stay integral) — shared by
+    * backtest_metrics and the model-filtered rollup (MlQueries). */
+  private[queries] def perStrategyRounded(tradeFrame: org.apache.spark.sql.DataFrame) = {
+    import graft.sqlx.Exact.r4
+    val m = Metrics.perStrategy(tradeFrame)
+    m.select(col("trade_strategy") +: m.columns.toIndexedSeq.filterNot(_ == "trade_strategy").map {
+      case c @ ("total_trades" | "winning_trades" | "losing_trades") => col(c)
+      case c => r4(col(c)).as(c)
+    }: _*)
+  }
+
   private val backtestMetrics = Q(
-    (s, d) => {
-      import graft.sqlx.Exact.r4
-      val m = Metrics.perStrategy(trades(s, d))
-      m.select(col("trade_strategy") +: m.columns.toIndexedSeq.filterNot(_ == "trade_strategy").map {
-        case c @ ("total_trades" | "winning_trades" | "losing_trades") => col(c)
-        case c => r4(col(c)).as(c)
-      }: _*).orderBy("trade_strategy")
-    },
+    (s, d) => perStrategyRounded(trades(s, d)).orderBy("trade_strategy"),
     s"""$simCte,
-       |cumed AS (
-       |  SELECT trades_all.*,
+       |${metricsCtes("trades_all")}
+       |${metricsSelect("dd")}
+       |ORDER BY trade_strategy""".stripMargin)
+
+  /** SQL mirror of [[Metrics.perStrategy]]'s cumulative-capital drawdown
+    * scan over an arbitrary trades CTE — emits `${p}cumed`/`${p}capi`/
+    * `${p}dd`; pair with [[metricsSelect]] for the per-strategy rollup.
+    * Shared by backtest_metrics and the model-filtered twin (which runs it
+    * over the probability-filtered trade set). */
+  private[queries] def metricsCtes(src: String, p: String = ""): String =
+    s"""${p}cumed AS (
+       |  SELECT $src.*,
        |    CAST(CAST(SUM(CAST(pnl AS DECIMAL(25,10))) OVER (PARTITION BY trade_strategy ORDER BY exit_date, symbol_id, entry_date) AS VARCHAR) AS DOUBLE) AS cum_pnl
-       |  FROM trades_all
+       |  FROM $src
        |),
-       |capi AS (
-       |  SELECT cumed.*, 100000.0 + cum_pnl AS cum_capital FROM cumed
+       |${p}capi AS (
+       |  SELECT ${p}cumed.*, 100000.0 + cum_pnl AS cum_capital FROM ${p}cumed
        |),
-       |dd AS (
-       |  SELECT capi.*,
+       |${p}dd AS (
+       |  SELECT ${p}capi.*,
        |    (cum_capital - MAX(cum_capital) OVER (PARTITION BY trade_strategy ORDER BY exit_date, symbol_id, entry_date))
        |      / MAX(cum_capital) OVER (PARTITION BY trade_strategy ORDER BY exit_date, symbol_id, entry_date) AS drawdown
-       |  FROM capi
-       |)
-       |SELECT trade_strategy,
+       |  FROM ${p}capi
+       |)""".stripMargin
+
+  /** The per-strategy metrics rollup (no ORDER BY) over a [[metricsCtes]]
+    * drawdown CTE — byte-for-byte the arithmetic Metrics.perStrategy runs,
+    * decimal-exact sums and the oracle's 4dp rounding included. */
+  private[queries] def metricsSelect(ddSrc: String): String =
+    s"""SELECT trade_strategy,
        |  COUNT(*) AS total_trades,
        |  CAST(SUM(CASE WHEN pnl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS winning_trades,
        |  CAST(SUM(CASE WHEN pnl <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS losing_trades,
@@ -177,7 +197,7 @@ object BacktestQueries {
        |  CAST(ROUND(SUM(CAST(commission AS DECIMAL(25,10))), 4) + 0.0 AS DOUBLE) AS total_commission,
        |  CAST(ROUND(SUM(CAST(CASE WHEN pnl > 0 THEN pnl ELSE 0.0 END AS DECIMAL(25,10))), 4) + 0.0 AS DOUBLE) AS gross_profit,
        |  CAST(abs(ROUND(SUM(CAST(CASE WHEN pnl < 0 THEN pnl ELSE 0.0 END AS DECIMAL(25,10))), 4)) AS DOUBLE) AS gross_loss
-       |FROM dd GROUP BY trade_strategy ORDER BY trade_strategy""".stripMargin)
+       |FROM $ddSrc GROUP BY trade_strategy""".stripMargin
 
   // ---------------------------------------------------------------- enrichment
   private val tradesCte: String =

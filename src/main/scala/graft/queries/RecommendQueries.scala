@@ -62,9 +62,9 @@ object RecommendQueries {
       .select(outCols.map(col): _*)
       .orderBy(col("composite_score").desc, col("symbol_id"), col("trade_strategy"))
 
-  private val dailyRecommendations = Q(
-    (s, d) => finish(gatedBase(s, d)
-      .withColumn("success_probability", Enrich.successProbability(col("signal_strength")))),
+  /** Oracle CTE chain up to `gated` (latest BUY signals × quality gate ×
+    * universe) — shared by the sigmoid query and the model-scored twin. */
+  private val gatedCtes: String =
     s"""${SignalQueries.featCte},
        |sigall AS (
        |  ${SignalQueries.allScoredSubquery}
@@ -100,34 +100,63 @@ object RecommendQueries {
        |  LEFT JOIN lastq q ON w.symbol_id = q.q_symbol_id
        |  LEFT JOIN universe u ON w.symbol_id = u.symbol_id
        |  WHERE q.overall_quality_score >= ${Recommend.MinQuality}
-       |),
+       |)""".stripMargin
+
+  /** Probability gate → composite rank → final projection, from a `probd`
+    * CTE carrying `gated.*` + `success_probability` — shared epilogue. */
+  private val finishSql: String =
+    s"""SELECT symbol_id, symbol, date AS signal_date, trade_strategy, close,
+       |       success_probability, signal_strength, overall_quality_score,
+       |       ${rd("success_probability * 0.6 + signal_strength / 100.0 * 0.2 + overall_quality_score / 100.0 * 0.2", "composite_score")},
+       |       sector, volume
+       |FROM probd WHERE success_probability >= $ProbabilityFloor
+       |ORDER BY composite_score DESC, symbol_id, trade_strategy""".stripMargin
+
+  private val dailyRecommendations = Q(
+    (s, d) => finish(gatedBase(s, d)
+      .withColumn("success_probability", Enrich.successProbability(col("signal_strength")))),
+    s"""$gatedCtes,
        |probd AS (
        |  SELECT gated.*,
        |         CAST(ROUND(CAST(CAST(1.0 / (1.0 + exp(-(signal_strength - 50.0) / 20.0)) AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) + 0.0 AS success_probability
        |  FROM gated
        |)
-       |SELECT symbol_id, symbol, date AS signal_date, trade_strategy, close,
-       |       success_probability, signal_strength, overall_quality_score,
-       |       ${rd("success_probability * 0.6 + signal_strength / 100.0 * 0.2 + overall_quality_score / 100.0 * 0.2", "composite_score")},
-       |       sector, volume
-       |FROM probd WHERE success_probability >= $ProbabilityFloor
-       |ORDER BY composite_score DESC, symbol_id, trade_strategy""".stripMargin)
+       |$finishSql""".stripMargin)
 
   /** The reference's actual scorer: the trained GBT's probability on each
     * candidate's signal-date feature row (ref :245-259). Inner join to the
     * complete-feature frame — the model can't score rows with missing
     * features (the reference zero-fills, fabricating scores for unknown
     * states; we skip those candidates instead, same stance as
-    * TradeSuccess.scoreTrades). */
-  private val dailyRecommendationsModel = Q(
+    * TradeSuccess.scoreTrades). The oracle serializes the session's fitted
+    * trees ([[graft.ml.GbtSql]], model-as-constant) and replays the whole
+    * gate → score → rank pipeline in DuckDB from the raw parquet. */
+  private val dailyRecommendationsModel = Q.gen(
     (s, d) => {
       val feats = graft.ml.TradeSuccess.scoringFrame(s, d)
-      val scored = graft.ml.TradeSuccess.scoreFrame(
-        graft.ml.TradeSuccess.fitted(s, d).model,
+      val scored = graft.ml.TradeSuccess.scoreFrameExpr(
+        graft.ml.TradeSuccess.fitted(s, d).gbt,
         gatedBase(s, d).join(feats, Seq("symbol_id", "date")))
       finish(scored.withColumn("success_probability",
         round(col("success_probability"), 6)))
-    }, None)
+    }) { (s, d) =>
+    val margin = graft.ml.GbtSql.marginSql(
+      graft.ml.TradeSuccess.fitted(s, d).gbt,
+      i => s"mf.${graft.ml.TradeSuccess.FeatureCols(i).stripPrefix("ohlcv_")}")
+    s"""$gatedCtes,
+       |${MlQueries.mlFeatureCtes("ml")},
+       |mmarg AS (
+       |  SELECT gated.*, $margin AS margin
+       |  FROM gated JOIN mlfeat mf
+       |    ON gated.symbol_id = mf.symbol_id AND gated.date = mf.date
+       |),
+       |probd AS (
+       |  SELECT * EXCLUDE (margin),
+       |         ${OracleSql.rnd(graft.ml.GbtSql.probabilitySql("margin"), 6)} AS success_probability
+       |  FROM mmarg
+       |)
+       |$finishSql""".stripMargin
+  }
 
   val all: Map[String, Q] = Map(
     "daily_recommendations" -> dailyRecommendations,

@@ -6,14 +6,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * semantics are SQL-expressible) the DuckDB oracle the driver replays.
   * Oracle-less entries get the driver's weaker rows-only check and are
   * covered by ScalaTest golden specs instead (SURVEY.md §6).
+  *
+  * `oracleGen` is the context-dependent variant: SQL that can only be
+  * written against session state — the model-scored queries serialize the
+  * fitted GBT's trees into the oracle (model-as-constant, exactly how a
+  * deployed model is a constant of the scoring query), so the text needs
+  * the (session, sfDir) the model was fitted in. Verify resolves these
+  * AFTER the queries ran, against the same memoized fit the dumps came
+  * from — a generator that throws degrades that entry to rows-only
+  * instead of aborting the sweep.
   */
 final case class Q(
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    oracleGen: Option[(SparkSession, String) => String] = None)
 
 object Q {
   def apply(run: (SparkSession, String) => DataFrame, oracle: String): Q =
     Q(run, Some(oracle))
+  def gen(run: (SparkSession, String) => DataFrame)
+         (g: (SparkSession, String) => String): Q =
+    Q(run, None, Some(g))
 }
 
 /** Shared DuckDB oracle SQL fragments. The SQL mirrors the Spark expression

@@ -35,8 +35,10 @@ class ModelScoringSpec extends SparkSpec {
     val scored = graft.queries.MlQueries.scoredTrades(spark, dir)
     assert(scored.count() > 0, "no simulated trade matched an entry-date feature row")
     // every probability is a genuine model output, not the sigmoid stand-in
+    // the registered query thresholds the 6dp-canonical probability (the
+    // engine-portable form its oracle replays) — mirror that here
     val expected = scored
-      .where(col("success_probability") >= graft.queries.MlQueries.ModelThreshold)
+      .where(round(col("success_probability"), 6) >= graft.queries.MlQueries.ModelThreshold)
       .groupBy("trade_strategy").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val query = graft.SparkEntry.queries("trades_filter_model")(spark, dir)
@@ -84,7 +86,7 @@ class ModelScoringSpec extends SparkSpec {
     assert(probs == probs.sortBy(-_), "not ordered by probability desc")
     val minTop = probs.min
     val nAbove = graft.queries.MlQueries.scoredTrades(spark, dir)
-      .where(col("success_probability") > minTop).count()
+      .where(round(col("success_probability"), 6) > minTop).count()
     assert(nAbove <= 25, s"$nAbove trades score above the reported top-25 floor")
   }
 }
