@@ -287,11 +287,62 @@ object StreamingBatchQueries {
     LlmQueries.minhashNearDupSqlWith(
       """WHERE a.doc_id % 7 = 3 OR b.doc_id % 7 = 3"""))
 
+  /** Continuous model scoring (58g) — the reference's scheduled daily
+    * scorer (trading_bot/schedule_daily_trading.py driving
+    * daily_signal_scorer.py on a cron) in its Spark-native continuous
+    * form: feature rows ARRIVE (the feature store's emission, staged here
+    * as two parquet files so the run crosses a real micro-batch
+    * boundary), and every micro-batch is scored by the fitted GBT rendered
+    * as a codegen Column expression (TradeSuccess.scoreFrameExpr) and
+    * probability-gated. The whole pipeline is STATELESS — model inference
+    * needs no streaming state, so the plan is a pure whole-stage-codegen
+    * projection per batch: no state store, no watermark, cost linear in
+    * the increment at any arrival rate (StreamScoringSpec asserts the
+    * no-state-operator property and stream ≡ batch). With the full
+    * feature table streamed, the result ≡ batch scoring, so the oracle
+    * replays features → serialized trees → 6dp gate in DuckDB. */
+  private val streamModelScoring = Q.gen(
+    (s, d) => {
+      val batch = graft.ml.TradeSuccess.scoringFrame(s, d)
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft-stream-feat-${Integer.toHexString(d.hashCode)}")
+      if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
+        batch.repartition(2).write.mode("overwrite").parquet(dir.toString)
+      val qname = s"stream_model_scoring_${memSinkId.incrementAndGet()}"
+      val scored = graft.ml.TradeSuccess.scoreFrameExpr(
+          graft.ml.TradeSuccess.fitted(s, d).gbt,
+          s.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", "1").parquet(dir.toString))
+        .withColumn("success_probability", round(col("success_probability"), 6))
+        .where(col("success_probability") >= RecommendQueries.ProbabilityFloor)
+        .select("symbol_id", "date", "success_probability")
+      val q = scored.writeStream.format("memory").queryName(qname)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qname).orderBy("symbol_id", "date")
+    }) { (s, d) =>
+    val margin = graft.ml.GbtSql.marginSql(
+      graft.ml.TradeSuccess.fitted(s, d).gbt, i => MlQueries.FeatShort(i))
+    s"""WITH RECURSIVE ${OracleSql.barsCte},
+       |${MlQueries.mlFeatureCtes("")},
+       |marg AS (SELECT symbol_id, date, $margin AS margin FROM feat),
+       |probd AS (
+       |  SELECT symbol_id, date,
+       |         ${OracleSql.rnd(graft.ml.GbtSql.probabilitySql("margin"), 6)} AS success_probability
+       |  FROM marg
+       |)
+       |SELECT * FROM probd
+       |WHERE success_probability >= ${RecommendQueries.ProbabilityFloor}
+       |ORDER BY symbol_id, date""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "stream_window_agg" -> streamWindowAgg,
     "stream_file_source" -> streamFileSource,
     "stream_neardup" -> streamNearDup,
     "stream_neardup_incremental" -> streamNearDupIncremental,
+    "stream_model_scoring" -> streamModelScoring,
     "sessionization" -> sessionization,
     "stream_dedup" -> streamDedup,
     "stream_enrich" -> streamEnrich,
