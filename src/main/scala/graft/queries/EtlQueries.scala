@@ -234,6 +234,45 @@ object EtlQueries {
       |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-12' AND DATE '2024-01-14'
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
+  /** Small-file compaction (graft.sources.Compaction, §2 #62c): stage the
+    * events table as a deliberately FRAGMENTED date-partitioned store
+    * (repartition(8) before partitionBy — eight parallel writers each drop
+    * a file into every day they touch, the classic micro-batch-ingest
+    * debris), then bin-pack it into a new generation with
+    * targetRowsPerFile=2500. The output proves both compaction contracts
+    * per day: content survives (rows + decimal value sum ≡ the raw table)
+    * and the packed file count is exactly ceil(rows/target) — which is why
+    * the file count is oracle-checkable from the raw data alone.
+    * CompactionSpec additionally pins the before-state (fragmented days
+    * really hold multiple files) and idempotence. */
+  private val eventsCompaction = Q(
+    (s, d) => {
+      import graft.sqlx.Exact
+      val tag = Integer.toHexString(d.hashCode)
+      val frag = s"${sys.props("java.io.tmpdir")}/graft-events-frag-$tag"
+      val packed = s"${sys.props("java.io.tmpdir")}/graft-events-packed-$tag"
+      val target = 2500L
+      val ev = graft.Tables.events(s, d).withColumn("date", col("ts").cast("date"))
+      graft.sources.PartitionedTables.write(ev.repartition(8), frag, Seq("date"))
+      graft.sources.Compaction.compact(s, frag, packed, "date", target)
+      val stats = graft.sources.PartitionedTables.read(s, packed)
+        .groupBy("date")
+        .agg(count(lit(1)).as("n_rows"),
+          Exact.decSumAgg(col("value")).as("value_sum"))
+      stats.join(
+          broadcast(graft.sources.Compaction.fileCountsDf(s, packed, "date")
+            .withColumn("date", col("date").cast("date"))),
+          Seq("date"))
+        .select("date", "n_rows", "n_files", "value_sum")
+        .orderBy("date")
+    },
+    """SELECT CAST(ts AS DATE) AS date,
+      |  COUNT(*) AS n_rows,
+      |  CAST(CEIL(COUNT(*) / 2500.0) AS BIGINT) AS n_files,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS value_sum
+      |FROM events
+      |GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** Morton z-values over the two event scan dimensions (user_id, day) —
     * graft.operators.ZOrder: the clustering key an OPTIMIZE ZORDER-style
     * layout write range-partitions by so box-shaped (user × day) predicates
@@ -281,5 +320,6 @@ object EtlQueries {
     "watermark_incremental_features" -> watermarkIncrementalFeatures,
     "symbol_universe" -> symbolUniverse,
     "pipeline_status" -> pipelineStatus,
-    "events_day_scan" -> eventsDayScan)
+    "events_day_scan" -> eventsDayScan,
+    "events_compaction" -> eventsCompaction)
 }
