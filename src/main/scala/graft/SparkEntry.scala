@@ -36,21 +36,39 @@ object SparkEntry {
     *
     * Context-dependent oracles (`Q.oracleGen` — the model-scored queries
     * serialize the session's fitted GBT into the SQL) are resolved against
-    * (spark, dir); a generator failure degrades that entry to the driver's
-    * rows-only check rather than losing the whole dump. */
-  def oracleSql(spark: SparkSession, dir: String): Map[String, String] =
+    * (spark, dir), restricted to `only` when non-empty (a subset dev dump
+    * must not trigger a full model fit for queries it didn't run). A
+    * generator failure degrades that entry to the driver's rows-only
+    * check — LOUDLY (stderr), so lost oracle coverage can't pass as a
+    * quietly-green sweep. */
+  def oracleSql(spark: SparkSession, dir: String,
+                only: Set[String] = Set.empty): Map[String, String] =
     registry.flatMap { case (k, q) =>
+      def wanted = only.isEmpty || only(k)
       q.oracle.map(k -> _).orElse(
-        q.oracleGen.flatMap(g => scala.util.Try(g(spark, dir)).toOption.map(k -> _)))
+        if (!wanted) None
+        else q.oracleGen.flatMap { g =>
+          scala.util.Try(g(spark, dir)) match {
+            case scala.util.Success(sql) => Some(k -> sql)
+            case scala.util.Failure(e) =>
+              System.err.println(s"[oracle-gen] $k FAILED (degrades to rows-only): $e")
+              None
+          }
+        })
     }
 
   /** Driver-contract form: static oracles always; generated ones when an
-    * active session exists (Verify publishes its sfDir via the
-    * `graft.sf.dir` property before dumping). */
-  def oracleSql: Map[String, String] =
-    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
-      case Some(s) =>
-        oracleSql(s, sys.props.getOrElse("graft.sf.dir", "/root/testdata/sf0.001"))
-      case None => registry.collect { case (k, Q(_, Some(sql), _)) => k -> sql }
-    }
+    * active session exists AND Verify has published its sfDir via the
+    * `graft.sf.dir` property. Without the property the generated entries
+    * are OMITTED (rows-only degradation) — generating them against a
+    * guessed directory would fit the model on the wrong scale factor and
+    * mis-compare every model oracle, which is strictly worse than a weak
+    * check. */
+  def oracleSql: Map[String, String] = {
+    val ctx = for {
+      s <- SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      d <- sys.props.get("graft.sf.dir")
+    } yield oracleSql(s, d)
+    ctx.getOrElse(registry.collect { case (k, Q(_, Some(sql), _)) => k -> sql })
+  }
 }

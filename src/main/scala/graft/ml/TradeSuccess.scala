@@ -181,16 +181,17 @@ object TradeSuccess {
     * success probability. One broadcast-free equi-join on
     * (symbol_id, date) — both sides are already symbol-partitioned. */
   def scoreTrades(trades: DataFrame, spark: SparkSession, dir: String): DataFrame =
-    scoreTradesWith(fitted(spark, dir).model, trades, spark, dir)
+    scoreTradesWith(fitted(spark, dir), trades, spark, dir)
 
-  /** [[scoreTrades]] with an explicit model — the load-then-score half of
-    * the persistence workflow (a session that never trains). */
-  def scoreTradesWith(model: PipelineModel, trades: DataFrame,
+  /** [[scoreTrades]] with an explicit fitted pipeline — the load-then-score
+    * half of the persistence workflow (a session that never trains). Takes
+    * [[Fitted]] so the GBT-is-last-stage assumption lives only in
+    * [[Fitted.gbt]]. */
+  def scoreTradesWith(f: Fitted, trades: DataFrame,
                       spark: SparkSession, dir: String): DataFrame = {
     val feats = trainingFrame(spark, dir)
       .withColumnRenamed("date", "entry_date").drop("label")
-    scoreFrameExpr(model.stages.last.asInstanceOf[GBTClassificationModel],
-      trades.join(feats, Seq("symbol_id", "entry_date")))
+    scoreFrameExpr(f.gbt, trades.join(feats, Seq("symbol_id", "entry_date")))
   }
 
   /** Feature-importance + AUC export (trade_success_predictor.py:124-294

@@ -167,9 +167,9 @@ object MlQueries {
   /** Oracle prelude shared by the model-scored trade queries: full
     * simulation + ml feature chain + tree-scored probabilities.
     * `scored` = every simulated trade with complete entry-date features,
-    * its margin, and the 6dp probability. */
-  private def scoredTradesCtes(s: org.apache.spark.sql.SparkSession, d: String,
-                               gbt: org.apache.spark.ml.classification.GBTClassificationModel): String = {
+    * its margin, and the 6dp probability. A pure function of the fitted
+    * ensemble — the data context only enters through which model was fit. */
+  private def scoredTradesCtes(gbt: org.apache.spark.ml.classification.GBTClassificationModel): String = {
     val margin = graft.ml.GbtSql.marginSql(gbt, i => s"mf.${FeatShort(i)}")
     s"""${BacktestQueries.simCte},
        |${mlFeatureCtes("ml")},
@@ -185,9 +185,8 @@ object MlQueries {
        |)""".stripMargin
   }
 
-  private def filterRollupSql(s: org.apache.spark.sql.SparkSession, d: String,
-                              gbt: org.apache.spark.ml.classification.GBTClassificationModel): String =
-    s"""${scoredTradesCtes(s, d, gbt)},
+  private def filterRollupSql(gbt: org.apache.spark.ml.classification.GBTClassificationModel): String =
+    s"""${scoredTradesCtes(gbt)},
        |filt AS (SELECT * FROM scored WHERE success_probability >= $ModelThreshold),
        |avgp AS (
        |  SELECT trade_strategy,
@@ -210,7 +209,7 @@ object MlQueries {
     * filter → rollup in DuckDB from the raw parquet. */
   private val tradesFilterModel = Q.gen(
     (s, d) => filterPerfRollup(scoredTrades(s, d))) {
-    (s, d) => filterRollupSql(s, d, graft.ml.TradeSuccess.fitted(s, d).gbt)
+    (s, d) => filterRollupSql(graft.ml.TradeSuccess.fitted(s, d).gbt)
   }
 
   /** The persistence twin (trade_success_predictor.py:403-415 saves,
@@ -224,9 +223,9 @@ object MlQueries {
     (s, d) => {
       val f = graft.ml.TradeSuccess.loadedFitted(s, d)
       filterPerfRollup(graft.ml.TradeSuccess.scoreTradesWith(
-        f.model, BacktestQueries.simulatedTrades(s, d), s, d))
+        f, BacktestQueries.simulatedTrades(s, d), s, d))
     }) {
-    (s, d) => filterRollupSql(s, d, graft.ml.TradeSuccess.loadedFitted(s, d).gbt)
+    (s, d) => filterRollupSql(graft.ml.TradeSuccess.loadedFitted(s, d).gbt)
   }
 
   /** Model-scored top-25 report (create_top25_viz_input.py over model
@@ -242,7 +241,7 @@ object MlQueries {
         .select("symbol_id", "entry_date", "trade_strategy",
           "success_probability", "pnl", "pnl_pct", "holding_days")
     }) { (s, d) =>
-    s"""${scoredTradesCtes(s, d, graft.ml.TradeSuccess.fitted(s, d).gbt)}
+    s"""${scoredTradesCtes(graft.ml.TradeSuccess.fitted(s, d).gbt)}
        |SELECT symbol_id, entry_date, trade_strategy,
        |       success_probability, pnl, pnl_pct, holding_days
        |FROM scored

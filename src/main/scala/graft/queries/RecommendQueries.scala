@@ -141,8 +141,7 @@ object RecommendQueries {
         round(col("success_probability"), 6)))
     }) { (s, d) =>
     val margin = graft.ml.GbtSql.marginSql(
-      graft.ml.TradeSuccess.fitted(s, d).gbt,
-      i => s"mf.${graft.ml.TradeSuccess.FeatureCols(i).stripPrefix("ohlcv_")}")
+      graft.ml.TradeSuccess.fitted(s, d).gbt, i => s"mf.${MlQueries.FeatShort(i)}")
     s"""$gatedCtes,
        |${MlQueries.mlFeatureCtes("ml")},
        |mmarg AS (

@@ -306,8 +306,12 @@ object StreamingBatchQueries {
       val batch = graft.ml.TradeSuccess.scoringFrame(s, d)
       val dir = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), s"graft-stream-feat-${Integer.toHexString(d.hashCode)}")
-      if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
-        batch.repartition(2).write.mode("overwrite").parquet(dir.toString)
+      // restaged UNCONDITIONALLY, unlike the near-dup staging: that one
+      // stages a raw table (cannot drift), this one stages a COMPUTED
+      // frame — a _SUCCESS guard would keep serving stale features across
+      // code changes to the feature ladder (surviving even sbt clean,
+      // since /tmp outlives the build)
+      batch.repartition(2).write.mode("overwrite").parquet(dir.toString)
       val qname = s"stream_model_scoring_${memSinkId.incrementAndGet()}"
       val scored = graft.ml.TradeSuccess.scoreFrameExpr(
           graft.ml.TradeSuccess.fitted(s, d).gbt,
