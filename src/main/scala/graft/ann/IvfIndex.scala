@@ -287,6 +287,29 @@ object IvfIndex {
     cents.write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Incremental index maintenance — the production ANN ingest path: new
+    * vectors are assigned against the STORED quantizer (fixed centroids,
+    * FAISS's add-after-train) and appended to their cell partitions.
+    * No refit and no rewrite of existing cells: the job's cost is one
+    * codegen assignment scan of the increment plus the appended files —
+    * O(increment), never O(index). Because per-row assignment depends
+    * only on the centroids, the updated index is bit-identical to
+    * rebuilding the assignment over base ∪ increment with the same
+    * quantizer (IvfIncrementalSpec asserts store and probe equality), so
+    * probes keep pruning partitions unchanged. The documented limit is
+    * quantizer drift: after enough distribution shift the cells skew and
+    * recall decays, at which point the maintenance job is a refit +
+    * [[writeIndex]] rebuild — the ANN analogue of table compaction. */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    newVecs: DataFrame): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(r => r.getAs[Seq[Double]]("centroid").toArray)
+    val assigned = newVecs.select(col("vec_id"), col("emb"),
+      graft.functions.NearestCell.nearest(spark, col("emb"), cents).as("cell"))
+    assigned.write.mode("append").partitionBy("cell").parquet(s"$path/assigned")
+  }
+
   /** Probe a stored index. The union of probed cells is collected first —
     * bounded by nCells, i.e. centroid metadata, never data — and pushed as
     * a literal IN over the partition column, so Spark's partition pruning

@@ -299,15 +299,17 @@ object LlmQueries {
     * ascending-dimension accumulation as a sequential list dot product
     * over the difference vector. Produces `e(vec_id, emb)`, `c$iters`
     * (final centroids) and `asg(vec_id, emb, cell)`. */
-  private def ivfFitCtes(k: Int, iters: Int, dim: Int, seed: Long, maxTrain: Int): String = {
+  private def ivfFitCtes(k: Int, iters: Int, dim: Int, seed: Long, maxTrain: Int,
+                         fitWhere: String = "TRUE"): String = {
     def d2(vec: String, cent: String): String =
       s"""list_dot_product(list_transform(generate_series(1, $dim), i -> $vec[i] - $cent[i]),
          |                          list_transform(generate_series(1, $dim), i -> $vec[i] - $cent[i]))""".stripMargin
     val head =
       s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |st AS (SELECT CAST((COUNT(*) + ${maxTrain - 1}) // $maxTrain AS BIGINT) AS stride FROM e),
+         |ef AS (SELECT * FROM e WHERE $fitWhere),
+         |st AS (SELECT CAST((COUNT(*) + ${maxTrain - 1}) // $maxTrain AS BIGINT) AS stride FROM ef),
          |samp AS (
-         |  SELECT vec_id, emb FROM e, st
+         |  SELECT vec_id, emb FROM ef, st
          |  WHERE CAST(('0x' || substr(md5(vec_id || ':$seed'), 1, 8)) AS BIGINT) % st.stride = 0
          |),
          |init AS (SELECT emb, row_number() OVER (ORDER BY md5(vec_id || ':$seed'), vec_id) AS rn FROM samp),
@@ -352,17 +354,12 @@ object LlmQueries {
   // assignment, the centroid probe and the exact rescore replay in DuckDB
   // (possible because both fit paths use md5 + decimal-exact arithmetic —
   // see IvfIndex scaladoc and the ivfFitCtes builder above).
-  private val annIvf = Q(
-    (s, d) => {
-      val e = corpusEmb(s, d)
-      val q = e.where(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
-      val path = s"${sys.props("java.io.tmpdir")}/graft-ivf-${Integer.toHexString(d.hashCode)}"
-      graft.ann.IvfIndex.writeIndex(e, path)
-      graft.ann.IvfIndex.approxTopKStored(s, path, q, k = 10).orderBy("query_id", "rank")
-    },
-    s"""WITH ${ivfFitCtes(k = 16, iters = 5, dim = 64, seed = 42L, maxTrain = 65536)},
-       |q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id % 100 = 0),
+  /** Probe + exact rescore + top-k SQL over the fit CTEs' `c5`/`asg` —
+    * shared by the full-build and incremental-append IVF oracles (the
+    * probe is identical; only which vectors the quantizer was FIT on
+    * differs, and that lives in ivfFitCtes' fitWhere). */
+  private val ivfProbeSql: String =
+    s"""q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id % 100 = 0),
        |pc AS (
        |  SELECT q.query_id, q.qemb, c.cell,
        |         -(list_dot_product(q.qemb, c.cent)) /
@@ -383,7 +380,44 @@ object LlmQueries {
        |  FROM sc
        |)
        |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10
-       |ORDER BY query_id, rank""".stripMargin)
+       |ORDER BY query_id, rank""".stripMargin
+
+  private val annIvf = Q(
+    (s, d) => {
+      val e = corpusEmb(s, d)
+      val q = e.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+      val path = s"${sys.props("java.io.tmpdir")}/graft-ivf-${Integer.toHexString(d.hashCode)}"
+      graft.ann.IvfIndex.writeIndex(e, path)
+      graft.ann.IvfIndex.approxTopKStored(s, path, q, k = 10).orderBy("query_id", "rank")
+    },
+    s"""WITH ${ivfFitCtes(k = 16, iters = 5, dim = 64, seed = 42L, maxTrain = 65536)},
+       |$ivfProbeSql""".stripMargin)
+
+  /** IVF incremental ingest (graft.ann.IvfIndex.appendToIndex): the index
+    * is built and persisted on the BASE corpus only (quantizer fit on the
+    * base sample — the trained state of the deployment), then the arriving
+    * increment is assigned against the FIXED stored centroids and appended
+    * to its cell partitions, and the probe runs over the updated store.
+    * Cost is O(increment) per ingest — no refit, no rewrite of existing
+    * cells — which is the only maintenance shape that survives a corpus
+    * that grows daily at 100 TB. The oracle replays the base-restricted
+    * fit (ivfFitCtes' fitWhere) and the full-corpus assignment: assignment
+    * is per-row against fixed centroids, so append ≡ rebuild with the same
+    * quantizer (IvfIncrementalSpec asserts it on the store and the probe). */
+  private val annIvfIncremental = Q(
+    (s, d) => {
+      val e = corpusEmb(s, d)
+      val q = e.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+      val path = s"${sys.props("java.io.tmpdir")}/graft-ivf-incr-${Integer.toHexString(d.hashCode)}"
+      graft.ann.IvfIndex.writeIndex(e.where(col("vec_id") % 10 =!= 7), path)
+      graft.ann.IvfIndex.appendToIndex(s, path, e.where(col("vec_id") % 10 === 7))
+      graft.ann.IvfIndex.approxTopKStored(s, path, q, k = 10).orderBy("query_id", "rank")
+    },
+    s"""WITH ${ivfFitCtes(k = 16, iters = 5, dim = 64, seed = 42L, maxTrain = 65536,
+                          fitWhere = "vec_id % 10 <> 7")},
+       |$ivfProbeSql""".stripMargin)
 
   /** SemDeDup: k-means-cell-restricted semantic dedup at the embedding
     * near-dup threshold — O(Σ cell²) instead of corpus². Oracle-green: the
@@ -1131,6 +1165,7 @@ object LlmQueries {
     "ann_topk" -> annTopk,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
+    "ann_ivf_incremental" -> annIvfIncremental,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
     "text_langid" -> textLangid,

@@ -1,0 +1,54 @@
+package graft.ann
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Incremental IVF maintenance contract (IvfIndex.appendToIndex): because
+  * cell assignment is per-row against fixed centroids, appending an
+  * increment to a base-built index must yield exactly the store — and
+  * exactly the probe results — of rebuilding the assignment over
+  * base ∪ increment with the same quantizer. */
+class IvfIncrementalSpec extends SparkSpec {
+  private val dir = sf("sf0.001")
+
+  private def emb = graft.Tables.embeddings(spark, dir)
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+
+  test("append ≡ rebuild-with-same-quantizer, for the store and the probe") {
+    val base = emb.where(col("vec_id") % 10 =!= 7)
+    val inc = emb.where(col("vec_id") % 10 === 7)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-incr-spec").toString
+    val appended = s"$tmp/appended"; val rebuilt = s"$tmp/rebuilt"
+
+    IvfIndex.writeIndex(base, appended)
+    IvfIndex.appendToIndex(spark, appended, inc)
+
+    // rebuild: same base-fit centroids, one-shot assignment of the union
+    IvfIndex.writeIndex(base, rebuilt)
+    val cents = spark.read.parquet(s"$rebuilt/centroids")
+      .orderBy("cell").collect()
+      .map(r => r.getAs[Seq[Double]]("centroid").toArray)
+    val full = emb.select(col("vec_id"), col("emb"),
+      graft.functions.NearestCell.nearest(spark, col("emb"), cents).as("cell"))
+    full.write.mode("overwrite").partitionBy("cell").parquet(s"$rebuilt/assigned")
+
+    val a = spark.read.parquet(s"$appended/assigned").select("vec_id", "cell")
+    val b = spark.read.parquet(s"$rebuilt/assigned").select("vec_id", "cell")
+    assert(a.count() == emb.count(), "append must cover base + increment exactly once")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "appended store must equal a rebuild with the same quantizer")
+
+    val q = emb.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val pa = IvfIndex.approxTopKStored(spark, appended, q, k = 10)
+    val pb = IvfIndex.approxTopKStored(spark, rebuilt, q, k = 10)
+    assert(pa.exceptAll(pb).isEmpty && pb.exceptAll(pa).isEmpty)
+    assert(pa.count() > 0)
+
+    // the increment genuinely landed in existing cells (no refit happened):
+    // centroid tables of both stores are identical
+    val ca = spark.read.parquet(s"$appended/centroids")
+    val cb = spark.read.parquet(s"$rebuilt/centroids")
+    assert(ca.exceptAll(cb).isEmpty && cb.exceptAll(ca).isEmpty)
+  }
+}
