@@ -234,6 +234,85 @@ object EtlQueries {
       |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-12' AND DATE '2024-01-14'
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
+  /** Deterministic four-version changelog over the customer table — the
+    * CDC fixture both cdc queries and their oracles replay: v1 inserts
+    * every key, v2 updates every third (the SymbolUniverse upsert wave),
+    * v3 DELETES every seventh, v4 updates every fifth — so keys divisible
+    * by 35 exercise the delete-then-reinsert race (the later upsert wins)
+    * and keys divisible by 7 but not 5 stay dead. Payload deltas are
+    * dyadic (+100.0, +7.5): exact doubles on both engines. */
+  private def cdcChanges(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val c = graft.Tables.customer(s, d)
+    def wave(pred: org.apache.spark.sql.Column, delta: Double, op: String, v: Int) =
+      c.where(pred).select(col("c_custkey").as("symbol_id"),
+        col("c_name").as("symbol"), col("c_mktsegment").as("segment"),
+        (col("c_acctbal") + lit(delta)).as("acctbal"),
+        lit(op).as("op"), lit(v).as("version"))
+    wave(lit(true), 0.0, "I", 1)
+      .unionByName(wave(col("c_custkey") % 3 === 0, 100.0, "U", 2))
+      .unionByName(c.where(col("c_custkey") % 7 === 0).select(
+        col("c_custkey").as("symbol_id"),
+        lit(null).cast("string").as("symbol"), lit(null).cast("string").as("segment"),
+        lit(null).cast("double").as("acctbal"),
+        lit("D").as("op"), lit(3).as("version")))
+      .unionByName(wave(col("c_custkey") % 5 === 0, 7.5, "U", 4))
+  }
+
+  /** The changelog union as a DuckDB CTE `ch` — shared by both cdc oracles. */
+  private val cdcChangesCte: String =
+    """ch AS (
+      |  SELECT c_custkey AS symbol_id, c_name AS symbol, c_mktsegment AS segment,
+      |         c_acctbal + 0.0 AS acctbal, 'I' AS op, CAST(1 AS INTEGER) AS version
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal + 100.0, 'U', CAST(2 AS INTEGER)
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+      |         CAST(NULL AS DOUBLE), 'D', CAST(3 AS INTEGER)
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal + 7.5, 'U', CAST(4 AS INTEGER)
+      |  FROM customer WHERE c_custkey % 5 = 0
+      |)""".stripMargin
+
+  /** CDC latest-wins snapshot (graft.etl.Cdc.applyChanges, §2 #3b): one
+    * key-partitioned window over the changelog — no snapshot join — with
+    * DELETE semantics and the delete-then-reinsert race decided by
+    * version order. */
+  private val cdcApplySnapshot = Q(
+    (s, d) => graft.etl.Cdc.applyChanges(cdcChanges(s, d), Seq("symbol_id"), "version", "op")
+      .withColumnRenamed("op", "last_op")
+      .withColumnRenamed("version", "applied_version")
+      .orderBy("symbol_id"),
+    s"""WITH $cdcChangesCte,
+       |rk AS (
+       |  SELECT ch.*, row_number() OVER (PARTITION BY symbol_id ORDER BY version DESC) AS rn
+       |  FROM ch
+       |)
+       |SELECT symbol_id, symbol, segment, acctbal, op AS last_op, version AS applied_version
+       |FROM rk WHERE rn = 1 AND op <> 'D'
+       |ORDER BY symbol_id""".stripMargin)
+
+  /** SCD Type-2 history (graft.etl.Cdc.scd2): every upsert becomes an
+    * attribute interval closed by the NEXT change (deletes close without
+    * opening); `valid_to IS NULL` marks current rows. */
+  private val cdcScd2History = Q(
+    (s, d) => graft.etl.Cdc.scd2(cdcChanges(s, d), Seq("symbol_id"), "version", "op")
+      .select("symbol_id", "symbol", "segment", "acctbal",
+        "valid_from", "valid_to", "is_current")
+      .orderBy("symbol_id", "valid_from"),
+    s"""WITH $cdcChangesCte,
+       |iv AS (
+       |  SELECT ch.*,
+       |         lead(version) OVER (PARTITION BY symbol_id ORDER BY version) AS valid_to
+       |  FROM ch
+       |)
+       |SELECT symbol_id, symbol, segment, acctbal,
+       |       version AS valid_from, valid_to, valid_to IS NULL AS is_current
+       |FROM iv WHERE op <> 'D'
+       |ORDER BY symbol_id, valid_from""".stripMargin)
+
   /** Small-file compaction (graft.sources.Compaction, §2 #62c): stage the
     * events table as a deliberately FRAGMENTED date-partitioned store
     * (repartition(8) before partitionBy — eight parallel writers each drop
@@ -321,5 +400,7 @@ object EtlQueries {
     "symbol_universe" -> symbolUniverse,
     "pipeline_status" -> pipelineStatus,
     "events_day_scan" -> eventsDayScan,
-    "events_compaction" -> eventsCompaction)
+    "events_compaction" -> eventsCompaction,
+    "cdc_apply_snapshot" -> cdcApplySnapshot,
+    "cdc_scd2_history" -> cdcScd2History)
 }
