@@ -55,7 +55,11 @@ object PlanDump {
       "table_contracts" -> "per-table single-scan PK check: key-columns-only distinct shuffle",
       "ann_ivf" -> "stored-index probe: partition-pruned cell scan + broadcast centroid probe",
       "dedup_simhash" -> "codegen graft_simhash64 fingerprints + 16-bit band bucket self-join",
-      "watermark_roundtrip" -> "versioned-store re-read: stale filter over the committed parquet state")
+      "watermark_roundtrip" -> "versioned-store re-read: stale filter over the committed parquet state",
+      "trades_filter_model" -> "fitted-GBT scoring as pure codegen CASE expressions (no MLlib transform UDF) + decimal-exact rollup",
+      "ann_ivf_incremental" -> "incremental index probe: append-maintained cell partitions, pruned scan",
+      "events_compaction" -> "bin-packed generation read: per-day rollup + broadcast file-count join",
+      "cdc_apply_snapshot" -> "changelog latest-wins merge: one key-partitioned window, no snapshot join")
     val sb = new StringBuilder
     sb.append("# Physical-plan audit (generated by graft.tools.PlanDump at sf0.001)\n\n")
     sb.append("Each section is `df.explain(\"formatted\")` output for a representative\n")
