@@ -56,12 +56,12 @@ object IvfIndex {
 
   /** md5 hex of `"<vec_id>:<seed>"` — the content hash behind sampling and
     * init ordering. SQL mirror: `md5(vec_id || ':' || seed)`. */
-  private def md5Key(seed: Long): Column =
+  private[ann] def md5Key(seed: Long): Column =
     md5(concat(col("vec_id").cast("string"), lit(":"), lit(seed).cast("string")))
 
   /** Unsigned value of the first 8 md5 hex chars (the MinHashLSH.baseHashSql
     * family). SQL mirror: `CAST(('0x' || substr(md5(...), 1, 8)) AS BIGINT)`. */
-  private def md5Head32(seed: Long): Column =
+  private[ann] def md5Head32(seed: Long): Column =
     conv(substring(md5Key(seed), 1, 8), 16, 10).cast("long")
 
   /** Train the coarse quantizer on a ~≤maxTrain deterministic sample and

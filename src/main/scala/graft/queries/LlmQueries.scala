@@ -419,6 +419,136 @@ object LlmQueries {
                           fitWhere = "vec_id % 10 <> 7")},
        |$ivfProbeSql""".stripMargin)
 
+  /** DuckDB replay of the per-subspace PQ codebook fits (graft.ann.Pq.fit):
+    * the shared md5-stride sample, then for each subspace j an independent
+    * Lloyd's chain over `list_slice` sub-vectors at seed+j — the same
+    * arithmetic contract as [[ivfFitCtes]] (md5-ordered init, DECIMAL-exact
+    * means, first-minimum argmin), just m times over sd dims. Produces
+    * `e`, `samp`, and the unioned final codebook `cb(j, code, cent)`. */
+  private def pqFitCtes(m: Int, sd: Int, codes: Int, iters: Int,
+                        seed: Long, maxTrain: Int): String = {
+    def d2(vec: String, cent: String): String =
+      s"""list_dot_product(list_transform(generate_series(1, $sd), i -> $vec[i] - $cent[i]),
+         |                          list_transform(generate_series(1, $sd), i -> $vec[i] - $cent[i]))""".stripMargin
+    val head =
+      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |st AS (SELECT CAST((COUNT(*) + ${maxTrain - 1}) // $maxTrain AS BIGINT) AS stride FROM e),
+         |samp AS MATERIALIZED (
+         |  SELECT vec_id, emb FROM e, st
+         |  WHERE CAST(('0x' || substr(md5(vec_id || ':$seed'), 1, 8)) AS BIGINT) % st.stride = 0
+         |)""".stripMargin
+    val subChains = (0 until m).map { j =>
+      val sj = seed + j
+      val fitHead =
+        s"""s$j AS (SELECT vec_id, list_slice(emb, ${j * sd + 1}, ${(j + 1) * sd}) AS emb FROM samp),
+           |i$j AS (SELECT emb, row_number() OVER (ORDER BY md5(vec_id || ':$sj'), vec_id) AS rn FROM s$j),
+           |c${j}_0 AS (SELECT CAST(rn - 1 AS INTEGER) AS code, emb AS cent FROM i$j WHERE rn <= $codes)""".stripMargin
+      val iterBlocks = (1 to iters).map { n =>
+        s"""a$j$n AS (
+           |  SELECT s.vec_id, s.emb, c.code, ${d2("s.emb", "c.cent")} AS d2
+           |  FROM s$j s CROSS JOIN c${j}_${n - 1} c
+           |),
+           |b$j$n AS (
+           |  SELECT vec_id, emb, code,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, code) AS rk
+           |  FROM a$j$n
+           |),
+           |g$j$n AS (
+           |  SELECT code, dims.i,
+           |         CAST(CAST(SUM(CAST(emb[dims.i] AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m
+           |  FROM b$j$n, (SELECT unnest(generate_series(1, $sd)) AS i) dims
+           |  WHERE rk = 1 GROUP BY 1, 2
+           |),
+           |c${j}_$n AS (
+           |  SELECT p.code, COALESCE(gl.cent, p.cent) AS cent
+           |  FROM c${j}_${n - 1} p
+           |  LEFT JOIN (SELECT code, list(m ORDER BY i) AS cent FROM g$j$n GROUP BY 1) gl USING (code)
+           |)""".stripMargin
+      }
+      (fitHead +: iterBlocks).mkString(",\n")
+    }
+    val cbUnion = (0 until m)
+      .map(j => s"SELECT $j AS j, code, cent FROM c${j}_$iters")
+      .mkString("cb AS MATERIALIZED (\n", "\n  UNION ALL ", "\n)")
+    (head +: subChains :+ cbUnion).mkString(",\n")
+  }
+
+  /** PQ ADC + exact re-rank (graft.ann.Pq): encode = per-(vec, subspace)
+    * argmin over the replayed codebooks; ADC = m 10-dp-quantized LUT
+    * partial dots summed as DECIMAL(25,10) (order-free, so the candidate
+    * cutoff is bit-stable across engines); top-`rerank` per query
+    * re-scored exactly and ranked. See the Pq scaladoc for why every
+    * stage is cross-engine deterministic. */
+  private def pqAdcSql(m: Int, sd: Int, rerank: Int, k: Int): String = {
+    def q10(x: String): String =
+      s"CAST(ROUND(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,20)), 10) AS DOUBLE)"
+    def d2(vec: String, cent: String): String =
+      s"""list_dot_product(list_transform(generate_series(1, $sd), i -> $vec[i] - $cent[i]),
+         |                          list_transform(generate_series(1, $sd), i -> $vec[i] - $cent[i]))""".stripMargin
+    s"""cbn AS (SELECT j, code, cent, ${q10("list_dot_product(cent, cent)")} AS cn2 FROM cb),
+       |sv AS (
+       |  SELECT vec_id, js.j, list_slice(emb, js.j * $sd + 1, (js.j + 1) * $sd) AS sub
+       |  FROM e, (SELECT unnest(generate_series(0, ${m - 1})) AS j) js
+       |),
+       |ca AS (
+       |  SELECT s.vec_id, s.j, c.code, ${d2("s.sub", "c.cent")} AS d2
+       |  FROM sv s JOIN cb c ON c.j = s.j
+       |),
+       |cd AS MATERIALIZED (
+       |  SELECT vec_id, j, code FROM (
+       |    SELECT vec_id, j, code, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rk
+       |    FROM ca) WHERE rk = 1
+       |),
+       |q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id % 100 = 0),
+       |qn AS (SELECT query_id, qemb, sqrt(list_dot_product(qemb, qemb)) AS qnrm FROM q),
+       |lut AS (
+       |  SELECT q.query_id, c.j, c.code,
+       |         ${q10(s"list_dot_product(list_slice(q.qemb, c.j * $sd + 1, (c.j + 1) * $sd), c.cent)")} AS pdot,
+       |         c.cn2
+       |  FROM q CROSS JOIN cbn c
+       |),
+       |adc AS (
+       |  SELECT l.query_id, cd.vec_id,
+       |         CAST(CAST(SUM(CAST(l.pdot AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS adot,
+       |         CAST(CAST(SUM(CAST(l.cn2 AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS rec2
+       |  FROM cd JOIN lut l ON l.j = cd.j AND l.code = cd.code
+       |  WHERE cd.vec_id <> l.query_id
+       |  GROUP BY 1, 2
+       |),
+       |cand AS (
+       |  SELECT a.query_id, a.vec_id, n.qemb,
+       |         row_number() OVER (PARTITION BY a.query_id ORDER BY
+       |           (CASE WHEN n.qnrm <> 0 AND a.rec2 > 0
+       |                 THEN a.adot / (n.qnrm * sqrt(a.rec2)) END) DESC, a.vec_id) AS crk
+       |  FROM adc a JOIN qn n USING (query_id)
+       |),
+       |sc AS (
+       |  SELECT c.query_id, c.vec_id, ${cosRndSql("c.qemb", "v.emb")} AS cosine
+       |  FROM cand c JOIN e v ON v.vec_id = c.vec_id
+       |  WHERE c.crk <= $rerank
+       |),
+       |r AS (
+       |  SELECT query_id, vec_id, cosine,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+       |  FROM sc
+       |)
+       |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  private val annPq = Q(
+    (s, d) => {
+      val e = corpusEmb(s, d)
+      val q = e.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+      graft.ann.Pq.approxTopK(e, q, k = 10, dim = 64).orderBy("query_id", "rank")
+    },
+    s"""WITH ${pqFitCtes(m = graft.ann.Pq.SubSpaces, sd = 64 / graft.ann.Pq.SubSpaces,
+                         codes = graft.ann.Pq.Codes, iters = graft.ann.Pq.Iters,
+                         seed = 42L, maxTrain = 65536)},
+       |${pqAdcSql(m = graft.ann.Pq.SubSpaces, sd = 64 / graft.ann.Pq.SubSpaces,
+                   rerank = graft.ann.Pq.Rerank, k = 10)}""".stripMargin)
+
   /** SemDeDup: k-means-cell-restricted semantic dedup at the embedding
     * near-dup threshold — O(Σ cell²) instead of corpus². Oracle-green: the
     * deterministic fit (ivfFitCtes — same cells as IvfIndex.assign) makes
@@ -1166,6 +1296,7 @@ object LlmQueries {
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "ann_ivf_incremental" -> annIvfIncremental,
+    "ann_pq" -> annPq,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
     "text_langid" -> textLangid,
