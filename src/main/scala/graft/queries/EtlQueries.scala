@@ -352,6 +352,89 @@ object EtlQueries {
       |FROM events
       |GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** Incremental materialized-view maintenance (graft.etl.MaterializedAgg):
+    * the daily events rollup is stored as PARTIAL aggregate state bucketed
+    * on the group-key hash; the increment (a deterministic 20% slice
+    * standing in for today's ingest) folds in by merging partials and
+    * rewriting ONLY the touched bucket partitions. The registered output
+    * is the finalized view read back from the store after the refresh —
+    * oracle = a plain GROUP BY over the whole table, because algebraic
+    * partial states merge EXACTLY (counts/decimal sums add, min/max
+    * combine), so incremental ≡ recompute bit-for-bit; that equality is
+    * precisely the MV-maintenance contract. MaterializedAggSpec adds the
+    * untouched-buckets-not-rewritten and multi-increment properties. */
+  private val mvIncrementalRefresh = Q(
+    (s, d) => {
+      val keys = Seq("event_type", "date")
+      val tag = Integer.toHexString(d.hashCode)
+      val root = s"${sys.props("java.io.tmpdir")}/graft-mv-events-$tag"
+      val ev = graft.Tables.events(s, d).withColumn("date", col("ts").cast("date"))
+      graft.etl.MaterializedAgg.writeInit(
+        ev.where(col("event_id") % 10 < 8), keys, "value", root)
+      graft.etl.MaterializedAgg.refresh(
+        s, root, ev.where(col("event_id") % 10 >= 8), keys, "value")
+      graft.etl.MaterializedAgg.read(s, root, keys).orderBy("event_type", "date")
+    },
+    s"""SELECT event_type, CAST(ts AS DATE) AS date,
+       |  COUNT(*) AS n_rows,
+       |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS value_sum,
+       |  ${rnd("CAST(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) / COUNT(value)", 4)} AS value_avg,
+       |  MIN(value) AS value_min,
+       |  MAX(value) AS value_max
+       |FROM events
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
+  /** Min/max file-skipping scan (graft.sources.StatsManifest) — the IO
+    * payoff of the [[eventsZorder]] layout: the events table is written
+    * z-ordered (range-partitioned by the Morton value over scaled
+    * (user_id, day) cells), a footer-stats manifest is harvested as a
+    * metadata job, and a box-shaped predicate reads ONLY the files whose
+    * min/max boxes intersect it, re-applying the exact predicate inside.
+    * The box bounds derive from the data's own maxima (um/dm), so the
+    * query is closed-form at every SF. Pruning is IO-only, never
+    * correctness: the oracle is the plain filtered GROUP BY over the raw
+    * table, and StatsManifestSpec pins that files really are skipped on
+    * the z-ordered layout. */
+  private val eventsSkippingScan = Q(
+    (s, d) => {
+      import graft.sqlx.Exact
+      val tag = Integer.toHexString(d.hashCode)
+      val root = s"${sys.props("java.io.tmpdir")}/graft-events-zordered-$tag"
+      val ev = graft.Tables.events(s, d).select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("day"))
+      val mx = ev.agg(max("user_id").as("um"), max("day").as("dm"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("zval", graft.operators.ZOrder.zValue(
+          expr("CAST(user_id * 32 div (um + 1) AS INT)"),
+          expr("CAST(day * 32 div (dm + 1) AS INT)"), 5))
+        .drop("um", "dm")
+        .repartitionByRange(16, col("zval"))
+        .write.mode("overwrite").parquet(root)
+      val Array(um, dm) = mx.collect().head match {
+        case r => Array(r.getLong(0), r.getInt(1).toLong)
+      }
+      val mf = graft.sources.StatsManifest.build(s, root, Seq("user_id", "day"))
+      val hit = graft.sources.StatsManifest.readPruned(s, root, mf,
+        Seq(("user_id", (um / 5).toDouble, (um / 2).toDouble),
+            ("day", (dm / 5).toDouble, (dm / 2).toDouble)),
+        col("user_id").between(um / 5, um / 2) && col("day").between(dm / 5, dm / 2))
+      hit.groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"), Exact.decSumAgg(col("value")).as("value_sum"))
+        .orderBy("event_type")
+    },
+    """WITH ev AS (
+      |  SELECT user_id, event_type, value,
+      |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS INTEGER) AS day
+      |  FROM events
+      |),
+      |mx AS (SELECT MAX(user_id) AS um, MAX(day) AS dm FROM ev)
+      |SELECT event_type, COUNT(*) AS n_rows,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS value_sum
+      |FROM ev CROSS JOIN mx
+      |WHERE user_id BETWEEN um // 5 AND um // 2 AND day BETWEEN dm // 5 AND dm // 2
+      |GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** Morton z-values over the two event scan dimensions (user_id, day) —
     * graft.operators.ZOrder: the clustering key an OPTIMIZE ZORDER-style
     * layout write range-partitions by so box-shaped (user × day) predicates
@@ -401,6 +484,8 @@ object EtlQueries {
     "pipeline_status" -> pipelineStatus,
     "events_day_scan" -> eventsDayScan,
     "events_compaction" -> eventsCompaction,
+    "mv_incremental_refresh" -> mvIncrementalRefresh,
+    "events_skipping_scan" -> eventsSkippingScan,
     "cdc_apply_snapshot" -> cdcApplySnapshot,
     "cdc_scd2_history" -> cdcScd2History)
 }

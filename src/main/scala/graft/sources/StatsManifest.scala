@@ -1,0 +1,122 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** Per-file min/max statistics manifest — the file-skipping half of the
+  * z-order story (Delta file stats / Iceberg manifests): after
+  * [[graft.operators.ZOrder]] clusters a table so every file has a tight
+  * bounding box in the scan dimensions, something has to TURN those boxes
+  * into skipped IO. This manifest is that something: one row per (file,
+  * column) with min/max/rows/nulls harvested from the parquet FOOTERS — a
+  * metadata job whose cost is O(#files), not O(bytes); no data page is
+  * ever read. A box-shaped predicate then resolves to the file list whose
+  * boxes intersect it, and the scan reads only those files, with the full
+  * predicate re-applied inside — pruning is a pure IO optimization, never
+  * a correctness dependency (a file with missing stats is conservatively
+  * kept).
+  *
+  * At cluster scale the footer harvest fans out over executors (files are
+  * partitioned across tasks; the Hadoop conf rides along Writable-
+  * serialized), the manifest itself is rows = files × columns — metadata-
+  * sized relative to the data, exactly like Iceberg's manifest files — and
+  * pruning evaluates on that small frame before any big-table IO is
+  * scheduled. The manifest is rebuilt per ingest generation (or
+  * incrementally unioned per appended file — build is per-file
+  * independent, so appending = harvesting only the new files).
+  *
+  * Stats are normalized to DOUBLE, which is exact for the integer/date
+  * scan dimensions (< 2^53) and the float/double ones this engine z-orders
+  * by; truncated string stats (which parquet footers may carry) are out of
+  * scope and reported as stat-less rows.
+  */
+object StatsManifest {
+
+  /** Hadoop Configuration is not java-serializable; it IS Writable. */
+  private class SerConf(@transient var conf: Configuration) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject(); conf = new Configuration(false); conf.readFields(in)
+    }
+  }
+
+  private def num(v: Comparable[_]): Option[Double] = v match {
+    case i: java.lang.Integer => Some(i.toDouble)
+    case l: java.lang.Long    => Some(l.toDouble)
+    case f: java.lang.Float   => Some(f.toDouble)
+    case d: java.lang.Double  => Some(d)
+    case _                    => None
+  }
+
+  /** One manifest row per (file, column in `cols`): aggregated over the
+    * file's row groups. `vmin`/`vmax` are null when any row group lacks
+    * usable stats for the column (the conservative no-prune marker). */
+  def build(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(root).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+    val sc = new SerConf(spark.sparkContext.hadoopConfiguration)
+    val want = cols.toSet
+    val slices = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(files, slices).flatMap { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), sc.conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val perCol = blocks.flatMap { b =>
+          b.getColumns.asScala
+            .filter(c => want(c.getPath.toDotString))
+            .map(c => (c.getPath.toDotString, b.getRowCount, c.getStatistics))
+        }
+        perCol.groupBy(_._1).map { case (colName, chunks) =>
+          val rows = chunks.map(_._2).sum
+          val stats = chunks.map(_._3)
+          val ok = stats.forall(s => s != null && s.hasNonNullValue) &&
+            stats.forall(s => num(s.genericGetMin).isDefined && num(s.genericGetMax).isDefined)
+          val (mn, mx) =
+            if (ok) (Some(stats.map(s => num(s.genericGetMin).get).min),
+                     Some(stats.map(s => num(s.genericGetMax).get).max))
+            else (None, None)
+          val nulls = if (stats.forall(s => s != null && !s.isNumNullsSet)) None
+                      else Some(stats.map(s => math.max(0L, s.getNumNulls)).sum)
+          (f.split('/').last, colName, rows, mn, mx, nulls)
+        }
+      } finally reader.close()
+    }.toDF("file", "column", "n_rows", "vmin", "vmax", "n_nulls")
+  }
+
+  /** Files whose [vmin, vmax] box intersects every (col, lo, hi) range —
+    * plus any file lacking stats for a predicate column (never prune on
+    * missing metadata). Evaluated on the manifest frame; the returned list
+    * is metadata-sized (it is a file list). */
+  def prunedFiles(manifest: DataFrame, ranges: Seq[(String, Double, Double)]): Seq[String] = {
+    val all = manifest.select("file").distinct()
+    val kept = ranges.foldLeft(all) { case (acc, (c, lo, hi)) =>
+      val excluded = manifest
+        .where(col("column") === c && col("vmin").isNotNull &&
+          (col("vmax") < lo || col("vmin") > hi))
+        .select("file")
+      acc.except(excluded)
+    }
+    kept.collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Manifest-pruned scan: read only the intersecting files and re-apply
+    * the exact predicate (`residual`) — bit-identical to the full scan by
+    * construction, minus the skipped IO. */
+  def readPruned(spark: SparkSession, dir: String, manifest: DataFrame,
+                 ranges: Seq[(String, Double, Double)], residual: Column): DataFrame = {
+    val files = prunedFiles(manifest, ranges).map(f => s"$dir/$f")
+    if (files.isEmpty) spark.read.parquet(dir).where(lit(false))
+    else spark.read.parquet(files: _*).where(residual)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** MV-maintenance properties beyond the registered oracle: merge ≡
+  * recompute across arbitrary splits, untouched bucket partitions are not
+  * rewritten by a refresh, chained increments compose, and an empty
+  * increment is a no-op. */
+class MaterializedAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val keys = Seq("grp", "sub")
+
+  /** Seeded synthetic frame: 60 groups across the bucket space. */
+  private lazy val data = {
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 4000).map { i =>
+      (s"g${rnd.nextInt(12)}", rnd.nextInt(5), i.toLong,
+        if (rnd.nextInt(50) == 0) None else Some(rnd.nextDouble() * 200 - 100))
+    }.toDF("grp", "sub", "row_id", "value")
+  }
+
+  private def finalize(df: org.apache.spark.sql.DataFrame) = {
+    import graft.sqlx.Exact
+    df.groupBy("grp", "sub").agg(
+      count(lit(1)).as("n_rows"),
+      Exact.decSumAgg(col("value")).as("value_sum"),
+      Exact.r4(Exact.decSumAgg(col("value")) / count(col("value"))).as("value_avg"),
+      min(col("value")).as("value_min"),
+      max(col("value")).as("value_max"))
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  private def bucketFiles(root: String): Map[String, Set[String]] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
+      .map { st =>
+        st.getPath.getName ->
+          fs.listStatus(st.getPath).map(f => s"${f.getPath.getName}:${f.getModificationTime}").toSet
+      }.toMap
+  }
+
+  test("incremental refresh == full recompute, for any split; empty increment is a no-op") {
+    for (mod <- Seq(2, 7)) {
+      val root = s"${sys.props("java.io.tmpdir")}/graft-mv-spec-$mod"
+      val base = data.where(col("row_id") % mod =!= 0)
+      val inc = data.where(col("row_id") % mod === 0)
+      MaterializedAgg.writeInit(base, keys, "value", root)
+      val touched = MaterializedAgg.refresh(spark, root, inc, keys, "value")
+      assert(touched.nonEmpty)
+      val got = rows(MaterializedAgg.read(spark, root, keys))
+      assert(got == rows(finalize(data)), s"mod=$mod incremental != recompute")
+      // empty increment: no buckets touched, state unchanged
+      assert(MaterializedAgg.refresh(spark, root, data.where(lit(false)), keys, "value").isEmpty)
+      assert(rows(MaterializedAgg.read(spark, root, keys)) == got)
+    }
+  }
+
+  test("refresh rewrites only the touched bucket partitions") {
+    val root = s"${sys.props("java.io.tmpdir")}/graft-mv-spec-touch"
+    MaterializedAgg.writeInit(data, keys, "value", root)
+    val before = bucketFiles(root)
+    // an increment confined to ONE group -> exactly one bucket
+    val inc = Seq(("g3", 1, 99999L, Some(42.0))).toDF("grp", "sub", "row_id", "value")
+    val touched = MaterializedAgg.refresh(spark, root, inc, keys, "value")
+    assert(touched.size == 1)
+    val after = bucketFiles(root)
+    val touchedDir = s"bucket=${touched.head}"
+    assert(after(touchedDir) != before(touchedDir), "touched bucket must be rewritten")
+    (before.keySet - touchedDir).foreach { dir =>
+      assert(after(dir) == before(dir), s"untouched $dir was rewritten")
+    }
+    // and the merged view is still exact
+    assert(rows(MaterializedAgg.read(spark, root, keys)) ==
+      rows(finalize(data.unionByName(inc))))
+  }
+
+  test("chained increments compose: refresh(refresh(init)) == one recompute") {
+    val root = s"${sys.props("java.io.tmpdir")}/graft-mv-spec-chain"
+    MaterializedAgg.writeInit(data.where(col("row_id") <= 2000), keys, "value", root)
+    MaterializedAgg.refresh(spark, root,
+      data.where(col("row_id") > 2000 && col("row_id") <= 3000), keys, "value")
+    MaterializedAgg.refresh(spark, root,
+      data.where(col("row_id") > 3000), keys, "value")
+    assert(rows(MaterializedAgg.read(spark, root, keys)) == rows(finalize(data)))
+  }
+}
