@@ -101,6 +101,30 @@ object MaterializedAgg {
     touched
   }
 
+  /** [[refresh]] with exactly-once semantics under micro-batch REPLAY —
+    * what `foreachBatch` needs: Structured Streaming re-delivers the last
+    * batch after a crash, and partial-state merges are NOT idempotent (a
+    * replayed increment double-counts). A marker file per applied batch id
+    * makes the replay a no-op. The marker is written AFTER the bucket
+    * swap, so the remaining failure window is a crash between swap and
+    * marker — replaying THAT still double-counts; closing it fully needs
+    * the swap and the marker in one atomic commit (the manifest-pointer
+    * flip the [[refresh]] scaladoc describes). Markers live inside the
+    * store root, so [[writeInit]]'s overwrite resets the applied set with
+    * the state. */
+  def refreshOnce(spark: SparkSession, root: String, batchId: Long, increment: DataFrame,
+                  keys: Seq[String], valueCol: String): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$root/_applied_batch_$batchId")
+    if (fs.exists(marker)) false
+    else {
+      refresh(spark, root, increment, keys, valueCol)
+      fs.create(marker, true).close()
+      true
+    }
+  }
+
   /** Finalized view: algebraic columns straight from state, avg derived as
     * exact-decimal sum / value count (the graft.sqlx.Exact double route,
     * so the read is bit-identical to a full recompute in any engine). */

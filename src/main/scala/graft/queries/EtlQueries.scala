@@ -363,6 +363,20 @@ object EtlQueries {
     * combine), so incremental ≡ recompute bit-for-bit; that equality is
     * precisely the MV-maintenance contract. MaterializedAggSpec adds the
     * untouched-buckets-not-rewritten and multi-increment properties. */
+  /** The finalized daily-events rollup as plain SQL — the oracle for BOTH
+    * MV-maintenance paths (batch [[mvIncrementalRefresh]] and the
+    * streaming twin in StreamingBatchQueries): however the view got there
+    * (one merge, n micro-batches), the read must equal this recompute. */
+  private[queries] val mvEventsRollupSql: String =
+    s"""SELECT event_type, CAST(ts AS DATE) AS date,
+       |  COUNT(*) AS n_rows,
+       |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS value_sum,
+       |  ${rnd("CAST(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) / COUNT(value)", 4)} AS value_avg,
+       |  MIN(value) AS value_min,
+       |  MAX(value) AS value_max
+       |FROM events
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private val mvIncrementalRefresh = Q(
     (s, d) => {
       val keys = Seq("event_type", "date")
@@ -375,14 +389,7 @@ object EtlQueries {
         s, root, ev.where(col("event_id") % 10 >= 8), keys, "value")
       graft.etl.MaterializedAgg.read(s, root, keys).orderBy("event_type", "date")
     },
-    s"""SELECT event_type, CAST(ts AS DATE) AS date,
-       |  COUNT(*) AS n_rows,
-       |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS value_sum,
-       |  ${rnd("CAST(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) / COUNT(value)", 4)} AS value_avg,
-       |  MIN(value) AS value_min,
-       |  MAX(value) AS value_max
-       |FROM events
-       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    mvEventsRollupSql)
 
   /** Min/max file-skipping scan (graft.sources.StatsManifest) — the IO
     * payoff of the [[eventsZorder]] layout: the events table is written

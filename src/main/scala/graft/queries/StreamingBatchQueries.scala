@@ -341,8 +341,51 @@ object StreamingBatchQueries {
        |ORDER BY symbol_id, date""".stripMargin
   }
 
+  /** Streaming MV maintenance — foreachBatch as the micro-batch ingest
+    * driver for graft.etl.MaterializedAgg (#62e): the daily rollup view
+    * bootstraps from the already-ingested base slice (event_id % 4 = 0,
+    * re-inited every run because the stream MUTATES the store), the
+    * remaining rows arrive as two parquet files (maxFilesPerTrigger=1 ⇒
+    * two genuine micro-batches), and each batch folds in through
+    * `refreshOnce` — the marker-gated refresh that makes Structured
+    * Streaming's replayed-last-batch delivery exactly-once on the store
+    * (partial-state merges are not idempotent; the marker makes the
+    * replay a no-op). No state store, no watermark: the VIEW is the
+    * state, which is the point — per-trigger work is O(increment +
+    * touched buckets) at any corpus size. The registered read shares the
+    * batch MV oracle: n micro-batches or one merge, the view must equal
+    * the plain GROUP BY recompute bit-for-bit. */
+  private val streamMvRefresh = Q(
+    (s, d) => {
+      val keys = Seq("event_type", "date")
+      val tag = Integer.toHexString(d.hashCode)
+      val root = s"${sys.props("java.io.tmpdir")}/graft-mv-stream-$tag"
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft-mv-stream-src-$tag")
+      val ev = Tables.events(s, d)
+      if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
+        ev.where(col("event_id") % 4 =!= 0).repartition(2)
+          .write.mode("overwrite").parquet(dir.toString)
+      }
+      graft.etl.MaterializedAgg.writeInit(
+        ev.where(col("event_id") % 4 === 0).withColumn("date", col("ts").cast("date")),
+        keys, "value", root)
+      val q = Tables.eventsStream(s, dir.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          graft.etl.MaterializedAgg.refreshOnce(batch.sparkSession, root, id,
+            batch.withColumn("date", col("ts").cast("date")), keys, "value")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.etl.MaterializedAgg.read(s, root, keys).orderBy("event_type", "date")
+    },
+    EtlQueries.mvEventsRollupSql)
+
   val all: Map[String, Q] = Map(
     "stream_window_agg" -> streamWindowAgg,
+    "stream_mv_refresh" -> streamMvRefresh,
     "stream_file_source" -> streamFileSource,
     "stream_neardup" -> streamNearDup,
     "stream_neardup_incremental" -> streamNearDupIncremental,

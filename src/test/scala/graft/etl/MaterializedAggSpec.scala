@@ -80,6 +80,22 @@ class MaterializedAggSpec extends SparkSpec {
       rows(finalize(data.unionByName(inc))))
   }
 
+  test("refreshOnce makes a replayed micro-batch a no-op (exactly-once on the store)") {
+    val root = s"${sys.props("java.io.tmpdir")}/graft-mv-spec-once"
+    val base = data.where(col("row_id") <= 3000)
+    val inc = data.where(col("row_id") > 3000)
+    MaterializedAgg.writeInit(base, keys, "value", root)
+    assert(MaterializedAgg.refreshOnce(spark, root, 7L, inc, keys, "value"))
+    val after = rows(MaterializedAgg.read(spark, root, keys))
+    // the crash-replay: same batch id delivered again must not double-count
+    assert(!MaterializedAgg.refreshOnce(spark, root, 7L, inc, keys, "value"))
+    assert(rows(MaterializedAgg.read(spark, root, keys)) == after)
+    assert(after == rows(finalize(data)))
+    // and writeInit resets the applied-batch set along with the state
+    MaterializedAgg.writeInit(base, keys, "value", root)
+    assert(MaterializedAgg.refreshOnce(spark, root, 7L, inc, keys, "value"))
+  }
+
   test("chained increments compose: refresh(refresh(init)) == one recompute") {
     val root = s"${sys.props("java.io.tmpdir")}/graft-mv-spec-chain"
     MaterializedAgg.writeInit(data.where(col("row_id") <= 2000), keys, "value", root)
