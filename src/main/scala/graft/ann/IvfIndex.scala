@@ -229,8 +229,9 @@ object IvfIndex {
   }
 
   /** Probed (query, cell) pairs: the nProbe closest centroids per query by
-    * cosine — a broadcast cross of the driver-sized centroid table. */
-  private def probeCells(queries: DataFrame, cents: DataFrame, nProbe: Int): DataFrame = {
+    * cosine — a broadcast cross of the driver-sized centroid table.
+    * (private[ann]: [[IvfPq]] shares the probe.) */
+  private[ann] def probeCells(queries: DataFrame, cents: DataFrame, nProbe: Int): DataFrame = {
     val spark = queries.sparkSession
     import graft.functions.GraftFunctions.dot
     queries.crossJoin(broadcast(cents))

@@ -426,10 +426,16 @@ object LlmQueries {
     * means, first-minimum argmin), just m times over sd dims. Produces
     * `e`, `samp`, and the unioned final codebook `cb(j, code, cent)`. */
   private def pqFitCtes(m: Int, sd: Int, codes: Int, iters: Int,
-                        seed: Long, maxTrain: Int): String = {
+                        seed: Long, maxTrain: Int,
+                        includeHead: Boolean = true): String = {
     def d2(vec: String, cent: String): String =
       s"""list_dot_product(list_transform(generate_series(1, $sd), i -> $vec[i] - $cent[i]),
          |                          list_transform(generate_series(1, $sd), i -> $vec[i] - $cent[i]))""".stripMargin
+    // `includeHead = false` chains the per-subspace fits onto CTEs an
+    // earlier builder already emitted (ann_ivfpq runs after ivfFitCtes,
+    // whose e/samp are the same definitions at fitWhere = TRUE and the
+    // same (seed, maxTrain) — one shared training sample feeds both the
+    // coarse quantizer and the codebooks, exactly like the Spark side).
     val head =
       s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
          |st AS (SELECT CAST((COUNT(*) + ${maxTrain - 1}) // $maxTrain AS BIGINT) AS stride FROM e),
@@ -470,7 +476,8 @@ object LlmQueries {
     val cbUnion = (0 until m)
       .map(j => s"SELECT $j AS j, code, cent FROM c${j}_$iters")
       .mkString("cb AS MATERIALIZED (\n", "\n  UNION ALL ", "\n)")
-    (head +: subChains :+ cbUnion).mkString(",\n")
+    val parts = if (includeHead) head +: subChains else subChains
+    (parts :+ cbUnion).mkString(",\n")
   }
 
   /** PQ ADC + exact re-rank (graft.ann.Pq): encode = per-(vec, subspace)
@@ -479,12 +486,48 @@ object LlmQueries {
     * cutoff is bit-stable across engines); top-`rerank` per query
     * re-scored exactly and ranked. See the Pq scaladoc for why every
     * stage is cross-engine deterministic. */
-  private def pqAdcSql(m: Int, sd: Int, rerank: Int, k: Int): String = {
+  private def pqAdcSql(m: Int, sd: Int, rerank: Int, k: Int,
+                       probed: Option[(String, Int)] = None): String = {
     def q10(x: String): String =
       s"CAST(ROUND(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,20)), 10) AS DOUBLE)"
     def d2(vec: String, cent: String): String =
       s"""list_dot_product(list_transform(generate_series(1, $sd), i -> $vec[i] - $cent[i]),
          |                          list_transform(generate_series(1, $sd), i -> $vec[i] - $cent[i]))""".stripMargin
+    // Candidate source: every corpus vector (ann_pq), or — ann_ivfpq —
+    // only the members of the query's nProbe closest coarse cells
+    // (`probed` = (final-centroid CTE from ivfFitCtes, nProbe); the cell
+    // membership comes from its `asg`). Mirrors IvfPq.approxTopK's
+    // qcells ⋈ codeLong cell equi-join.
+    val adcCte = probed match {
+      case None =>
+        s"""adc AS (
+           |  SELECT l.query_id, cd.vec_id,
+           |         CAST(CAST(SUM(CAST(l.pdot AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS adot,
+           |         CAST(CAST(SUM(CAST(l.cn2 AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS rec2
+           |  FROM cd JOIN lut l ON l.j = cd.j AND l.code = cd.code
+           |  WHERE cd.vec_id <> l.query_id
+           |  GROUP BY 1, 2
+           |)""".stripMargin
+      case Some((cellsCte, nProbe)) =>
+        s"""pc AS (
+           |  SELECT q.query_id, c.cell,
+           |         -(list_dot_product(q.qemb, c.cent)) /
+           |           (sqrt(list_dot_product(q.qemb, q.qemb)) * sqrt(list_dot_product(c.cent, c.cent))) AS cdist
+           |  FROM q CROSS JOIN $cellsCte c
+           |),
+           |pp AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cdist, cell) AS prb FROM pc),
+           |probed AS (SELECT query_id, cell FROM pp WHERE prb <= $nProbe),
+           |adc AS (
+           |  SELECT p.query_id, cd.vec_id,
+           |         CAST(CAST(SUM(CAST(l.pdot AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS adot,
+           |         CAST(CAST(SUM(CAST(l.cn2 AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS rec2
+           |  FROM probed p
+           |  JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.query_id
+           |  JOIN cd ON cd.vec_id = a.vec_id
+           |  JOIN lut l ON l.query_id = p.query_id AND l.j = cd.j AND l.code = cd.code
+           |  GROUP BY 1, 2
+           |)""".stripMargin
+    }
     s"""cbn AS (SELECT j, code, cent, ${q10("list_dot_product(cent, cent)")} AS cn2 FROM cb),
        |sv AS (
        |  SELECT vec_id, js.j, list_slice(emb, js.j * $sd + 1, (js.j + 1) * $sd) AS sub
@@ -507,14 +550,7 @@ object LlmQueries {
        |         c.cn2
        |  FROM q CROSS JOIN cbn c
        |),
-       |adc AS (
-       |  SELECT l.query_id, cd.vec_id,
-       |         CAST(CAST(SUM(CAST(l.pdot AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS adot,
-       |         CAST(CAST(SUM(CAST(l.cn2 AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS rec2
-       |  FROM cd JOIN lut l ON l.j = cd.j AND l.code = cd.code
-       |  WHERE cd.vec_id <> l.query_id
-       |  GROUP BY 1, 2
-       |),
+       |$adcCte,
        |cand AS (
        |  SELECT a.query_id, a.vec_id, n.qemb,
        |         row_number() OVER (PARTITION BY a.query_id ORDER BY
@@ -548,6 +584,26 @@ object LlmQueries {
                          seed = 42L, maxTrain = 65536)},
        |${pqAdcSql(m = graft.ann.Pq.SubSpaces, sd = 64 / graft.ann.Pq.SubSpaces,
                    rerank = graft.ann.Pq.Rerank, k = 10)}""".stripMargin)
+
+  /** IVF+PQ (graft.ann.IvfPq — FAISS IndexIVFPQ with by_residual=false):
+    * coarse cells prune WHICH vectors a query scans, PQ codes compress
+    * WHAT the scan reads, exact re-rank fixes the final order. The oracle
+    * replays BOTH fits off one shared training sample (ivfFitCtes emits
+    * e/samp/asg/c5; pqFitCtes chains onto them head-less), then the
+    * probe, the cell-restricted ADC and the re-rank. */
+  private val annIvfPq = Q(
+    (s, d) => {
+      val e = corpusEmb(s, d)
+      val q = e.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+      graft.ann.IvfPq.approxTopK(e, q, k = 10, dim = 64).orderBy("query_id", "rank")
+    },
+    s"""WITH ${ivfFitCtes(k = 16, iters = 5, dim = 64, seed = 42L, maxTrain = 65536)},
+       |${pqFitCtes(m = graft.ann.Pq.SubSpaces, sd = 64 / graft.ann.Pq.SubSpaces,
+                    codes = graft.ann.Pq.Codes, iters = graft.ann.Pq.Iters,
+                    seed = 42L, maxTrain = 65536, includeHead = false)},
+       |${pqAdcSql(m = graft.ann.Pq.SubSpaces, sd = 64 / graft.ann.Pq.SubSpaces,
+                   rerank = graft.ann.Pq.Rerank, k = 10, probed = Some(("c5", 8)))}""".stripMargin)
 
   /** SemDeDup: k-means-cell-restricted semantic dedup at the embedding
     * near-dup threshold — O(Σ cell²) instead of corpus². Oracle-green: the
@@ -1297,6 +1353,7 @@ object LlmQueries {
     "ann_ivf" -> annIvf,
     "ann_ivf_incremental" -> annIvfIncremental,
     "ann_pq" -> annPq,
+    "ann_ivfpq" -> annIvfPq,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
     "text_langid" -> textLangid,

@@ -1,0 +1,59 @@
+package graft.ann
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.functions._
+
+/** IVF+PQ composition specs: recall through BOTH approximations
+  * (cell pruning × code quantization) vs brute force, the exactness limit
+  * (probe everything + re-rank everything ⇒ bit-identical brute force),
+  * and that candidates really are confined to the probed cells. */
+class IvfPqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val e = graft.Tables.embeddings(spark, sf("sf0.01"))
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+  private lazy val q = e.where(col("vec_id") % 100 === 0)
+    .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+
+  test("IVFPQ recall@10 >= 0.7 vs brute force on the isotropic worst case; no CartesianProduct") {
+    val exact = Cosine.topK(spark, sf("sf0.01"), k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val df = IvfPq.approxTopK(e, q, k = 10, dim = 64)
+    val got = df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    // two stacked approximations on data with NO cluster structure (the
+    // documented IVF worst case): the floor is deliberately below the
+    // single-approximation specs' 0.8
+    assert(recall >= 0.7, s"IVFPQ recall@10 = $recall")
+    assert(df.queryExecution.executedPlan.collect {
+      case c: CartesianProductExec => c
+    }.isEmpty)
+  }
+
+  test("probe-all + re-rank-all makes IVFPQ exactly the brute-force top-k") {
+    val n = e.count().toInt
+    val exact = Cosine.topK(spark, sf("sf0.01"), k = 10)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val got = IvfPq.approxTopK(e, q, k = 10, dim = 64, nProbe = 16, rerank = n)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(got == exact,
+      s"diff: missing=${(exact -- got).take(3)} extra=${(got -- exact).take(3)}")
+  }
+
+  test("every returned neighbour lies in one of its query's probed cells") {
+    val nProbe = 4
+    val (assigned, cents) = IvfIndex.assign(e, nCells = 16)
+    val probed = IvfIndex.probeCells(q, cents, nProbe)
+      .select("query_id", "cell").as[(Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val cellOf = assigned.select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val got = IvfPq.approxTopK(e, q, k = 10, dim = 64, nProbe = nProbe)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (qid, vid) =>
+      assert(probed(qid).contains(cellOf(vid)),
+        s"neighbour $vid of query $qid came from an unprobed cell")
+    }
+  }
+}
