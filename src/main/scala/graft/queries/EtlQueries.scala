@@ -442,6 +442,38 @@ object EtlQueries {
       |WHERE user_id BETWEEN um // 5 AND um // 2 AND day BETWEEN dm // 5 AND dm // 2
       |GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** Equality file-skipping via the per-file Bloom index
+    * (graft.sources.BloomSkipIndex): the events table is written
+    * hash-partitioned on event_id — the layout where every file spans the
+    * whole user_id range, so [[eventsSkippingScan]]'s min/max boxes prune
+    * NOTHING for a point probe; that is exactly the case the Bloom index
+    * exists for. The probe user (um // 3, data-derived so closed-form at
+    * every SF) resolves through the index to the few files whose bloom
+    * bits cover it, and the exact equality is re-applied inside — false
+    * positives cost IO, never rows. Oracle = the plain filtered rollup;
+    * BloomSkipIndexSpec pins the pruning itself. */
+  private val eventsPointLookup = Q(
+    (s, d) => {
+      import graft.sqlx.Exact
+      val tag = Integer.toHexString(d.hashCode)
+      val root = s"${sys.props("java.io.tmpdir")}/graft-events-hashed-$tag"
+      val ev = graft.Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      ev.repartition(16, col("event_id"))
+        .write.mode("overwrite").parquet(root)
+      val um = ev.agg(max("user_id")).head.getLong(0)
+      val idx = graft.sources.BloomSkipIndex.build(s, root, Seq("user_id"))
+      graft.sources.BloomSkipIndex.readPruned(s, root, idx, "user_id", lit(um / 3))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"), Exact.decSumAgg(col("value")).as("value_sum"))
+        .orderBy("event_type")
+    },
+    """WITH mx AS (SELECT MAX(user_id) AS um FROM events)
+      |SELECT event_type, COUNT(*) AS n_rows,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS value_sum
+      |FROM events, mx WHERE user_id = um // 3
+      |GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** Morton z-values over the two event scan dimensions (user_id, day) —
     * graft.operators.ZOrder: the clustering key an OPTIMIZE ZORDER-style
     * layout write range-partitions by so box-shaped (user × day) predicates
@@ -493,6 +525,7 @@ object EtlQueries {
     "events_compaction" -> eventsCompaction,
     "mv_incremental_refresh" -> mvIncrementalRefresh,
     "events_skipping_scan" -> eventsSkippingScan,
+    "events_point_lookup" -> eventsPointLookup,
     "cdc_apply_snapshot" -> cdcApplySnapshot,
     "cdc_scd2_history" -> cdcScd2History)
 }
