@@ -91,17 +91,38 @@ def check_sketch_stats(con, out_dir):
 BOUNDED = {"table_profile_approx": check_profile_approx,
            "sketch_event_stats": check_sketch_stats}
 
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def fresh_con(sf_dir):
+    """One connection per oracle: an in-memory duckdb connection has NO temp
+    directory, so a plan that outgrows the buffer pool cannot spill — it
+    OOMs, and the saturated pool then fails every later query on the same
+    connection (the round-11 sf0.1 sweep lost 18 green oracles that way,
+    including trivially-small ones that ran after the heavy one). A spill
+    dir + an explicit limit gives big oracles out-of-core execution, and
+    per-query isolation means one pathological plan can only fail itself."""
+    con = duckdb.connect()
+    con.execute("SET temp_directory='/tmp/duckdb_check_spill'")
+    con.execute("SET memory_limit='48GB'")
+    # 8 threads, not the host's 32: the model-as-constant oracles carry a
+    # serialized-ensemble scalar expression through a recursive CTE, and at
+    # 32 threads the per-thread operator state thrashes the buffer pool
+    # (measured: 4 heavy oracles unfinished after 34 min at 32 threads vs
+    # ~5 min EACH at 8 threads). Cheap oracles don't notice.
+    con.execute("SET threads=8")
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
-    con = duckdb.connect()
-    for t in ["region","nation","customer","supplier","part","orders",
-              "lineitem","events","documents","embeddings"]:
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    con = fresh_con(sf_dir)
     n_pass = n_fail = n_bounded = 0
     statuses = {}
     def record(name, status, detail=""):
@@ -137,7 +158,11 @@ def main():
                 record(name, "rows-only", f"rows={got.num_rows}")
             continue
         try:
-            want = con.execute(oracles[name]).fetch_arrow_table()
+            qcon = fresh_con(sf_dir)
+            try:
+                want = qcon.execute(oracles[name]).fetch_arrow_table()
+            finally:
+                qcon.close()
         except Exception as e:
             print(f"[ORACLE-ERR] {name}: {e}"); n_fail += 1
             record(name, "oracle-err", str(e)[:300]); continue

@@ -185,9 +185,13 @@ object MlQueries {
        |)""".stripMargin
   }
 
+  /** `filt` must be MATERIALIZED: DuckDB inlines plain CTEs per reference,
+    * and `filt` is read by both `avgp` and the metrics chain — inlined, the
+    * recursive simulation + serialized-ensemble margin expression is
+    * replayed per reference, which exhausts DuckDB's memory at sf0.1. */
   private def filterRollupSql(gbt: org.apache.spark.ml.classification.GBTClassificationModel): String =
     s"""${scoredTradesCtes(gbt)},
-       |filt AS (SELECT * FROM scored WHERE success_probability >= $ModelThreshold),
+       |filt AS MATERIALIZED (SELECT * FROM scored WHERE success_probability >= $ModelThreshold),
        |avgp AS (
        |  SELECT trade_strategy,
        |         CAST(ROUND(CAST(CAST(CAST(CAST(SUM(CAST(success_probability AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 4) + 0.0 AS DOUBLE) AS avg_success_probability
