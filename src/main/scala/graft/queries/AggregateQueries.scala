@@ -402,8 +402,27 @@ object AggregateQueries {
       .map { case (t, ks) => contractSelect(t, ks) }
       .mkString("", "\nUNION ALL\n", "\nORDER BY table_name"))
 
+  /** Referential-integrity contracts (Contracts.fkReport): one row per
+    * declared REFERENCES edge, orphans counted through a distinct-parent
+    * anti join. The oracle mirrors the NULL-vs-orphan split (SQL FK
+    * semantics admit NULL FKs). */
+  private val tableFkContracts = Q(
+    (s, d) => graft.relational.Contracts.fkReport(s, d),
+    graft.relational.Contracts.foreignKeys.map { case (childT, fkCol, parentT, pkCol) =>
+      s"""SELECT '$childT' AS child_table, '$fkCol' AS fk_column, '$parentT' AS parent_table,
+         |  (SELECT COUNT(*) FROM $childT) AS n_child_rows,
+         |  (SELECT COUNT(*) FROM $childT WHERE $fkCol IS NULL) AS n_null_fk_rows,
+         |  (SELECT COUNT(*) FROM $childT c
+         |    WHERE c.$fkCol IS NOT NULL
+         |      AND NOT EXISTS (SELECT 1 FROM $parentT p WHERE p.$pkCol = c.$fkCol)) AS n_orphans,
+         |  (SELECT COUNT(*) FROM $childT c
+         |    WHERE c.$fkCol IS NOT NULL
+         |      AND NOT EXISTS (SELECT 1 FROM $parentT p WHERE p.$pkCol = c.$fkCol)) = 0 AS fk_ok""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY child_table, fk_column"))
+
   val all: Map[String, Q] = Map(
     "table_contracts" -> tableContracts,
+    "table_fk_contracts" -> tableFkContracts,
     "table_profile" -> tableProfile,
     "table_profile_approx" -> tableProfileApprox,
     "table_profile_events" -> tableProfileEvents,

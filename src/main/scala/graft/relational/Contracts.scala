@@ -74,4 +74,48 @@ object Contracts {
       .map { case (name, df, keys) => check(df, name, keys) }
       .reduce(_ unionByName _)
       .orderBy("table_name")
+
+  /** Declared foreign keys (child table, child col, parent table, parent
+    * col) — the reference schema's REFERENCES edges over the testdata's
+    * TPC-H core. Single source for the Spark report and the oracle. */
+  val foreignKeys: Seq[(String, String, String, String)] = Seq(
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"))
+
+  /** One row per declared FK: (child_table, fk_column, parent_table,
+    * n_child_rows, n_null_fk_rows, n_orphans, fk_ok). Orphans = non-null
+    * child keys with no parent — counted through a LEFT ANTI join against
+    * the parent's DISTINCT key column, so the exchange carries only the
+    * two key columns (the parent side collapses to distinct keys map-side;
+    * at dimension-table scale the anti join broadcasts). NULL FKs are
+    * tallied separately, not orphans — SQL FK semantics admit NULLs. */
+  def fkReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Tables
+    val load: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "region" -> Tables.region, "nation" -> Tables.nation,
+      "customer" -> Tables.customer, "supplier" -> Tables.supplier,
+      "part" -> Tables.part, "orders" -> Tables.orders,
+      "lineitem" -> Tables.lineitem)
+    foreignKeys.map { case (childT, fkCol, parentT, pkCol) =>
+      val child = load(childT)(spark, dir)
+      val parentKeys = load(parentT)(spark, dir).select(col(pkCol)).distinct()
+      val orphans = child.where(col(fkCol).isNotNull)
+        .join(parentKeys, col(fkCol) === col(pkCol), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      val counts = child.agg(
+        count(lit(1)).as("n_child_rows"),
+        count(when(col(fkCol).isNull, lit(1))).as("n_null_fk_rows"))
+      counts.crossJoin(orphans).select(
+        lit(childT).as("child_table"),
+        lit(fkCol).as("fk_column"),
+        lit(parentT).as("parent_table"),
+        col("n_child_rows"), col("n_null_fk_rows"), col("n_orphans"),
+        (col("n_orphans") === 0L).as("fk_ok"))
+    }.reduce(_ unionByName _).orderBy("child_table", "fk_column")
+  }
 }
