@@ -103,7 +103,9 @@ def fresh_con(sf_dir):
     dir + an explicit limit gives big oracles out-of-core execution, and
     per-query isolation means one pathological plan can only fail itself."""
     con = duckdb.connect()
-    con.execute("SET temp_directory='/tmp/duckdb_check_spill'")
+    # per-process spill dir: concurrent SF sweeps each get their own
+    # (independent DuckDB instances sharing one temp dir could collide)
+    con.execute(f"SET temp_directory='/tmp/duckdb_check_spill_{os.getpid()}'")
     con.execute("SET memory_limit='48GB'")
     # 8 threads, not the host's 32: the model-as-constant oracles carry a
     # serialized-ensemble scalar expression through a recursive CTE, and at

@@ -1,9 +1,7 @@
 package graft.ann
 
-import org.apache.spark.sql.{DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** IVF+PQ — the composed serving architecture (FAISS IndexIVFPQ): the
   * [[IvfIndex]] coarse quantizer prunes WHICH vectors a query even looks
@@ -38,60 +36,45 @@ import org.apache.spark.sql.types.DecimalType
   */
 object IvfPq {
 
-  private def dec10(c: org.apache.spark.sql.Column) = c.cast(DecimalType(25, 10))
-
   /** ADC top-k over the probed cells only, then exact re-rank. Output
-    * contract: (query_id, vec_id, cosine, rank), rank ≤ k. */
+    * contract: (query_id, vec_id, cosine, rank), rank ≤ k.
+    *
+    * Single-collect fit: ONE md5-stride sample collect serves the coarse
+    * quantizer AND all m codebooks — exactly the oracle's one `samp` CTE —
+    * instead of IvfIndex.assign and Pq.fit each paying their own corpus
+    * count + sample scan. This path requires the driver-fit regime
+    * (nCells ≤ IvfIndex.DriverFitMaxCells); a larger composed index wires
+    * [[IvfIndex.fitDistributed]] + [[Pq.fitFromSample]] the same way. */
   def approxTopK(vecs: DataFrame, queries: DataFrame, k: Int, dim: Int,
                  nCells: Int = 16, nProbe: Int = 8,
                  m: Int = Pq.SubSpaces, codes: Int = Pq.Codes, rerank: Int = Pq.Rerank,
                  seed: Long = 42L, maxTrain: Int = 65536): DataFrame = {
+    require(nCells <= IvfIndex.DriverFitMaxCells,
+      s"single-collect IvfPq fit is for the driver regime (nCells <= ${IvfIndex.DriverFitMaxCells})")
     val spark = vecs.sparkSession
     import spark.implicits._
-    import graft.functions.GraftFunctions.dot
-    val sd = dim / m
-    // coarse quantizer + cell assignment (shared contract with ann_ivf)
-    val (assigned, cents) = IvfIndex.assign(vecs, nCells, seed, maxTrain)
-    // global PQ codebooks + per-vector codes (shared contract with ann_pq)
-    val cbs = Pq.fit(vecs, dim, m, codes, seed, maxTrain)
-    val codeLong = Pq.encode(vecs, cbs).select(col("vec_id"),
-      posexplode(array((0 until m).map(j => col(s"code_$j")): _*)).as(Seq("j", "code")))
-      .join(assigned.select("vec_id", "cell"), Seq("vec_id"))
-    // per-query LUT over the codebook-as-data frame (broadcast metadata)
-    val cbDf = (for { j <- 0 until m; c <- 0 until codes }
-      yield (j, c, cbs(j)(c).toSeq)).toDF("j", "code", "cent")
-      .withColumn("cn2", round(dot(spark, col("cent"), col("cent")), 10))
-    val lut = queries.crossJoin(broadcast(cbDf))
-      .select(col("query_id"), col("j"), col("code"),
-        round(dot(spark, slice(col("qemb"), col("j") * sd + 1, lit(sd)), col("cent")), 10)
-          .as("pdot"),
-        col("cn2"))
+    // one bounded sample collect -> both fits (same arithmetic as the
+    // separate IvfIndex.assign / Pq.fit paths, so the shared oracle holds)
+    val sample = Pq.collectSample(vecs, seed, maxTrain)
+    val coarse = IvfIndex.lloydExact(sample, nCells, seed, IvfIndex.Iters)
+    val cbs = Pq.fitFromSample(sample, dim, m, codes, seed)
+    val cents = coarse.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "centroid")
+    // one codegen map pass assigns cells; codes join on vec_id (the stored
+    // index layout would carry cell + codes in one row)
+    val assigned = vecs.select(col("vec_id"),
+      graft.functions.NearestCell.nearest(spark, col("emb"), coarse).as("cell"))
+    val codeLong = Pq.codesLong(vecs, cbs).join(assigned, Seq("vec_id"))
     // probe, then ADC restricted to the probed cells' members: the
     // (query, cell) pairs fan out to cell members via the cell equi-join
     // — candidate generation never touches an unprobed cell
     val qcells = IvfIndex.probeCells(queries, cents, nProbe)
       .select("query_id", "cell")
-    val adc = qcells.join(codeLong, Seq("cell"))
+    val lut = Pq.lutFor(queries, Pq.codebookDf(spark, cbs), dim / m)
+    val pairs = qcells.join(codeLong, Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .join(broadcast(lut), Seq("query_id", "j", "code"))
-      .groupBy("query_id", "vec_id")
-      .agg(sum(dec10(col("pdot"))).cast("double").as("adot"),
-        sum(dec10(col("cn2"))).cast("double").as("rec2"))
-    val qn = queries.select(col("query_id"),
-      sqrt(dot(spark, col("qemb"), col("qemb"))).as("qnrm"), col("qemb"))
-    val cand = adc.join(broadcast(qn), Seq("query_id"))
-      .withColumn("approx", when(col("qnrm") =!= 0.0 && col("rec2") > 0.0,
-        col("adot") / (col("qnrm") * sqrt(col("rec2")))))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("approx").desc, col("vec_id"))))
-      .where(col("crk") <= rerank)
-    val vn = vecs.withColumn("nrm", sqrt(dot(spark, col("emb"), col("emb"))))
-    val rescored = cand.join(vn, Seq("vec_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(when(col("qnrm") =!= 0.0 && col("nrm") =!= 0.0,
-          dot(spark, col("qemb"), col("emb")) / (col("qnrm") * col("nrm"))), 6)
-          .as("cosine"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
-    rescored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("query_id", "vec_id", "pdot", "cn2")
+    Pq.adcRankExact(vecs, queries, pairs, rerank, k)
   }
 }

@@ -70,17 +70,28 @@ object Pq {
     * and it is stride-bounded to `maxTrain`). Subspace j fits at seed+j
     * (distinct init orderings; SQL mirror `md5(vec_id || ':' || (seed+j))`). */
   def fit(vecs: DataFrame, dim: Int, m: Int = SubSpaces, codes: Int = Codes,
-          seed: Long = 42L, maxTrain: Int = 65536): Array[Array[Array[Double]]] = {
+          seed: Long = 42L, maxTrain: Int = 65536): Array[Array[Array[Double]]] =
+    fitFromSample(collectSample(vecs, seed, maxTrain), dim, m, codes, seed)
+
+  /** The md5-stride training sample, collected (bounded by maxTrain). */
+  private[ann] def collectSample(vecs: DataFrame, seed: Long,
+                                 maxTrain: Int): Array[(Long, Array[Double])] = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
-    val sd = dim / m
     val total = vecs.count()
     val stride = math.max(1L, (total + maxTrain - 1) / maxTrain)
-    val sample = vecs
-      .where(pmod(IvfIndex.md5Head32(seed), lit(stride)) === 0L)
+    vecs.where(pmod(IvfIndex.md5Head32(seed), lit(stride)) === 0L)
       .select(col("vec_id"), col("emb")).as[(Long, Seq[Double])].collect()
       .map { case (id, x) => (id, x.toArray) }
+  }
+
+  /** Per-subspace fits from an ALREADY-collected sample — shared with
+    * [[IvfPq]]'s single-collect path (one sample serves the coarse
+    * quantizer and all m codebooks, like the oracle's one samp CTE). */
+  private[ann] def fitFromSample(sample: Array[(Long, Array[Double])], dim: Int,
+                                 m: Int, codes: Int, seed: Long): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
+    val sd = dim / m
     Array.tabulate(m) { j =>
       val sub = sample.map { case (id, x) => (id, x.slice(j * sd, (j + 1) * sd)) }
       IvfIndex.lloydExact(sub, codes, seed + j, Iters)
@@ -105,36 +116,48 @@ object Pq {
 
   private def dec10(c: Column): Column = c.cast(DecimalType(25, 10))
 
-  /** ADC top-k with exact re-rank (see header for the full plan shape).
-    * `queries`: (query_id, qemb). Returns (query_id, vec_id, cosine, rank),
-    * the [[IvfIndex.approxTopKStored]] output contract. */
-  def approxTopK(vecs: DataFrame, queries: DataFrame, k: Int, dim: Int,
-                 m: Int = SubSpaces, codes: Int = Codes, rerank: Int = Rerank,
-                 seed: Long = 42L, maxTrain: Int = 65536): DataFrame = {
-    val spark = vecs.sparkSession
+  /** (vec_id, j, code) — the long form of the m-int code row. */
+  private[ann] def codesLong(vecs: DataFrame, cbs: Array[Array[Array[Double]]]): DataFrame =
+    encode(vecs, cbs).select(col("vec_id"),
+      posexplode(array(cbs.indices.map(j => col(s"code_$j")): _*)).as(Seq("j", "code")))
+
+  /** Codebook as data: m·codes rows of (j, code, cent, |cent|²) driver
+    * metadata; the norm contribution is 10-dp quantized so cross-(j,code)
+    * sums are decimal-exact in both engines. */
+  private[ann] def codebookDf(spark: org.apache.spark.sql.SparkSession,
+                              cbs: Array[Array[Array[Double]]]): DataFrame = {
     import spark.implicits._
     import graft.functions.GraftFunctions.dot
-    val sd = dim / m
-    val cbs = fit(vecs, dim, m, codes, seed, maxTrain)
-    // (vec_id, j, code) — the long form of the m-int code row
-    val codeLong = encode(vecs, cbs).select(col("vec_id"),
-      posexplode(array((0 until m).map(j => col(s"code_$j")): _*)).as(Seq("j", "code")))
-    // codebook as data: m·codes rows of (j, code, cent) driver metadata
-    val cbDf = (for { j <- 0 until m; c <- 0 until codes }
+    (for { j <- cbs.indices; c <- cbs(j).indices }
       yield (j, c, cbs(j)(c).toSeq)).toDF("j", "code", "cent")
-      // reconstructed-norm contribution |c_{j,code}|², 10-dp quantized so the
-      // cross-(j,code) sum is decimal-exact in both engines
       .withColumn("cn2", round(dot(spark, col("cent"), col("cent")), 10))
-    // per-query LUT: m·codes partial dots, 10-dp quantized (ditto)
-    val lut = queries.crossJoin(broadcast(cbDf))
+  }
+
+  /** Per-query LUT: m·codes partial dots, 10-dp quantized (ditto). */
+  private[ann] def lutFor(queries: DataFrame, cbDf: DataFrame, sd: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import graft.functions.GraftFunctions.dot
+    queries.crossJoin(broadcast(cbDf))
       .select(col("query_id"), col("j"), col("code"),
         round(dot(spark, slice(col("qemb"), col("j") * sd + 1, lit(sd)), col("cent")), 10)
           .as("pdot"),
         col("cn2"))
-    // ADC: m LUT rows per (query, vec), summed exactly — map-side partials
-    // collapse the m rows before the exchange
-    val adc = codeLong.join(broadcast(lut), Seq("j", "code"))
-      .where(col("vec_id") =!= col("query_id"))
+  }
+
+  /** The shared ADC→re-rank tail: exact-sum the m (pdot, cn2) rows per
+    * (query, vec) candidate — map-side partials collapse them before the
+    * exchange — rank by approximate cosine (reconstructed norm = Σ|c_j|²,
+    * exact because subspaces are disjoint coordinates), keep `rerank`,
+    * re-score those exactly against the raw vectors, rank top-k. One body
+    * serves [[Pq.approxTopK]] and [[IvfPq.approxTopK]], so the
+    * decimal-exactness contract shared with the SQL oracle cannot drift
+    * between them. `pairs`: (query_id, vec_id, pdot, cn2), m rows per
+    * candidate pair, self-matches already excluded. */
+  private[ann] def adcRankExact(vecs: DataFrame, queries: DataFrame, pairs: DataFrame,
+                                rerank: Int, k: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import graft.functions.GraftFunctions.dot
+    val adc = pairs
       .groupBy("query_id", "vec_id")
       .agg(sum(dec10(col("pdot"))).cast("double").as("adot"),
         sum(dec10(col("cn2"))).cast("double").as("rec2"))
@@ -155,5 +178,20 @@ object Pq {
           .as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
     rescored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** ADC top-k with exact re-rank (see header for the full plan shape).
+    * `queries`: (query_id, qemb). Returns (query_id, vec_id, cosine, rank),
+    * the [[IvfIndex.approxTopKStored]] output contract. */
+  def approxTopK(vecs: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                 m: Int = SubSpaces, codes: Int = Codes, rerank: Int = Rerank,
+                 seed: Long = 42L, maxTrain: Int = 65536): DataFrame = {
+    val spark = vecs.sparkSession
+    val cbs = fit(vecs, dim, m, codes, seed, maxTrain)
+    val pairs = codesLong(vecs, cbs)
+      .join(broadcast(lutFor(queries, codebookDf(spark, cbs), dim / m)), Seq("j", "code"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id", "pdot", "cn2")
+    adcRankExact(vecs, queries, pairs, rerank, k)
   }
 }

@@ -104,23 +104,34 @@ object MaterializedAgg {
   /** [[refresh]] with exactly-once semantics under micro-batch REPLAY —
     * what `foreachBatch` needs: Structured Streaming re-delivers the last
     * batch after a crash, and partial-state merges are NOT idempotent (a
-    * replayed increment double-counts). A marker file per applied batch id
-    * makes the replay a no-op. The marker is written AFTER the bucket
-    * swap, so the remaining failure window is a crash between swap and
-    * marker — replaying THAT still double-counts; closing it fully needs
-    * the swap and the marker in one atomic commit (the manifest-pointer
-    * flip the [[refresh]] scaladoc describes). Markers live inside the
-    * store root, so [[writeInit]]'s overwrite resets the applied set with
-    * the state. */
+    * replayed increment double-counts). Batch ids from one stream are
+    * monotonically increasing and only the LAST batch is ever replayed,
+    * so ONE high-water-mark file (the max applied id) suffices — bounded
+    * metadata however long the stream runs, unlike a marker per batch
+    * (single-writer assumption: one stream owns a store). The mark is
+    * written AFTER the bucket swap, so the remaining failure window is a
+    * crash between swap and mark — replaying THAT still double-counts;
+    * closing it fully needs swap and mark in one atomic commit (the
+    * manifest-pointer flip the [[refresh]] scaladoc describes). The mark
+    * lives inside the store root, so [[writeInit]]'s overwrite resets the
+    * applied watermark with the state. */
   def refreshOnce(spark: SparkSession, root: String, batchId: Long, increment: DataFrame,
                   keys: Seq[String], valueCol: String): Boolean = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(s"$root/_applied_batch_$batchId")
-    if (fs.exists(marker)) false
+    val mark = new org.apache.hadoop.fs.Path(s"$root/_applied_watermark")
+    val applied: Long =
+      if (!fs.exists(mark)) -1L
+      else {
+        val in = fs.open(mark)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      }
+    if (batchId <= applied) false
     else {
       refresh(spark, root, increment, keys, valueCol)
-      fs.create(marker, true).close()
+      val out = fs.create(mark, true)
+      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
       true
     }
   }

@@ -409,15 +409,16 @@ object AggregateQueries {
   private val tableFkContracts = Q(
     (s, d) => graft.relational.Contracts.fkReport(s, d),
     graft.relational.Contracts.foreignKeys.map { case (childT, fkCol, parentT, pkCol) =>
-      s"""SELECT '$childT' AS child_table, '$fkCol' AS fk_column, '$parentT' AS parent_table,
-         |  (SELECT COUNT(*) FROM $childT) AS n_child_rows,
-         |  (SELECT COUNT(*) FROM $childT WHERE $fkCol IS NULL) AS n_null_fk_rows,
-         |  (SELECT COUNT(*) FROM $childT c
-         |    WHERE c.$fkCol IS NOT NULL
-         |      AND NOT EXISTS (SELECT 1 FROM $parentT p WHERE p.$pkCol = c.$fkCol)) AS n_orphans,
-         |  (SELECT COUNT(*) FROM $childT c
-         |    WHERE c.$fkCol IS NOT NULL
-         |      AND NOT EXISTS (SELECT 1 FROM $parentT p WHERE p.$pkCol = c.$fkCol)) = 0 AS fk_ok""".stripMargin
+      s"""SELECT child_table, fk_column, parent_table,
+         |  n_child_rows, n_null_fk_rows, n_orphans, n_orphans = 0 AS fk_ok
+         |FROM (
+         |  SELECT '$childT' AS child_table, '$fkCol' AS fk_column, '$parentT' AS parent_table,
+         |    (SELECT COUNT(*) FROM $childT) AS n_child_rows,
+         |    (SELECT COUNT(*) FROM $childT WHERE $fkCol IS NULL) AS n_null_fk_rows,
+         |    (SELECT COUNT(*) FROM $childT c
+         |      WHERE c.$fkCol IS NOT NULL
+         |        AND NOT EXISTS (SELECT 1 FROM $parentT p WHERE p.$pkCol = c.$fkCol)) AS n_orphans
+         |)""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY child_table, fk_column"))
 
   val all: Map[String, Q] = Map(

@@ -86,8 +86,11 @@ object StatsManifest {
             if (ok) (Some(stats.map(s => num(s.genericGetMin).get).min),
                      Some(stats.map(s => num(s.genericGetMax).get).max))
             else (None, None)
-          val nulls = if (stats.forall(s => s != null && !s.isNumNullsSet)) None
-                      else Some(stats.map(s => math.max(0L, s.getNumNulls)).sum)
+          // definite only when EVERY row group reports a null count — a
+          // partial sum would be reported as exact while undercounting
+          val nulls = if (stats.forall(s => s != null && s.isNumNullsSet))
+                        Some(stats.map(_.getNumNulls).sum)
+                      else None
           (f.split('/').last, colName, rows, mn, mx, nulls)
         }
       } finally reader.close()
@@ -96,18 +99,29 @@ object StatsManifest {
 
   /** Files whose [vmin, vmax] box intersects every (col, lo, hi) range —
     * plus any file lacking stats for a predicate column (never prune on
-    * missing metadata). Evaluated on the manifest frame; the returned list
-    * is metadata-sized (it is a file list). */
-  def prunedFiles(manifest: DataFrame, ranges: Seq[(String, Double, Double)]): Seq[String] = {
-    val all = manifest.select("file").distinct()
-    val kept = ranges.foldLeft(all) { case (acc, (c, lo, hi)) =>
-      val excluded = manifest
-        .where(col("column") === c && col("vmin").isNotNull &&
-          (col("vmax") < lo || col("vmin") > hi))
+    * missing metadata). `allFiles` is the DIRECTORY's file universe, not
+    * the manifest's: a data file with no manifest row yet (appended since
+    * the last harvest) must be conservatively kept, or its rows silently
+    * vanish — only a positive stats verdict may exclude a file. Returns a
+    * metadata-sized file list. */
+  def prunedFiles(manifest: DataFrame, allFiles: Seq[String],
+                  ranges: Seq[(String, Double, Double)]): Seq[String] = {
+    val excluded = ranges.map { case (c, lo, hi) =>
+      manifest.where(col("column") === c && col("vmin").isNotNull &&
+        (col("vmax") < lo || col("vmin") > hi))
         .select("file")
-      acc.except(excluded)
-    }
-    kept.collect().map(_.getString(0)).toSeq.sorted
+    }.reduce(_ unionByName _)
+      .collect().map(_.getString(0)).toSet
+    allFiles.filterNot(excluded).sorted
+  }
+
+  /** The directory's parquet file universe (names only). */
+  def listFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName)
   }
 
   /** Manifest-pruned scan: read only the intersecting files and re-apply
@@ -115,7 +129,7 @@ object StatsManifest {
     * construction, minus the skipped IO. */
   def readPruned(spark: SparkSession, dir: String, manifest: DataFrame,
                  ranges: Seq[(String, Double, Double)], residual: Column): DataFrame = {
-    val files = prunedFiles(manifest, ranges).map(f => s"$dir/$f")
+    val files = prunedFiles(manifest, listFiles(spark, dir), ranges).map(f => s"$dir/$f")
     if (files.isEmpty) spark.read.parquet(dir).where(lit(false))
     else spark.read.parquet(files: _*).where(residual)
   }

@@ -41,6 +41,20 @@ class IvfPqSpec extends SparkSpec {
       s"diff: missing=${(exact -- got).take(3)} extra=${(got -- exact).take(3)}")
   }
 
+  test("composed oracle defines the shared training sample exactly once (head-less chaining holds)") {
+    // ann_ivfpq's SQL = ivfFitCtes (owns e/samp) + pqFitCtes(includeHead =
+    // false) + probed ADC. If either builder drifts (samp renamed, head
+    // re-emitted, fitWhere added on one side only) this shape breaks and
+    // the PQ fits would silently train on a different sample than Spark.
+    val sql = graft.queries.LlmQueries.all("ann_ivfpq").oracle.get
+    assert("samp AS".r.findAllMatchIn(sql).size == 1, "exactly one shared sample CTE")
+    assert("e AS \\(SELECT vec_id, embedding".r.findAllMatchIn(sql).size == 1,
+      "exactly one corpus CTE")
+    assert(sql.contains("c5"), "coarse-quantizer chain present")
+    assert(sql.contains("c0_0"), "subspace codebook chains present")
+    assert(sql.contains("prb <="), "probe present")
+  }
+
   test("every returned neighbour lies in one of its query's probed cells") {
     val nProbe = 4
     val (assigned, cents) = IvfIndex.assign(e, nCells = 16)

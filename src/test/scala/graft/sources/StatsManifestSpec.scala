@@ -68,20 +68,39 @@ class StatsManifestSpec extends SparkSpec {
     writeZordered(zRoot); writeShuffled(hRoot)
     val box = Seq(("x", 3.0, 9.0), ("y", 3.0, 9.0)) // ~3% of the grid area
     val zKept = StatsManifest.prunedFiles(
-      StatsManifest.build(spark, zRoot, Seq("x", "y")), box).size
+      StatsManifest.build(spark, zRoot, Seq("x", "y")),
+      StatsManifest.listFiles(spark, zRoot), box).size
     val hKept = StatsManifest.prunedFiles(
-      StatsManifest.build(spark, hRoot, Seq("x", "y")), box).size
+      StatsManifest.build(spark, hRoot, Seq("x", "y")),
+      StatsManifest.listFiles(spark, hRoot), box).size
     assert(zKept <= NFiles / 2, s"z-ordered layout kept $zKept of $NFiles files")
     assert(hKept == NFiles, s"hash layout should prune nothing, kept $hKept")
   }
 
-  test("a file with no usable stats for a predicate column is conservatively kept") {
+  test("files with no usable stats, or no manifest row at all, are conservatively kept") {
     val mf = Seq(
       ("f1.parquet", "x", 10L, Some(0.0), Some(5.0), Some(0L)),
       ("f2.parquet", "x", 10L, None: Option[Double], None: Option[Double], None: Option[Long]),
       ("f3.parquet", "x", 10L, Some(50.0), Some(60.0), Some(0L))
     ).toDF("file", "column", "n_rows", "vmin", "vmax", "n_nulls")
-    val kept = StatsManifest.prunedFiles(mf, Seq(("x", 0.0, 9.0)))
-    assert(kept == Seq("f1.parquet", "f2.parquet"))
+    // f4 was appended after the harvest: it has NO manifest row and must
+    // survive pruning — only a positive stats verdict may exclude a file
+    val universe = Seq("f1.parquet", "f2.parquet", "f3.parquet", "f4.parquet")
+    val kept = StatsManifest.prunedFiles(mf, universe, Seq(("x", 0.0, 9.0)))
+    assert(kept == Seq("f1.parquet", "f2.parquet", "f4.parquet"))
+  }
+
+  test("an appended (unharvested) file's rows survive a pruned read") {
+    val root = s"${sys.props("java.io.tmpdir")}/graft-manifest-spec-app"
+    writeZordered(root)
+    val mf = StatsManifest.build(spark, root, Seq("x", "y"))
+    // append a file AFTER the harvest containing an in-box row
+    Seq((99999L, 5L, 5L, Some(123.0))).toDF("id", "x", "y", "value")
+      .coalesce(1).write.mode("append").parquet(root)
+    val got = StatsManifest.readPruned(spark, root, mf,
+      Seq(("x", 3.0, 9.0), ("y", 3.0, 9.0)),
+      col("x").between(3, 9) && col("y").between(3, 9))
+      .select("id").as[Long].collect().toSet
+    assert(got.contains(99999L), "appended file's rows must not vanish from a pruned read")
   }
 }
