@@ -59,7 +59,13 @@ object PlanDump {
       "trades_filter_model" -> "fitted-GBT scoring as pure codegen CASE expressions (no MLlib transform UDF) + decimal-exact rollup",
       "ann_ivf_incremental" -> "incremental index probe: append-maintained cell partitions, pruned scan",
       "events_compaction" -> "bin-packed generation read: per-day rollup + broadcast file-count join",
-      "cdc_apply_snapshot" -> "changelog latest-wins merge: one key-partitioned window, no snapshot join")
+      "cdc_apply_snapshot" -> "changelog latest-wins merge: one key-partitioned window, no snapshot join",
+      "ann_pq" -> "PQ ADC: codegen encode pass, broadcast LUT join, map-side-combined exact sums, bounded exact re-rank",
+      "ann_ivfpq" -> "IVF+PQ: probed-cell equi-join gates the ADC; broadcast LUT + centroids; no unprobed-cell scan",
+      "mv_incremental_refresh" -> "MV read-back: finalized algebraic columns off the bucketed partial-state store",
+      "events_skipping_scan" -> "manifest-pruned scan: file-list read of intersecting z-order boxes + residual filter",
+      "events_point_lookup" -> "bloom-pruned point read: surviving files only + exact equality residual",
+      "table_fk_contracts" -> "per-edge LEFT ANTI orphan join against distinct parent keys (dimension side broadcasts)")
     val sb = new StringBuilder
     sb.append("# Physical-plan audit (generated by graft.tools.PlanDump at sf0.001)\n\n")
     sb.append("Each section is `df.explain(\"formatted\")` output for a representative\n")
