@@ -36,35 +36,105 @@ import org.apache.spark.sql.functions._
   */
 object IvfPq {
 
+  /** One bounded sample collect → (coarse centroids, PQ codebooks): the
+    * shared two-fit head of every IvfPq path (the oracle's single samp
+    * CTE). Driver-fit regime only (nCells ≤ IvfIndex.DriverFitMaxCells);
+    * a larger composed index wires [[IvfIndex.fitDistributed]] +
+    * [[Pq.fitFromSample]] the same way. */
+  private def fitBoth(vecs: DataFrame, dim: Int, nCells: Int, m: Int, codes: Int,
+                      seed: Long, maxTrain: Int): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    require(nCells <= IvfIndex.DriverFitMaxCells,
+      s"single-collect IvfPq fit is for the driver regime (nCells <= ${IvfIndex.DriverFitMaxCells})")
+    val sample = Pq.collectSample(vecs, seed, maxTrain)
+    (IvfIndex.lloydExact(sample, nCells, seed, IvfIndex.Iters),
+      Pq.fitFromSample(sample, dim, m, codes, seed))
+  }
+
+  /** One codegen projection computes the WHOLE index row: coarse cell +
+    * m sub-codes per vector — no shuffle, no second pass. */
+  private def indexRows(vecs: DataFrame, coarse: Array[Array[Double]],
+                        cbs: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = vecs.sparkSession
+    val sd = cbs(0)(0).length
+    val codeCols = cbs.indices.map { j =>
+      graft.functions.NearestCell.nearest(spark,
+        slice(col("emb"), j * sd + 1, sd), cbs(j)).as(s"code_$j")
+    }
+    vecs.select(col("vec_id") +:
+      graft.functions.NearestCell.nearest(spark, col("emb"), coarse).as("cell") +:
+      codeCols: _*)
+  }
+
+  /** Materialize the index in the layout the header promises: the
+    * PQ-coded rows written `partitionBy(cell)` — m small ints per vector
+    * in the scan table, the raw vectors stay in the base table — with the
+    * centroid and codebook metadata beside them. At 100 TB this is what
+    * makes the composition real: a probe partition-prunes to
+    * nProbe/nCells of an already-64×-compressed table, and the raw table
+    * is touched only for the rerank·|queries| exact re-scores. */
+  def writeIndex(vecs: DataFrame, path: String, dim: Int,
+                 nCells: Int = 16, m: Int = Pq.SubSpaces, codes: Int = Pq.Codes,
+                 seed: Long = 42L, maxTrain: Int = 65536): Unit = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val (coarse, cbs) = fitBoth(vecs, dim, nCells, m, codes, seed, maxTrain)
+    indexRows(vecs, coarse, cbs)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    coarse.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    (for { j <- cbs.indices; c <- cbs(j).indices } yield (j, c, cbs(j)(c).toSeq))
+      .toDF("j", "code", "cent")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Probe a stored index: centroids/codebooks are metadata reads, the
+    * probed cells are pushed as a literal IN over the partition column
+    * (planning-time pruning, like [[IvfIndex.approxTopKStored]]), ADC
+    * runs over the pruned code rows, and only the surviving candidates
+    * touch `vecs` (the raw base table) for the exact re-rank. Same
+    * quantizer arithmetic ⇒ bit-identical to [[approxTopK]]. */
+  def approxTopKStored(spark: org.apache.spark.sql.SparkSession, path: String,
+                       vecs: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                       nProbe: Int = 8, rerank: Int = Pq.Rerank): DataFrame = {
+    import graft.functions.GraftFunctions.dot
+    val cents = spark.read.parquet(s"$path/centroids")
+    val cbDf = spark.read.parquet(s"$path/codebooks")
+      .withColumn("cn2", round(dot(spark, col("cent"), col("cent")), 10))
+    val m = cbDf.agg(max("j")).head.getInt(0) + 1
+    val qcells = IvfIndex.probeCells(queries, cents, nProbe)
+      .select("query_id", "cell")
+    val probed = qcells.select("cell").distinct().collect()
+      .map(_.getInt(0)).sorted.toSeq
+    val codeLong = spark.read.parquet(s"$path/codes")
+      .where(col("cell").isin(probed: _*))
+      .select(col("vec_id"), col("cell"),
+        posexplode(array((0 until m).map(j => col(s"code_$j")): _*)).as(Seq("j", "code")))
+    val lut = Pq.lutFor(queries, cbDf, dim / m)
+    val pairs = qcells.join(codeLong, Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .join(broadcast(lut), Seq("query_id", "j", "code"))
+      .select("query_id", "vec_id", "pdot", "cn2")
+    Pq.adcRankExact(vecs, queries, pairs, rerank, k)
+  }
+
   /** ADC top-k over the probed cells only, then exact re-rank. Output
-    * contract: (query_id, vec_id, cosine, rank), rank ≤ k.
-    *
-    * Single-collect fit: ONE md5-stride sample collect serves the coarse
-    * quantizer AND all m codebooks — exactly the oracle's one `samp` CTE —
-    * instead of IvfIndex.assign and Pq.fit each paying their own corpus
-    * count + sample scan. This path requires the driver-fit regime
-    * (nCells ≤ IvfIndex.DriverFitMaxCells); a larger composed index wires
-    * [[IvfIndex.fitDistributed]] + [[Pq.fitFromSample]] the same way. */
+    * contract: (query_id, vec_id, cosine, rank), rank ≤ k. In-memory
+    * variant of the [[writeIndex]]/[[approxTopKStored]] pair — same
+    * arithmetic, no store. */
   def approxTopK(vecs: DataFrame, queries: DataFrame, k: Int, dim: Int,
                  nCells: Int = 16, nProbe: Int = 8,
                  m: Int = Pq.SubSpaces, codes: Int = Pq.Codes, rerank: Int = Pq.Rerank,
                  seed: Long = 42L, maxTrain: Int = 65536): DataFrame = {
-    require(nCells <= IvfIndex.DriverFitMaxCells,
-      s"single-collect IvfPq fit is for the driver regime (nCells <= ${IvfIndex.DriverFitMaxCells})")
     val spark = vecs.sparkSession
     import spark.implicits._
-    // one bounded sample collect -> both fits (same arithmetic as the
-    // separate IvfIndex.assign / Pq.fit paths, so the shared oracle holds)
-    val sample = Pq.collectSample(vecs, seed, maxTrain)
-    val coarse = IvfIndex.lloydExact(sample, nCells, seed, IvfIndex.Iters)
-    val cbs = Pq.fitFromSample(sample, dim, m, codes, seed)
+    val (coarse, cbs) = fitBoth(vecs, dim, nCells, m, codes, seed, maxTrain)
     val cents = coarse.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "centroid")
-    // one codegen map pass assigns cells; codes join on vec_id (the stored
-    // index layout would carry cell + codes in one row)
-    val assigned = vecs.select(col("vec_id"),
-      graft.functions.NearestCell.nearest(spark, col("emb"), coarse).as("cell"))
-    val codeLong = Pq.codesLong(vecs, cbs).join(assigned, Seq("vec_id"))
+    // the same one-pass index row as the stored layout, melted to long
+    val codeLong = indexRows(vecs, coarse, cbs)
+      .select(col("vec_id"), col("cell"),
+        posexplode(array((0 until m).map(j => col(s"code_$j")): _*)).as(Seq("j", "code")))
     // probe, then ADC restricted to the probed cells' members: the
     // (query, cell) pairs fan out to cell members via the cell equi-join
     // — candidate generation never touches an unprobed cell

@@ -596,7 +596,13 @@ object LlmQueries {
       val e = corpusEmb(s, d)
       val q = e.where(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
-      graft.ann.IvfPq.approxTopK(e, q, k = 10, dim = 64).orderBy("query_id", "rank")
+      // full serving path: PQ-coded cell-partitioned store, then a
+      // partition-pruned probe (IvfPqSpec asserts stored ≡ in-memory and
+      // the pruned scan); raw vectors touched only for the re-rank
+      val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-${Integer.toHexString(d.hashCode)}"
+      graft.ann.IvfPq.writeIndex(e, path, dim = 64)
+      graft.ann.IvfPq.approxTopKStored(s, path, e, q, k = 10, dim = 64)
+        .orderBy("query_id", "rank")
     },
     s"""WITH ${ivfFitCtes(k = 16, iters = 5, dim = 64, seed = 42L, maxTrain = 65536)},
        |${pqFitCtes(m = graft.ann.Pq.SubSpaces, sd = 64 / graft.ann.Pq.SubSpaces,

@@ -41,6 +41,29 @@ class IvfPqSpec extends SparkSpec {
       s"diff: missing=${(exact -- got).take(3)} extra=${(got -- exact).take(3)}")
   }
 
+  test("stored probe returns exactly the in-memory answer; scan is pruned to probed cells") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-spec"
+    IvfPq.writeIndex(e, path, dim = 64, nCells = 8)
+    val stored = IvfPq.approxTopKStored(spark, path, e, q, k = 10, dim = 64, nProbe = 2)
+    val mem = IvfPq.approxTopK(e, q, k = 10, dim = 64, nCells = 8, nProbe = 2)
+    assert(stored.count() > 0)
+    assert(stored.exceptAll(mem).isEmpty && mem.exceptAll(stored).isEmpty,
+      "stored probe diverges from the in-memory path")
+    // partition pruning: one query probing 2 of 8 cells reads 2 partitions
+    val one = q.orderBy("query_id").limit(1)
+    val probe = IvfPq.approxTopKStored(spark, path, e, one, k = 5, dim = 64, nProbe = 2)
+    probe.collect()
+    val scans = graft.PlanCheck.allNodes(probe.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec if f.relation.location.rootPaths
+        .exists(_.toString.contains("graft-ivfpq-spec/codes")) => f }
+    assert(scans.nonEmpty, "no file scan over the stored code table found")
+    assert(scans.head.partitionFilters.nonEmpty, "no partition filter pushed to the code scan")
+    val partsRead = scans.head.metrics.get("numPartitions").map(_.value)
+    assert(partsRead.contains(2L),
+      s"probe read $partsRead partitions, expected exactly the 2 probed cells")
+  }
+
   test("composed oracle defines the shared training sample exactly once (head-less chaining holds)") {
     // ann_ivfpq's SQL = ivfFitCtes (owns e/samp) + pqFitCtes(includeHead =
     // false) + probed ADC. If either builder drifts (samp renamed, head
