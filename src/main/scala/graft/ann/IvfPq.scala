@@ -88,6 +88,38 @@ object IvfPq {
       .write.mode("overwrite").parquet(s"$path/codebooks")
   }
 
+  /** Read the stored quantizer metadata back as arrays (cell- and
+    * code-ordered) — driver-sized by construction. */
+  private def readMeta(spark: org.apache.spark.sql.SparkSession,
+                       path: String): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val coarse = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(r => r.getAs[Seq[Double]]("centroid").toArray)
+    val cbRows = spark.read.parquet(s"$path/codebooks")
+      .orderBy("j", "code").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getAs[Seq[Double]]("cent").toArray))
+    val m = cbRows.map(_._1).max + 1
+    val cbs = Array.tabulate(m)(j => cbRows.filter(_._1 == j).sortBy(_._2).map(_._3))
+    (coarse, cbs)
+  }
+
+  /** Incremental index maintenance — [[IvfIndex.appendToIndex]]'s twin
+    * for the composed index: arriving vectors are assigned AND PQ-coded
+    * against the STORED metadata (fixed centroids and codebooks — FAISS's
+    * add-after-train; raw coding means the codes don't even depend on the
+    * assigned cell) in one codegen projection, then appended to their
+    * cell partitions. O(increment) per ingest, no refit, no rewrite;
+    * because every index column is a per-row function of the stored
+    * metadata, append ≡ bulk-indexing the union with the same quantizer
+    * (IvfPqSpec asserts it row-for-row). Drift limit as for IVF: enough
+    * distribution shift ⇒ refit + [[writeIndex]] rebuild. */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    newVecs: DataFrame): Unit = {
+    val (coarse, cbs) = readMeta(spark, path)
+    indexRows(newVecs, coarse, cbs)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+  }
+
   /** Probe a stored index: centroids/codebooks are metadata reads, the
     * probed cells are pushed as a literal IN over the partition column
     * (planning-time pruning, like [[IvfIndex.approxTopKStored]]), ADC

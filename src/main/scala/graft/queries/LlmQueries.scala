@@ -611,6 +611,36 @@ object LlmQueries {
        |${pqAdcSql(m = graft.ann.Pq.SubSpaces, sd = 64 / graft.ann.Pq.SubSpaces,
                    rerank = graft.ann.Pq.Rerank, k = 10, probed = Some(("c5", 8)))}""".stripMargin)
 
+  /** IVFPQ incremental ingest (graft.ann.IvfPq.appendToIndex —
+    * ann_ivf_incremental's composed twin): the index is built and
+    * persisted on the BASE corpus only, the arriving increment is
+    * assigned AND PQ-coded against the stored metadata in one codegen
+    * projection and appended to its cell partitions, and the probe runs
+    * over the updated store. The oracle replays the base-restricted
+    * shared sample (ivfFitCtes' fitWhere feeds the head-less pqFitCtes
+    * too — ONE knob restricts both fits, exactly like the Spark side
+    * fitting on the base frame) with the full-corpus encode/assign:
+    * every index column is per-row against fixed metadata, so
+    * append ≡ rebuild. */
+  private val annIvfPqIncremental = Q(
+    (s, d) => {
+      val e = corpusEmb(s, d)
+      val q = e.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+      val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-incr-${Integer.toHexString(d.hashCode)}"
+      graft.ann.IvfPq.writeIndex(e.where(col("vec_id") % 10 =!= 7), path, dim = 64)
+      graft.ann.IvfPq.appendToIndex(s, path, e.where(col("vec_id") % 10 === 7))
+      graft.ann.IvfPq.approxTopKStored(s, path, e, q, k = 10, dim = 64)
+        .orderBy("query_id", "rank")
+    },
+    s"""WITH ${ivfFitCtes(k = 16, iters = 5, dim = 64, seed = 42L, maxTrain = 65536,
+                          fitWhere = "vec_id % 10 <> 7")},
+       |${pqFitCtes(m = graft.ann.Pq.SubSpaces, sd = 64 / graft.ann.Pq.SubSpaces,
+                    codes = graft.ann.Pq.Codes, iters = graft.ann.Pq.Iters,
+                    seed = 42L, maxTrain = 65536, includeHead = false)},
+       |${pqAdcSql(m = graft.ann.Pq.SubSpaces, sd = 64 / graft.ann.Pq.SubSpaces,
+                   rerank = graft.ann.Pq.Rerank, k = 10, probed = Some(("c5", 8)))}""".stripMargin)
+
   /** SemDeDup: k-means-cell-restricted semantic dedup at the embedding
     * near-dup threshold — O(Σ cell²) instead of corpus². Oracle-green: the
     * deterministic fit (ivfFitCtes — same cells as IvfIndex.assign) makes
@@ -1360,6 +1390,7 @@ object LlmQueries {
     "ann_ivf_incremental" -> annIvfIncremental,
     "ann_pq" -> annPq,
     "ann_ivfpq" -> annIvfPq,
+    "ann_ivfpq_incremental" -> annIvfPqIncremental,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
     "text_langid" -> textLangid,

