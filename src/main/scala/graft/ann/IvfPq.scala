@@ -51,18 +51,15 @@ object IvfPq {
   }
 
   /** One codegen projection computes the WHOLE index row: coarse cell +
-    * m sub-codes per vector — no shuffle, no second pass. */
+    * m sub-codes per vector — no shuffle, no second pass. The code
+    * columns are [[Pq.codeCols]], the one definition shared with
+    * [[Pq.encode]] and the oracle's `cd` CTE. */
   private def indexRows(vecs: DataFrame, coarse: Array[Array[Double]],
                         cbs: Array[Array[Array[Double]]]): DataFrame = {
     val spark = vecs.sparkSession
-    val sd = cbs(0)(0).length
-    val codeCols = cbs.indices.map { j =>
-      graft.functions.NearestCell.nearest(spark,
-        slice(col("emb"), j * sd + 1, sd), cbs(j)).as(s"code_$j")
-    }
     vecs.select(col("vec_id") +:
       graft.functions.NearestCell.nearest(spark, col("emb"), coarse).as("cell") +:
-      codeCols: _*)
+      Pq.codeCols(spark, cbs): _*)
   }
 
   /** Materialize the index in the layout the header promises: the
@@ -72,26 +69,42 @@ object IvfPq {
     * makes the composition real: a probe partition-prunes to
     * nProbe/nCells of an already-64×-compressed table, and the raw table
     * is touched only for the rerank·|queries| exact re-scores. */
+  private def commitMarker(spark: org.apache.spark.sql.SparkSession, path: String) =
+    (org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(s"$path/_index_commit"))
+
   def writeIndex(vecs: DataFrame, path: String, dim: Int,
                  nCells: Int = 16, m: Int = Pq.SubSpaces, codes: Int = Pq.Codes,
                  seed: Long = 42L, maxTrain: Int = 65536): Unit = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    // crash consistency: the commit marker is dropped FIRST and re-created
+    // only after codes AND metadata all landed, so a rebuild that dies
+    // between writes can never leave new codes silently paired with stale
+    // centroids/codebooks — readers refuse an unmarked store
+    val (fs, marker) = commitMarker(spark, path)
+    fs.delete(marker, false)
     val (coarse, cbs) = fitBoth(vecs, dim, nCells, m, codes, seed, maxTrain)
     indexRows(vecs, coarse, cbs)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
     coarse.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid")
       .write.mode("overwrite").parquet(s"$path/centroids")
-    (for { j <- cbs.indices; c <- cbs(j).indices } yield (j, c, cbs(j)(c).toSeq))
-      .toDF("j", "code", "cent")
+    // codebooks persisted WITH their quantized |cent|² so the stored
+    // probe's cn2 is bit-identical to the in-memory path by construction
+    Pq.codebookDf(spark, cbs)
       .write.mode("overwrite").parquet(s"$path/codebooks")
+    fs.create(marker, true).close()
   }
 
   /** Read the stored quantizer metadata back as arrays (cell- and
     * code-ordered) — driver-sized by construction. */
   private def readMeta(spark: org.apache.spark.sql.SparkSession,
                        path: String): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val (fs, marker) = commitMarker(spark, path)
+    require(fs.exists(marker),
+      s"$path has no _index_commit marker: writeIndex did not complete (or is mid-rebuild)")
     val coarse = spark.read.parquet(s"$path/centroids")
       .orderBy("cell").collect()
       .map(r => r.getAs[Seq[Double]]("centroid").toArray)
@@ -111,8 +124,15 @@ object IvfPq {
     * cell partitions. O(increment) per ingest, no refit, no rewrite;
     * because every index column is a per-row function of the stored
     * metadata, append ≡ bulk-indexing the union with the same quantizer
-    * (IvfPqSpec asserts it row-for-row). Drift limit as for IVF: enough
-    * distribution shift ⇒ refit + [[writeIndex]] rebuild. */
+    * (IvfPqSpec asserts it row-for-row). PRECONDITION: increments must be
+    * disjoint from the indexed set (and from each other) — a replayed
+    * vec_id doubles its ADC partials, inflating its approximate score by
+    * √2 and crowding real neighbours out of the re-rank pool with no
+    * error anywhere. Dedupe at the ingest layer (the dedup_incremental
+    * operator / an applied-batch ledger like MaterializedAgg.refreshOnce);
+    * this method deliberately does not scan the index per append to
+    * re-check. Drift limit as for IVF: enough distribution shift ⇒
+    * refit + [[writeIndex]] rebuild. */
   def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     newVecs: DataFrame): Unit = {
     val (coarse, cbs) = readMeta(spark, path)
@@ -129,20 +149,27 @@ object IvfPq {
   def approxTopKStored(spark: org.apache.spark.sql.SparkSession, path: String,
                        vecs: DataFrame, queries: DataFrame, k: Int, dim: Int,
                        nProbe: Int = 8, rerank: Int = Pq.Rerank): DataFrame = {
-    import graft.functions.GraftFunctions.dot
+    val (fs, marker) = commitMarker(spark, path)
+    require(fs.exists(marker),
+      s"$path has no _index_commit marker: writeIndex did not complete (or is mid-rebuild)")
     val cents = spark.read.parquet(s"$path/centroids")
-    val cbDf = spark.read.parquet(s"$path/codebooks")
-      .withColumn("cn2", round(dot(spark, col("cent"), col("cent")), 10))
-    val m = cbDf.agg(max("j")).head.getInt(0) + 1
+    val cbDf = spark.read.parquet(s"$path/codebooks") // (j, code, cent, cn2)
+    val codesDf = spark.read.parquet(s"$path/codes")
+    // m from the stored schema (no job); sd from the stored sub-centroid
+    // width, VALIDATED against the caller's dim — graft_dot truncates to
+    // the shorter array, so an unchecked mismatch would return silently
+    // wrong neighbours instead of failing
+    val m = codesDf.columns.count(_.startsWith("code_"))
+    val sd = cbDf.select("cent").head.getAs[Seq[Double]](0).length
+    require(m * sd == dim,
+      s"stored index is m=$m × sd=$sd (dim ${m * sd}); caller passed dim=$dim")
     val qcells = IvfIndex.probeCells(queries, cents, nProbe)
       .select("query_id", "cell")
     val probed = qcells.select("cell").distinct().collect()
       .map(_.getInt(0)).sorted.toSeq
-    val codeLong = spark.read.parquet(s"$path/codes")
-      .where(col("cell").isin(probed: _*))
-      .select(col("vec_id"), col("cell"),
-        posexplode(array((0 until m).map(j => col(s"code_$j")): _*)).as(Seq("j", "code")))
-    val lut = Pq.lutFor(queries, cbDf, dim / m)
+    val codeLong = Pq.meltCodes(
+      codesDf.where(col("cell").isin(probed: _*)), m, Seq("vec_id", "cell"))
+    val lut = Pq.lutFor(queries, cbDf, sd)
     val pairs = qcells.join(codeLong, Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .join(broadcast(lut), Seq("query_id", "j", "code"))
@@ -164,9 +191,7 @@ object IvfPq {
     val cents = coarse.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "centroid")
     // the same one-pass index row as the stored layout, melted to long
-    val codeLong = indexRows(vecs, coarse, cbs)
-      .select(col("vec_id"), col("cell"),
-        posexplode(array((0 until m).map(j => col(s"code_$j")): _*)).as(Seq("j", "code")))
+    val codeLong = Pq.meltCodes(indexRows(vecs, coarse, cbs), m, Seq("vec_id", "cell"))
     // probe, then ADC restricted to the probed cells' members: the
     // (query, cell) pairs fan out to cell members via the cell equi-join
     // — candidate generation never touches an unprobed cell

@@ -98,6 +98,25 @@ object Pq {
     }
   }
 
+  /** The m `code_j` argmin columns — ONE definition of the subspace
+    * slicing + NearestCell encode expression, shared by [[encode]] and
+    * [[IvfPq]]'s one-pass index row so the two cannot drift from the SQL
+    * oracle's `cd` CTE. */
+  private[ann] def codeCols(spark: org.apache.spark.sql.SparkSession,
+                            codebooks: Array[Array[Array[Double]]]): Seq[Column] = {
+    val sd = codebooks(0)(0).length
+    codebooks.indices.map { j =>
+      graft.functions.NearestCell.nearest(spark,
+        slice(col("emb"), j * sd + 1, sd), codebooks(j)).as(s"code_$j")
+    }
+  }
+
+  /** Melt wide `code_j` columns to (…, j, code) long form — the ADC join
+    * shape; shared by every consumer of a coded frame. */
+  private[ann] def meltCodes(coded: DataFrame, m: Int, keep: Seq[String]): DataFrame =
+    coded.select(keep.map(col) :+
+      posexplode(array((0 until m).map(j => col(s"code_$j")): _*)).as(Seq("j", "code")): _*)
+
   /** One codegen map pass: `code_j` = argmin sub-centroid of subspace j
     * ([[graft.functions.NearestCell]] over `slice(emb)` — stays in
     * whole-stage codegen, no shuffle, no boxing). This frame IS the PQ
@@ -105,21 +124,14 @@ object Pq {
     * vectors (m ints vs d doubles per row). */
   def encode(vecs: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame = {
     val spark = vecs.sparkSession
-    val m = codebooks.length
-    val sd = codebooks(0)(0).length
-    val codeCols = (0 until m).map { j =>
-      graft.functions.NearestCell.nearest(spark,
-        slice(col("emb"), j * sd + 1, sd), codebooks(j)).as(s"code_$j")
-    }
-    vecs.select(col("vec_id") +: codeCols: _*)
+    vecs.select(col("vec_id") +: codeCols(spark, codebooks): _*)
   }
 
   private def dec10(c: Column): Column = c.cast(DecimalType(25, 10))
 
   /** (vec_id, j, code) — the long form of the m-int code row. */
   private[ann] def codesLong(vecs: DataFrame, cbs: Array[Array[Array[Double]]]): DataFrame =
-    encode(vecs, cbs).select(col("vec_id"),
-      posexplode(array(cbs.indices.map(j => col(s"code_$j")): _*)).as(Seq("j", "code")))
+    meltCodes(encode(vecs, cbs), cbs.length, Seq("vec_id"))
 
   /** Codebook as data: m·codes rows of (j, code, cent, |cent|²) driver
     * metadata; the norm contribution is 10-dp quantized so cross-(j,code)

@@ -62,6 +62,7 @@ object PlanDump {
       "cdc_apply_snapshot" -> "changelog latest-wins merge: one key-partitioned window, no snapshot join",
       "ann_pq" -> "PQ ADC: codegen encode pass, broadcast LUT join, map-side-combined exact sums, bounded exact re-rank",
       "ann_ivfpq" -> "IVF+PQ: probed-cell equi-join gates the ADC; broadcast LUT + centroids; no unprobed-cell scan",
+      "ann_ivfpq_incremental" -> "IVFPQ incremental probe: append-maintained cell partitions, pruned code scan",
       "mv_incremental_refresh" -> "MV read-back: finalized algebraic columns off the bucketed partial-state store",
       "events_skipping_scan" -> "manifest-pruned scan: file-list read of intersecting z-order boxes + residual filter",
       "events_point_lookup" -> "bloom-pruned point read: surviving files only + exact equality residual",
