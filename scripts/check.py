@@ -88,31 +88,71 @@ def check_sketch_stats(con, out_dir):
                 return f"FAIL: {et}.{qc}={ar[qc]} outside [{er['min_value']}, {er['max_value']}]"
     return "bounded-ok"
 
+def check_feature_importance(con, out_dir):
+    """model_feature_importance: importances are gain statistics of the
+    TRAINING run (not replayable from the fitted trees), so no SQL oracle
+    exists — but the dump is still bounds-checkable against invariants plus
+    the serialized ensemble the trades_filter_model oracle carries:
+    non-negative, sums to 1, ranked by (importance desc, feature), and any
+    feature with positive importance must actually appear as a split
+    feature in the serialized trees (an importance on a never-split feature
+    would mean the dump and the model disagree)."""
+    imp = read_dump(con, out_dir, "model_feature_importance")
+    if imp is None:
+        return "skip (dump missing)"
+    rows = sorted(imp.to_pylist(), key=lambda r: r["rank"])
+    if [r["rank"] for r in rows] != list(range(1, len(rows) + 1)):
+        return f"FAIL: ranks not 1..{len(rows)}"
+    if any(r["importance"] < 0 for r in rows):
+        return "FAIL: negative importance"
+    total = sum(r["importance"] for r in rows)
+    if abs(total - 1.0) > 1e-9:
+        return f"FAIL: importances sum to {total}, not 1"
+    key = [(-r["importance"], r["feature"]) for r in rows]
+    if key != sorted(key):
+        return "FAIL: not ranked by (importance desc, feature)"
+    if any(not (0.0 <= r["auc_train"] <= 1.0 and 0.0 <= r["auc_test"] <= 1.0)
+           for r in rows):
+        return "FAIL: AUC outside [0, 1]"
+    # split-feature subset check against the serialized ensemble
+    try:
+        with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+            msql = json.load(f).get("trades_filter_model", "")
+    except OSError:
+        msql = ""
+    if msql:
+        for r in rows:
+            # the dump keeps the ohlcv_ table prefix; the serialized trees
+            # reference the stripped feature-CTE column names
+            feat = r["feature"].removeprefix("ohlcv_")
+            if r["importance"] > 0 and f"mf.{feat}" not in msql:
+                return (f"FAIL: {r['feature']} has importance "
+                        f"{r['importance']} but never splits in the "
+                        "serialized trees")
+    return "bounded-ok"
+
 BOUNDED = {"table_profile_approx": check_profile_approx,
-           "sketch_event_stats": check_sketch_stats}
+           "sketch_event_stats": check_sketch_stats,
+           "model_feature_importance": check_feature_importance}
 
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
 def fresh_con(sf_dir):
-    """One connection per oracle: an in-memory duckdb connection has NO temp
-    directory, so a plan that outgrows the buffer pool cannot spill — it
-    OOMs, and the saturated pool then fails every later query on the same
-    connection (the round-11 sf0.1 sweep lost 18 green oracles that way,
-    including trivially-small ones that ran after the heavy one). A spill
-    dir + an explicit limit gives big oracles out-of-core execution, and
-    per-query isolation means one pathological plan can only fail itself."""
+    """One VANILLA connection per oracle — no threads / memory_limit /
+    temp_directory overrides, exactly what a default driver harness gets.
+    Round 11 needed tuned settings (8 threads + 48 GB + spill dir) because
+    DuckDB's default CTE inlining re-expanded the shared feature chains per
+    reference — the 11-strategy signal union replayed the recursive EWM CTE
+    11×, and CTEs referenced inside recursive members (bars `b`, signal
+    table `sw`) were re-evaluated PER ITERATION, so the six simulation-based
+    oracles each burned >90 s and thrashed at 32 threads. Round 12 fixed
+    that structurally with `AS MATERIALIZED` on every multi-referenced /
+    recursion-input CTE (OracleSql.barsCte, SignalQueries.featCte,
+    BacktestQueries.simCte, MlQueries.mlFeatureCtes, the CC `sym` tables):
+    measured 90 s+ → <1 s each, whole sf0.1 sweep <5 min on defaults.
+    Per-query isolation stays: one pathological plan can only fail itself."""
     con = duckdb.connect()
-    # per-process spill dir: concurrent SF sweeps each get their own
-    # (independent DuckDB instances sharing one temp dir could collide)
-    con.execute(f"SET temp_directory='/tmp/duckdb_check_spill_{os.getpid()}'")
-    con.execute("SET memory_limit='48GB'")
-    # 8 threads, not the host's 32: the model-as-constant oracles carry a
-    # serialized-ensemble scalar expression through a recursive CTE, and at
-    # 32 threads the per-thread operator state thrashes the buffer pool
-    # (measured: 4 heavy oracles unfinished after 34 min at 32 threads vs
-    # ~5 min EACH at 8 threads). Cheap oracles don't notice.
-    con.execute("SET threads=8")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):

@@ -29,10 +29,13 @@ import org.apache.spark.sql.functions._
   * The group resolution reuses [[graft.dedup.ConnectedComponents]] (pairs
   * within a cell can chain transitively).
   *
-  * Probabilistic (k-means cells can split a near-dup pair across cells —
-  * the recall/cost trade SemDeDup makes) ⇒ registered rows-only; the spec
-  * checks planted duplicates and cross-checks against the exact global
-  * pair set.
+  * The k-means cells can split a near-dup pair across cells — the
+  * recall/cost trade SemDeDup makes — but the md5-derandomized assignment
+  * ([[IvfIndex.assign]]) makes the cell structure itself replayable, so
+  * the registered `dedup_semantic` query is ORACLE-GREEN: DuckDB replays
+  * the k-means fit, the in-cell pair generation and the connected-component
+  * recursion bit-for-bit (LlmQueries). The spec additionally checks planted
+  * duplicates and cross-checks against the exact global pair set.
   */
 object SemDeDup {
 

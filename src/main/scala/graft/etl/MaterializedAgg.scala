@@ -1,5 +1,6 @@
 package graft.etl
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sqlx.Exact
@@ -16,22 +17,45 @@ import graft.sqlx.Exact
   * Derived values that are NOT algebraic (avg) finalize at read time from
   * the state (sum/count), the standard MV trick.
   *
-  * Scale layout: state is hash-bucketed on the group keys and written
-  * `partitionBy(bucket)`. An increment only touches the buckets its groups
-  * hash into, so a refresh reads ONLY those bucket directories (partition
-  * pruning on a literal IN-list), merges increment-sized data, and swaps
-  * just those directories — untouched buckets are never read, never
-  * shuffled, never rewritten. Refresh cost is O(increment + touched-bucket
-  * state), independent of view size. The swap is write-to-staging then
-  * per-bucket directory rename (a lazy reader of the OLD generation is
-  * unaffected mid-scan; a crash between renames leaves each bucket either
-  * old or new and the staging dir for replay — a production deployment
-  * puts the bucket→generation map behind a manifest pointer like the
-  * [[Watermarks.writeState]] versioning to make the flip atomic).
+  * Scale layout: state is hash-bucketed on the group keys and stored as
+  * per-bucket GENERATIONS under `root/data/bucket=B/gen=G/`, with a
+  * versioned MANIFEST (`root/_manifest/v=N/`, committed by its `_SUCCESS`
+  * marker like [[Watermarks.writeState]]) mapping each bucket to its
+  * current generation. An increment only touches the buckets its groups
+  * hash into: a refresh reads ONLY those buckets' current generations,
+  * merges increment-sized data, writes the merged state as NEW generation
+  * directories (never touching live files), and then flips the manifest in
+  * one committed write. Untouched buckets are never read, never shuffled,
+  * never rewritten — refresh cost is O(increment + touched-bucket state),
+  * independent of view size.
+  *
+  * Crash consistency (the round-11 ADVICE fix — the old layout renamed
+  * live bucket directories and a failure between delete and rename lost
+  * the bucket): every data write lands in fresh generation directories, a
+  * manifest version only counts once its `_SUCCESS` exists, and readers
+  * resolve paths through the latest COMMITTED manifest — so a crash at any
+  * point leaves the previous manifest (and every directory it references)
+  * fully intact, and the orphaned new-generation files are invisible until
+  * vacuumed / overwritten by the next successful refresh of that bucket.
+  * There are no renames to check and no delete-first window. The manifest
+  * also carries the exactly-once `applied_batch` high-water mark, so
+  * [[refreshOnce]]'s state swap and its replay mark commit ATOMICALLY —
+  * the old "crash between swap and mark double-counts" window is closed,
+  * not documented away. Single-writer assumption (one stream/orchestrator
+  * owns a store root), same as every table-format maintenance path here.
   */
+/** One bucket's live generation (+ the store-wide applied-batch mark,
+  * duplicated per row so the manifest stays a single tiny table).
+  * Top-level and public so the Dataset encoder stays codegen-friendly. */
+final case class MvManifestRow(bucket: Int, gen: Long, applied_batch: Long)
+
 object MaterializedAgg {
 
   val NBuckets = 16
+
+  /** Manifest versions kept by vacuum: old generations referenced by a
+    * retained manifest stay readable for lagging scans. */
+  val RetainManifests = 3
 
   /** Pinned on-disk type for the exact running sum. Spark widens decimal
     * precision on every sum() (25,10 → 35,10 → 38,10), so WITHOUT the pin
@@ -44,6 +68,66 @@ object MaterializedAgg {
 
   private def bucketCol(keys: Seq[String]): org.apache.spark.sql.Column =
     pmod(hash(keys.map(col): _*), lit(NBuckets))
+
+  private def fileSystem(spark: SparkSession, root: String): FileSystem =
+    FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+
+  // ------------------------------------------------------------ manifest
+
+  /** Committed manifest versions: a `v=N` dir counts when `_SUCCESS`
+    * exists (Spark's committer writes it last) — a crashed manifest write
+    * is invisible, so readers always resolve a complete flip. */
+  private def manifestVersions(spark: SparkSession, root: String): Seq[Long] = {
+    val fs = fileSystem(spark, root)
+    val p = new Path(s"$root/_manifest")
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v=") &&
+        fs.exists(new Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+  }
+
+  private def readManifest(spark: SparkSession, root: String): (Long, Seq[MvManifestRow]) = {
+    val v = manifestVersions(spark, root).maxOption.getOrElse(
+      sys.error(s"no committed manifest under $root — writeInit never completed"))
+    import spark.implicits._
+    (v, spark.read.parquet(s"$root/_manifest/v=$v").as[MvManifestRow].collect().toSeq)
+  }
+
+  private def writeManifest(spark: SparkSession, root: String, v: Long,
+                            rows: Seq[MvManifestRow]): Unit = {
+    import spark.implicits._
+    rows.toDF().coalesce(1).write.mode("overwrite").parquet(s"$root/_manifest/v=$v")
+  }
+
+  /** Drop manifest versions beyond [[RetainManifests]] and every data
+    * generation no retained manifest references (gen dirs ABOVE a bucket's
+    * live generation are uncommitted leftovers of a crashed refresh — also
+    * removed; the single-writer assumption means no in-flight sibling). */
+  private def vacuum(spark: SparkSession, root: String): Unit = {
+    val fs = fileSystem(spark, root)
+    val versions = manifestVersions(spark, root).sorted
+    versions.dropRight(RetainManifests).foreach { v =>
+      fs.delete(new Path(s"$root/_manifest/v=$v"), true)
+    }
+    import spark.implicits._
+    val live: Set[(Int, Long)] = versions.takeRight(RetainManifests).flatMap { v =>
+      spark.read.parquet(s"$root/_manifest/v=$v").as[MvManifestRow].collect()
+        .map(r => (r.bucket, r.gen))
+    }.toSet
+    val dataRoot = new Path(s"$root/data")
+    if (fs.exists(dataRoot)) {
+      fs.listStatus(dataRoot).toSeq.filter(_.getPath.getName.startsWith("bucket=")).foreach { bdir =>
+        val b = bdir.getPath.getName.stripPrefix("bucket=").toInt
+        fs.listStatus(bdir.getPath).toSeq.filter(_.getPath.getName.startsWith("gen=")).foreach { gdir =>
+          val g = gdir.getPath.getName.stripPrefix("gen=").toLong
+          if (!live.contains((b, g))) fs.delete(gdir.getPath, true)
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ state algebra
 
   /** Partial aggregate state of `df` per `keys`: (n_rows, n_vals,
     * sum_dec DECIMAL(25,10), vmin, vmax) + the key-hash bucket. */
@@ -68,36 +152,76 @@ object MaterializedAgg {
         min(col("vmin")).as("vmin"),
         max(col("vmax")).as("vmax"))
 
-  /** Initialize the view store from a base frame. */
-  def writeInit(base: DataFrame, keys: Seq[String], valueCol: String, root: String): Unit =
-    partials(base, keys, valueCol)
+  /** Write partial-state rows as generation `gen` of their buckets. The
+    * target gen dirs are pre-cleared: they can only hold uncommitted
+    * leftovers of a crashed attempt at this same generation (no manifest
+    * references them), and clearing makes the retried write idempotent. */
+  private def writeGen(spark: SparkSession, root: String, state: DataFrame,
+                       buckets: Seq[Int], gen: Long): Unit = {
+    val fs = fileSystem(spark, root)
+    buckets.foreach { b =>
+      fs.delete(new Path(s"$root/data/bucket=$b/gen=$gen"), true)
+    }
+    state.withColumn("gen", lit(gen))
       .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(root)
+      .write.mode("append").partitionBy("bucket", "gen").parquet(s"$root/data")
+  }
+
+  // ------------------------------------------------------------ public API
+
+  /** Initialize the view store from a base frame: all buckets at gen 1,
+    * manifest v=1, applied-batch mark reset. */
+  def writeInit(base: DataFrame, keys: Seq[String], valueCol: String, root: String): Unit = {
+    val spark = base.sparkSession
+    fileSystem(spark, root).delete(new Path(root), true)
+    val state = partials(base, keys, valueCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = state.select("bucket").distinct().collect().map(_.getInt(0)).toSeq.sorted
+    writeGen(spark, root, state, buckets, 1L)
+    state.unpersist(false)
+    writeManifest(spark, root, 1L, buckets.map(MvManifestRow(_, 1L, -1L)))
+  }
+
+  /** Paths of the given manifest entries (leaf generation dirs). */
+  private def entryPaths(root: String, entries: Seq[MvManifestRow]): Seq[String] =
+    entries.map(e => s"$root/data/bucket=${e.bucket}/gen=${e.gen}")
+
+  /** Read the current partial state of `entries`, with the `bucket`
+    * partition column recovered (basePath) and `gen` dropped. */
+  private def readState(spark: SparkSession, root: String,
+                        entries: Seq[MvManifestRow]): DataFrame =
+    spark.read.option("basePath", s"$root/data")
+      .parquet(entryPaths(root, entries): _*)
+      .drop("gen")
 
   /** Incremental refresh: fold `increment`'s partials into the store,
-    * touching only the bucket partitions the increment's groups hash to.
-    * Returns the touched bucket ids (sorted). */
+    * touching only the bucket partitions the increment's groups hash to,
+    * and flip the manifest atomically. Returns the touched bucket ids
+    * (sorted). `appliedBatch` < 0 preserves the current high-water mark
+    * ([[refreshOnce]] passes the new one so mark and swap commit
+    * together). */
   def refresh(spark: SparkSession, root: String, increment: DataFrame,
-              keys: Seq[String], valueCol: String): Seq[Int] = {
+              keys: Seq[String], valueCol: String,
+              appliedBatch: Long = -1L): Seq[Int] = {
     val inc = partials(increment, keys, valueCol)
     // metadata-sized: at most NBuckets values
     val touched = inc.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty) return touched
-    val state = spark.read.parquet(root)
-      .where(col("bucket").isin(touched: _*))
-    val staging = s"$root-staging"
-    combine(state, inc, keys)
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(staging)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
-    touched.foreach { b =>
-      val dst = new org.apache.hadoop.fs.Path(s"$root/bucket=$b")
-      fs.delete(dst, true)
-      fs.rename(new org.apache.hadoop.fs.Path(s"$staging/bucket=$b"), dst)
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    val (v, entries) = readManifest(spark, root)
+    val touchedSet = touched.toSet
+    val (touchedEntries, untouched) = entries.partition(e => touchedSet(e.bucket))
+    val merged =
+      if (touchedEntries.isEmpty) inc
+      else combine(readState(spark, root, touchedEntries), inc, keys)
+    val newGen = entries.map(_.gen).maxOption.getOrElse(0L) + 1L
+    writeGen(spark, root, merged, touched, newGen)
+    val mark = if (appliedBatch >= 0) appliedBatch
+               else entries.headOption.map(_.applied_batch).getOrElse(-1L)
+    val next = (untouched.map(e => MvManifestRow(e.bucket, e.gen, mark)) ++
+      touched.map(MvManifestRow(_, newGen, mark))).sortBy(_.bucket)
+    writeManifest(spark, root, v + 1L, next)
+    vacuum(spark, root)
     touched
   }
 
@@ -105,42 +229,31 @@ object MaterializedAgg {
     * what `foreachBatch` needs: Structured Streaming re-delivers the last
     * batch after a crash, and partial-state merges are NOT idempotent (a
     * replayed increment double-counts). Batch ids from one stream are
-    * monotonically increasing and only the LAST batch is ever replayed,
-    * so ONE high-water-mark file (the max applied id) suffices — bounded
-    * metadata however long the stream runs, unlike a marker per batch
-    * (single-writer assumption: one stream owns a store). The mark is
-    * written AFTER the bucket swap, so the remaining failure window is a
-    * crash between swap and mark — replaying THAT still double-counts;
-    * closing it fully needs swap and mark in one atomic commit (the
-    * manifest-pointer flip the [[refresh]] scaladoc describes). The mark
-    * lives inside the store root, so [[writeInit]]'s overwrite resets the
-    * applied watermark with the state. */
+    * monotonically increasing and only the LAST batch is ever replayed, so
+    * one high-water mark (the max applied id) suffices — and it rides IN
+    * the manifest, so the state flip and the mark are one atomic commit:
+    * a crash before the manifest write replays the batch against the OLD
+    * state+mark (the half-written generations are overwritten
+    * idempotently), a crash after it makes the replay a no-op. No
+    * double-count window remains. */
   def refreshOnce(spark: SparkSession, root: String, batchId: Long, increment: DataFrame,
                   keys: Seq[String], valueCol: String): Boolean = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
-    val mark = new org.apache.hadoop.fs.Path(s"$root/_applied_watermark")
-    val applied: Long =
-      if (!fs.exists(mark)) -1L
-      else {
-        val in = fs.open(mark)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-        finally in.close()
-      }
+    val (_, entries) = readManifest(spark, root)
+    val applied = entries.headOption.map(_.applied_batch).getOrElse(-1L)
     if (batchId <= applied) false
     else {
-      refresh(spark, root, increment, keys, valueCol)
-      val out = fs.create(mark, true)
-      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+      refresh(spark, root, increment, keys, valueCol, appliedBatch = batchId)
       true
     }
   }
 
   /** Finalized view: algebraic columns straight from state, avg derived as
     * exact-decimal sum / value count (the graft.sqlx.Exact double route,
-    * so the read is bit-identical to a full recompute in any engine). */
-  def read(spark: SparkSession, root: String, keys: Seq[String]): DataFrame =
-    spark.read.parquet(root)
+    * so the read is bit-identical to a full recompute in any engine).
+    * Resolves data paths through the latest committed manifest. */
+  def read(spark: SparkSession, root: String, keys: Seq[String]): DataFrame = {
+    val (_, entries) = readManifest(spark, root)
+    readState(spark, root, entries)
       .select(
         (keys.map(col) :+
           col("n_rows") :+
@@ -149,4 +262,5 @@ object MaterializedAgg {
             .as("value_avg") :+
           col("vmin").as("value_min") :+
           col("vmax").as("value_max")): _*)
+  }
 }

@@ -80,16 +80,37 @@ case class NearestCell(child: Expression, cents: Array[Array[Double]])
 }
 
 object NearestCell {
-  private val counter = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Column API. Each call registers a uniquely-named temp function binding
-    * THIS centroid matrix (the registry path avoids private Column ctors,
-    * same as [[GraftFunctions.dot]]); a fit happens a handful of times per
-    * session, so the registry growth is metadata-sized. Callers whose plan
-    * is consumed eagerly (the distributed Lloyd's iterations) should use
-    * [[nearestNamed]] and [[drop]] to release the centroid snapshot —
-    * otherwise every iteration's k·d matrix stays pinned in the registry
-    * closure for the session lifetime. */
+  /** Registration key = MD5 of the centroid matrix content. Re-registering
+    * the SAME matrix (every re-run of a registered ANN query against the
+    * memoized fit — the common case in a long-lived session or a bench
+    * loop) reuses one registry entry instead of minting a fresh name per
+    * call, so the function registry stays bounded by the number of DISTINCT
+    * fitted matrices (a handful per session), not by query executions. A
+    * content hash rather than identity: two fits of the same (data, seed)
+    * produce equal matrices and legitimately share the entry; MD5 makes an
+    * accidental collision between different matrices (which would silently
+    * swap quantizers) cryptographically improbable. */
+  private def contentKey(cents: Array[Array[Double]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(8)
+    cents.foreach { row =>
+      row.foreach { v =>
+        buf.clear(); buf.putDouble(v); md.update(buf.array())
+      }
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Column API. Registers a temp function binding THIS centroid matrix
+    * (the registry path avoids private Column ctors, same as
+    * [[GraftFunctions.dot]]), keyed by content so repeated calls with the
+    * same matrix share one entry. Callers whose plan is consumed eagerly
+    * AND whose matrix is transient (the distributed Lloyd's iterations —
+    * a different interim matrix every iteration) should use
+    * [[nearestNamed]] + [[drop]] to release each snapshot; long-lived
+    * matrices (the memoized final fit) can stay registered — one k·d
+    * array per distinct fit. */
   def nearest(spark: SparkSession, emb: Column, cents: Array[Array[Double]]): Column =
     nearestNamed(spark, emb, cents)._2
 
@@ -97,7 +118,7 @@ object NearestCell {
     * that drop the registration (and its captured centroids) after use. */
   def nearestNamed(spark: SparkSession, emb: Column,
                    cents: Array[Array[Double]]): (String, Column) = {
-    val name = s"graft_nearest_cell_${counter.incrementAndGet()}"
+    val name = s"graft_nearest_cell_${contentKey(cents)}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, exprs => NearestCell(exprs.head, cents), "built-in")
     (name, org.apache.spark.sql.functions.call_function(name, emb))

@@ -37,14 +37,14 @@ object BacktestQueries {
     * close at the strategy's last date when the symbol has a row there. */
   private[queries] val simCte: String =
     s"""${SignalQueries.featCte},
-       |sigall AS (
+       |sigall AS MATERIALIZED (
        |  ${SignalQueries.allFlagsSubquery}
        |),
        |swc AS (
        |  SELECT g.trade_strategy, g.symbol_id, g.date, g.buy_signal, g.sell_signal, b2.close
        |  FROM sigall g JOIN b b2 ON g.symbol_id = b2.symbol_id AND g.date = b2.date
        |),
-       |sw AS (
+       |sw AS MATERIALIZED (
        |  SELECT swc.*,
        |         row_number() OVER (PARTITION BY trade_strategy, symbol_id ORDER BY date) AS srn,
        |         MAX(date) OVER (PARTITION BY trade_strategy) AS strategy_last_date

@@ -69,7 +69,7 @@ object CorpusOpsQueries {
         .orderBy("doc_id")
     },
     s"""WITH RECURSIVE ${jaccardPairsCte(LlmQueries.JaccardThreshold)},
-       |sym AS (SELECT doc_a AS u, doc_b AS v FROM jp UNION SELECT doc_b, doc_a FROM jp),
+       |sym AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM jp UNION SELECT doc_b, doc_a FROM jp),
        |reach(u, v) AS (
        |  SELECT u, v FROM sym
        |  UNION
@@ -112,7 +112,7 @@ object CorpusOpsQueries {
         .orderBy("doc_id")
     },
     s"""WITH RECURSIVE ${jaccardPairsCte(LlmQueries.JaccardThreshold)},
-       |sym AS (SELECT doc_a AS u, doc_b AS v FROM jp UNION SELECT doc_b, doc_a FROM jp),
+       |sym AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM jp UNION SELECT doc_b, doc_a FROM jp),
        |reach(u, v) AS (
        |  SELECT u, v FROM sym
        |  UNION

@@ -662,7 +662,7 @@ object LlmQueries {
        |         THEN list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) END
        |  AS VARCHAR) AS DECIMAL(38,20)), 6) AS DOUBLE) >= $EmbDedupThreshold
        |),
-       |sym AS (SELECT src AS u, dst AS v FROM pr UNION SELECT dst, src FROM pr),
+       |sym AS MATERIALIZED (SELECT src AS u, dst AS v FROM pr UNION SELECT dst, src FROM pr),
        |reach(u, v) AS (
        |  SELECT u, v FROM sym
        |  UNION

@@ -101,7 +101,7 @@ object MlQueries {
        |    CASE WHEN close <> 0 THEN (fut5 - close) / close END AS pct5
        |  FROM ${p}g
        |),
-       |${p}feat AS (
+       |${p}feat AS MATERIALIZED (
        |  SELECT symbol_id, date,
        |    CAST(CASE WHEN pct5 > 0 THEN 1 ELSE 0 END AS DOUBLE) AS label,
        |    ${FeatShort.mkString(", ")}

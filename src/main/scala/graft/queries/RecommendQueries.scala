@@ -66,7 +66,7 @@ object RecommendQueries {
     * universe) — shared by the sigmoid query and the model-scored twin. */
   private val gatedCtes: String =
     s"""${SignalQueries.featCte},
-       |sigall AS (
+       |sigall AS MATERIALIZED (
        |  ${SignalQueries.allScoredSubquery}
        |),
        |latestd AS (SELECT MAX(date) AS latest_date FROM sigall WHERE buy_signal),

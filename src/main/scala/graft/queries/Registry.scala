@@ -52,7 +52,7 @@ object OracleSql {
       |         COUNT(*) AS volume
       |  FROM ev GROUP BY symbol_id, date
       |),
-      |b AS (
+      |b AS MATERIALIZED (
       |  SELECT bars.*, row_number() OVER (PARTITION BY symbol_id ORDER BY date) AS rn
       |  FROM bars
       |)""".stripMargin

@@ -102,7 +102,7 @@ object SignalQueries {
        |    CASE WHEN rn >= 20 THEN MIN(low) ${win(20)} END AS low_20
        |  FROM r
        |),
-       |feat AS (
+       |feat AS MATERIALIZED (
        |  SELECT w1.*,
        |    CASE WHEN rn >= 20 THEN s1x/20.0 + 2.0 * SQRT(CASE WHEN (s2x - s1x*s1x/20.0)/19.0 > 0.0 THEN (s2x - s1x*s1x/20.0)/19.0 ELSE 0.0 END) END AS bb_upper,
        |    CASE WHEN rn >= 20 THEN s1x/20.0 - 2.0 * SQRT(CASE WHEN (s2x - s1x*s1x/20.0)/19.0 > 0.0 THEN (s2x - s1x*s1x/20.0)/19.0 ELSE 0.0 END) END AS bb_lower

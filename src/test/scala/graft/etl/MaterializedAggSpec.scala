@@ -34,14 +34,21 @@ class MaterializedAggSpec extends SparkSpec {
   private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
     df.collect().map(_.mkString("|")).toSet
 
+  /** bucket dir -> the full recursive (gen dir, file, mtime) fingerprint:
+    * under the manifest layout a refresh must add a NEW generation for the
+    * touched buckets and leave every untouched bucket's generation set
+    * byte-identical (no rename, no delete of live dirs). */
   private def bucketFiles(root: String): Map[String, Set[String]] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/data")).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
       .map { st =>
         st.getPath.getName ->
-          fs.listStatus(st.getPath).map(f => s"${f.getPath.getName}:${f.getModificationTime}").toSet
+          fs.listStatus(st.getPath).toSet.flatMap { (g: org.apache.hadoop.fs.FileStatus) =>
+            fs.listStatus(g.getPath).map(f =>
+              s"${g.getPath.getName}/${f.getPath.getName}:${f.getModificationTime}").toSet
+          }
       }.toMap
   }
 
@@ -94,6 +101,30 @@ class MaterializedAggSpec extends SparkSpec {
     // and writeInit resets the applied-batch set along with the state
     MaterializedAgg.writeInit(base, keys, "value", root)
     assert(MaterializedAgg.refreshOnce(spark, root, 7L, inc, keys, "value"))
+  }
+
+  test("uncommitted generation dirs (a crashed refresh) are invisible to readers " +
+    "and overwritten idempotently by the retry") {
+    val root = s"${sys.props("java.io.tmpdir")}/graft-mv-spec-crash"
+    val base = data.where(col("row_id") <= 3000)
+    val inc = data.where(col("row_id") > 3000)
+    MaterializedAgg.writeInit(base, keys, "value", root)
+    val before = rows(MaterializedAgg.read(spark, root, keys))
+    // simulate a refresh that crashed after writing data but before the
+    // manifest flip: orphan gen=2 dirs with garbage partial files
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    MaterializedAgg.partials(inc, keys, "value")
+      .withColumn("gen", lit(2L))
+      .write.mode("append").partitionBy("bucket", "gen").parquet(s"$root/data")
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(s"$root/data/bucket=*/gen=2")).nonEmpty)
+    // readers resolve through the committed manifest: the orphans are invisible
+    assert(rows(MaterializedAgg.read(spark, root, keys)) == before)
+    // the replayed batch lands exactly once despite the half-written gen 2
+    assert(MaterializedAgg.refreshOnce(spark, root, 1L, inc, keys, "value"))
+    assert(rows(MaterializedAgg.read(spark, root, keys)) == rows(finalize(data)))
+    assert(!MaterializedAgg.refreshOnce(spark, root, 1L, inc, keys, "value"))
+    assert(rows(MaterializedAgg.read(spark, root, keys)) == rows(finalize(data)))
   }
 
   test("chained increments compose: refresh(refresh(init)) == one recompute") {
