@@ -68,7 +68,13 @@ object MinHashLSH {
     * second stateful operator in a streaming plan): every stage is a
     * per-row deterministic expression. [[bandBuckets]] delegates here, so
     * batch and stream band identically by construction. */
-  def bandBucketsFromArrays(docs: DataFrame): DataFrame = {
+  def bandBucketsFromArrays(docs: DataFrame): DataFrame =
+    bandBucketsFromArrays(docs, Nil)
+
+  /** [[bandBucketsFromArrays]] carrying extra passthrough columns (the
+    * streaming TTL path needs the event time beside each banded row — a
+    * post-hoc join would be a second stateful operator in that plan). */
+  def bandBucketsFromArrays(docs: DataFrame, carry: Seq[String]): DataFrame = {
     val spark = docs.sparkSession
     // guard on the CHEAP input, not the signature: a `sig IS NOT NULL`
     // filter gets pushed below the project and re-evaluates the whole
@@ -76,14 +82,14 @@ object MinHashLSH {
     // size(shingles) > 0 is the exact same predicate (the signature is
     // null iff the array is empty) at scan-cheap cost
     val sig = docs.where(size(col("shingles")) > 0)
-      .select(col("doc_id"),
-        graft.functions.MinHashSig.sig(spark, col("shingles"), permA, permB, Prime).as("sig"))
+      .select(col("doc_id") +: carry.map(col) :+
+        graft.functions.MinHashSig.sig(spark, col("shingles"), permA, permB, Prime).as("sig"): _*)
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)).as("bucket"))
     }
-    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    sig.select(col("doc_id") +: carry.map(col) :+ explode(array(bandCols: _*)).as("bb"): _*)
+      .select(col("doc_id") +: carry.map(col) :+ col("bb.band") :+ col("bb.bucket"): _*)
   }
 
   /** Candidate pairs from shared band buckets (bucket equi-join). */

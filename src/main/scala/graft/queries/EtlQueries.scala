@@ -352,6 +352,67 @@ object EtlQueries {
       |FROM events
       |GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** The full table-maintenance TRANSACTION (graft.sources.TableMaintenance):
+    * compact + re-harvest both skipping indexes + generation-pointer flip as
+    * one entry point — closing the round-11 gap where compaction wrote a new
+    * root but the stats/Bloom indexes still described the OLD files, so
+    * skipping silently degraded to scan-everything. The staged store is
+    * deliberately hostile to skipping: ingest debris written by 8 unclustered
+    * writers, every file spanning the whole (user_id, day) range. maintain()
+    * bin-packs it CLUSTERED by the z-value (tight per-file boxes),
+    * re-harvests the min/max manifest and Bloom index over the new files,
+    * and flips the pointer; the registered output is the box-pruned rollup
+    * read through the CURRENT generation's own persisted manifest. Oracle =
+    * the plain filtered GROUP BY over raw events (pruning is IO-only);
+    * TableMaintenanceSpec pins that pruning is actually RESTORED by the
+    * transaction (degraded before, skipping after, stale old manifest prunes
+    * nothing). */
+  private val eventsMaintenanceCycle = Q(
+    (s, d) => {
+      import graft.sqlx.Exact
+      val tag = Integer.toHexString(d.hashCode)
+      val root = s"${sys.props("java.io.tmpdir")}/graft-events-maint-$tag"
+      new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      val ev = graft.Tables.events(s, d).select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("day"))
+      val mx = ev.agg(max("user_id").as("um"), max("day").as("dm"))
+      val withZ = ev.crossJoin(broadcast(mx))
+        .withColumn("zval", graft.operators.ZOrder.zValue(
+          expr("CAST(user_id * 32 div (um + 1) AS INT)"),
+          expr("CAST(day * 32 div (dm + 1) AS INT)"), 5))
+        .drop("um", "dm")
+      // gen 1: unclustered 8-writer ingest debris — worst case for boxes
+      withZ.repartition(8)
+        .write.parquet(graft.sources.TableMaintenance.dataPath(root, 1L))
+      graft.sources.TableMaintenance.initGen(s, root, Seq("user_id", "day"), Seq("user_id"))
+      graft.sources.TableMaintenance.maintain(
+        s, root, "zval", 2500L, Seq("user_id", "day"), Seq("user_id"))
+      val Array(um, dm) = mx.collect().head match {
+        case r => Array(r.getLong(0), r.getInt(1).toLong)
+      }
+      graft.sources.TableMaintenance.readCurrentPruned(s, root,
+          Seq(("user_id", (um / 5).toDouble, (um / 2).toDouble),
+              ("day", (dm / 5).toDouble, (dm / 2).toDouble)),
+          col("user_id").between(um / 5, um / 2) && col("day").between(dm / 5, dm / 2))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"), Exact.decSumAgg(col("value")).as("value_sum"))
+        .orderBy("event_type")
+    },
+    """WITH ev AS (
+      |  SELECT user_id, event_type, value,
+      |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS INTEGER) AS day
+      |  FROM events
+      |),
+      |mx AS (SELECT MAX(user_id) AS um, MAX(day) AS dm FROM ev)
+      |SELECT event_type, COUNT(*) AS n_rows,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS value_sum
+      |FROM ev CROSS JOIN mx
+      |WHERE user_id BETWEEN um // 5 AND um // 2 AND day BETWEEN dm // 5 AND dm // 2
+      |GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** Incremental materialized-view maintenance (graft.etl.MaterializedAgg):
     * the daily events rollup is stored as PARTIAL aggregate state bucketed
     * on the group-key hash; the increment (a deterministic 20% slice
@@ -523,6 +584,7 @@ object EtlQueries {
     "pipeline_status" -> pipelineStatus,
     "events_day_scan" -> eventsDayScan,
     "events_compaction" -> eventsCompaction,
+    "events_maintenance_cycle" -> eventsMaintenanceCycle,
     "mv_incremental_refresh" -> mvIncrementalRefresh,
     "events_skipping_scan" -> eventsSkippingScan,
     "events_point_lookup" -> eventsPointLookup,

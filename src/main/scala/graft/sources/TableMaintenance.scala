@@ -1,0 +1,153 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The table-maintenance TRANSACTION: compaction, skipping-index
+  * re-harvest, and generation flip as ONE entry point — the loop real
+  * table formats (Delta OPTIMIZE, Iceberg rewrite_data_files +
+  * rewrite_manifests) close and round 11 left open: [[Compaction.compact]]
+  * wrote a new generation root but nothing re-harvested
+  * [[StatsManifest]] / [[BloomSkipIndex]] for it, so the conservative-keep
+  * rule kept results correct while skipping silently degraded to
+  * scan-everything on the compacted table.
+  *
+  * Store layout:
+  * {{{
+  *   root/gen=G/data/part-....parquet   the generation's data files
+  *   root/gen=G/_stats/                 persisted min/max footer manifest
+  *   root/gen=G/_bloom/                 persisted per-file Bloom index
+  *   root/_current/v=N/                 one-row pointer (gen G), committed
+  *                                      by its _SUCCESS marker
+  * }}}
+  *
+  * The pointer flip is the commit: data + both indexes are fully written
+  * under the NEW generation before the pointer version appears, so a crash
+  * anywhere leaves the previous generation (and its indexes) live and
+  * consistent — same versioned-commit discipline as
+  * [[graft.etl.Watermarks.writeState]] and the
+  * [[graft.etl.MaterializedAgg]] manifest. Readers resolve the current
+  * generation through the pointer and always see data WITH the indexes
+  * harvested from exactly those files — an index can never be paired with
+  * a generation it didn't scan.
+  *
+  * At 100 TB each piece keeps its documented cost: the compaction rewrite
+  * is the data-sized job (clustered by the scan dimension so footer boxes
+  * stay tight), both harvests are metadata jobs (footer reads / one
+  * aggregation pass), the pointer is one row. Old generations are retained
+  * for lagging readers ([[RetainGens]]) and vacuumed after.
+  */
+object TableMaintenance {
+
+  /** Generations kept beyond the current one (lagging-reader grace). */
+  val RetainGens = 1
+
+  def dataPath(root: String, gen: Long): String = s"$root/gen=$gen/data"
+  private def statsPath(root: String, gen: Long) = s"$root/gen=$gen/_stats"
+  private def bloomPath(root: String, gen: Long) = s"$root/gen=$gen/_bloom"
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def pointerVersions(spark: SparkSession, root: String): Seq[Long] = {
+    val f = fs(spark, root)
+    val p = new Path(s"$root/_current")
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v=") &&
+        f.exists(new Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+  }
+
+  /** The committed current generation. */
+  def currentGen(spark: SparkSession, root: String): Long = {
+    val v = pointerVersions(spark, root).maxOption.getOrElse(
+      sys.error(s"no committed generation pointer under $root"))
+    spark.read.parquet(s"$root/_current/v=$v").head().getLong(0)
+  }
+
+  /** Harvest BOTH skipping indexes over generation `gen`'s data dir,
+    * persist them beside it, and flip the pointer — the commit half shared
+    * by [[initGen]] and [[maintain]]. Everything lands before the pointer
+    * version's `_SUCCESS`, so the flip is all-or-nothing. */
+  def commitGen(spark: SparkSession, root: String, gen: Long,
+                statsCols: Seq[String], bloomCols: Seq[String]): Unit = {
+    import spark.implicits._
+    StatsManifest.build(spark, dataPath(root, gen), statsCols)
+      .coalesce(1).write.mode("overwrite").parquet(statsPath(root, gen))
+    BloomSkipIndex.build(spark, dataPath(root, gen), bloomCols)
+      .coalesce(1).write.mode("overwrite").parquet(bloomPath(root, gen))
+    val v = pointerVersions(spark, root).maxOption.getOrElse(0L) + 1L
+    Seq(gen).toDF("gen").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/_current/v=$v")
+  }
+
+  /** Initialize the store: the caller has written raw data under
+    * `dataPath(root, 1)`; this harvests its indexes and commits gen 1. */
+  def initGen(spark: SparkSession, root: String,
+              statsCols: Seq[String], bloomCols: Seq[String]): Unit =
+    commitGen(spark, root, 1L, statsCols, bloomCols)
+
+  /** The maintenance transaction: bin-pack the current generation's files
+    * clustered on `sortCol` (range partitioning keeps each output file's
+    * min/max box tight in the scan dimension — compaction that ignored
+    * clustering would merge disjoint boxes and undo the skipping layout),
+    * RE-HARVEST both skipping indexes over the new files, flip the
+    * pointer, and vacuum generations beyond the retention window. Returns
+    * the new generation id. */
+  def maintain(spark: SparkSession, root: String, sortCol: String,
+               targetRowsPerFile: Long,
+               statsCols: Seq[String], bloomCols: Seq[String]): Long = {
+    val cur = currentGen(spark, root)
+    val next = cur + 1L
+    val df = spark.read.parquet(dataPath(root, cur))
+    val nFiles = math.max(1L, math.ceil(
+      df.count().toDouble / targetRowsPerFile).toLong)
+    // clear uncommitted leftovers of a crashed prior attempt at this gen
+    fs(spark, root).delete(new Path(s"$root/gen=$next"), true)
+    df.repartitionByRange(nFiles.toInt, col(sortCol))
+      .write.option("maxRecordsPerFile", targetRowsPerFile)
+      .parquet(dataPath(root, next))
+    commitGen(spark, root, next, statsCols, bloomCols)
+    // vacuum: committed pointer versions beyond retention, then every
+    // generation no retained pointer references
+    val f = fs(spark, root)
+    val versions = pointerVersions(spark, root).sorted
+    versions.dropRight(RetainGens + 1).foreach { v =>
+      f.delete(new Path(s"$root/_current/v=$v"), true)
+    }
+    val liveGens = pointerVersions(spark, root).map(v =>
+      spark.read.parquet(s"$root/_current/v=$v").head().getLong(0)).toSet
+    f.listStatus(new Path(root)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+      .map(_.getPath.getName.stripPrefix("gen=").toLong)
+      .filterNot(liveGens)
+      .foreach(g => f.delete(new Path(s"$root/gen=$g"), true))
+    next
+  }
+
+  /** The persisted stats manifest / Bloom index of a generation. */
+  def statsManifest(spark: SparkSession, root: String, gen: Long): DataFrame =
+    spark.read.parquet(statsPath(root, gen))
+  def bloomIndex(spark: SparkSession, root: String, gen: Long): DataFrame =
+    spark.read.parquet(bloomPath(root, gen))
+
+  /** Box-pruned scan of the CURRENT generation through its own persisted
+    * manifest — the read path that stays fast across maintenance cycles. */
+  def readCurrentPruned(spark: SparkSession, root: String,
+                        ranges: Seq[(String, Double, Double)],
+                        residual: Column): DataFrame = {
+    val g = currentGen(spark, root)
+    StatsManifest.readPruned(spark, dataPath(root, g),
+      statsManifest(spark, root, g), ranges, residual)
+  }
+
+  /** Bloom-pruned point lookup on the current generation. */
+  def pointLookupCurrent(spark: SparkSession, root: String,
+                         column: String, value: Column): DataFrame = {
+    val g = currentGen(spark, root)
+    BloomSkipIndex.readPruned(spark, dataPath(root, g),
+      bloomIndex(spark, root, g), column, value)
+  }
+}

@@ -21,10 +21,14 @@ import graft.dedup.{Jaccard, MinHashLSH}
   * executors by the (band, bucket) grouping key, with no corpus-wide
   * shuffle per increment (only the increment is banded). Emitted work is
   * proportional to true bucket collisions, exactly like the batch bucket
-  * equi-join. In production the state is bounded the standard way —
-  * `GroupStateTimeout.ProcessingTimeTimeout` (or an event-time watermark)
-  * evicts buckets untouched for the dedup horizon; the tests run
-  * NoTimeout so stream ≡ batch holds exactly.
+  * equi-join. In production the state is bounded by
+  * [[candidatePairsWithTTL]]: an event-time watermark +
+  * `GroupStateTimeout.EventTimeTimeout` evicts buckets untouched for the
+  * dedup horizon (StreamNearDupSpec EXERCISES the eviction: state row
+  * count shrinks past the horizon, in-horizon pairs still emit, and the
+  * documented recall loss — a duplicate arriving after its partner's
+  * bucket aged out goes undetected — is pinned, not hand-waved). The
+  * unbounded variants run NoTimeout so stream ≡ batch holds exactly.
   *
   * Candidate verification stays OUT of the stream: exact Jaccard needs the
   * shingle sets of both sides, i.e. a lookup against the document store, so
@@ -43,6 +47,10 @@ object StreamNearDup {
 
   /** One doc's membership in one LSH band bucket. */
   final case class BandedDoc(doc_id: Long, band: Int, bucket: String)
+
+  /** [[BandedDoc]] plus the document's event time — the TTL path's row. */
+  final case class BandedDocT(doc_id: Long, ts: java.sql.Timestamp,
+                              band: Int, bucket: String)
 
   /** Candidate near-dup pair, doc_a < doc_b. */
   final case class CandPair(doc_a: Long, doc_b: Long)
@@ -87,6 +95,66 @@ object StreamNearDup {
       .groupByKey(bd => (bd.band, bd.bucket))
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(pairBucket)
+  }
+
+  /** Banded rows carrying event time, for the TTL path: same codegen
+    * banding kernel, with `ts` passed through beside each (band, bucket)
+    * row (a post-banding join would be a second stateful op in a stream). */
+  def bandedDocsWithTime(docs: DataFrame): DataFrame =
+    MinHashLSH.bandBucketsFromArrays(
+      docs.select(col("doc_id"), col("ts"),
+        Jaccard.shingleArray(col("text")).as("shingles")),
+      carry = Seq("ts"))
+
+  /** [[pairBucket]] under an event-time TTL: a bucket untouched (no new
+    * member) for `ttlMs` of event time past its last arrival is evicted —
+    * O(1) state per live bucket window instead of per corpus lifetime.
+    * Every arrival refreshes the bucket's timeout (timestamp = max event
+    * time seen in the batch + TTL), so a hot bucket never ages out while
+    * it keeps matching. The trade is explicit: a duplicate arriving after
+    * its partner's bucket expired is NOT detected — the dedup horizon. */
+  private[streaming] def pairBucketTTL(ttlMs: Long)(
+      key: (Int, String), rows: Iterator[BandedDocT],
+      state: GroupState[Seq[Long]]): Iterator[CandPair] = {
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val rs = rows.toSeq
+      val prev = state.getOption.getOrElse(Seq.empty)
+      val seen = prev.toSet
+      val fresh = rs.map(_.doc_id).distinct.filterNot(seen).sorted
+      val horizon = rs.map(_.ts.getTime).max + ttlMs
+      if (fresh.isEmpty) {
+        // all members already known ⇒ state exists; refresh its horizon
+        // (setTimeoutTimestamp requires existing state, hence the order)
+        state.setTimeoutTimestamp(horizon)
+        Iterator.empty
+      } else {
+        state.update(prev ++ fresh)
+        state.setTimeoutTimestamp(horizon)
+        val cross = for { b <- fresh.iterator; a <- prev.iterator }
+          yield CandPair(math.min(a, b), math.max(a, b))
+        val within = for {
+          i <- fresh.indices.iterator; j <- (i + 1 until fresh.size).iterator
+        } yield CandPair(fresh(i), fresh(j))
+        cross ++ within
+      }
+    }
+  }
+
+  /** [[candidatePairs]] with bounded state: event-time watermark
+    * (`watermarkDelay`) + per-bucket TTL eviction. The production 100 TB
+    * ingest shape — state is O(buckets touched inside the horizon), not
+    * O(corpus); pairs within the horizon match the batch oracle exactly,
+    * pairs spanning more than the horizon are the documented recall
+    * loss. `banded` must come from [[bandedDocsWithTime]]. */
+  def candidatePairsWithTTL(banded: DataFrame, watermarkDelay: String,
+                            ttlMs: Long): Dataset[CandPair] = {
+    import banded.sparkSession.implicits._
+    banded.withWatermark("ts", watermarkDelay)
+      .as[BandedDocT]
+      .groupByKey(bd => (bd.band, bd.bucket))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(pairBucketTTL(ttlMs))
   }
 
   /** The already-ingested corpus's bucket membership in the form

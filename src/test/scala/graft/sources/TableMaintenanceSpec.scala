@@ -1,0 +1,84 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The maintenance-transaction contract: compaction RESTORES file
+  * skipping. Before: an unclustered ingest-debris generation where every
+  * file's min/max box spans the whole key range (pruning keeps all files)
+  * — and, crucially, where the OLD generation's manifest says nothing
+  * about the new files (conservative keeps ⇒ zero skipping), which is the
+  * silent degradation maintain() exists to close. After maintain():
+  * the clustered generation's re-harvested manifest prunes real files,
+  * the Bloom index prunes point lookups, the pointer names the new
+  * generation, and the pruned reads stay bit-identical to full scans. */
+class TableMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val root = {
+    val r = s"${sys.props("java.io.tmpdir")}/graft-maint-spec"
+    val fs = new org.apache.hadoop.fs.Path(r)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(r), true)
+    // 20k rows keyed 0..19999; gen 1 written by 8 unclustered writers so
+    // every file spans ~the full key range
+    val df = (0 until 20000).map(i => (i.toLong, i % 7, i.toDouble))
+      .toDF("k", "grp", "value")
+    df.repartition(8).write.parquet(TableMaintenance.dataPath(r, 1L))
+    TableMaintenance.initGen(spark, r, Seq("k"), Seq("k"))
+    r
+  }
+
+  private def allFiles(gen: Long): Seq[String] =
+    StatsManifest.listFiles(spark, TableMaintenance.dataPath(root, gen))
+
+  test("before maintenance: unclustered boxes prune nothing (the degraded baseline)") {
+    assert(TableMaintenance.currentGen(spark, root) == 1L)
+    val kept = StatsManifest.prunedFiles(
+      TableMaintenance.statsManifest(spark, root, 1L), allFiles(1L),
+      Seq(("k", 100.0, 300.0)))
+    assert(kept.size == allFiles(1L).size,
+      "8 unclustered writers must produce full-range boxes — nothing prunable")
+  }
+
+  test("maintain() compacts clustered, re-harvests, flips the pointer, and skipping works") {
+    val next = TableMaintenance.maintain(spark, root, "k", 2500L, Seq("k"), Seq("k"))
+    assert(TableMaintenance.currentGen(spark, root) == next)
+
+    // the OLD manifest knows none of the new files: conservative keeps ⇒
+    // zero pruning — exactly the degradation the one-call transaction closes
+    val staleKept = StatsManifest.prunedFiles(
+      TableMaintenance.statsManifest(spark, root, 1L), allFiles(next),
+      Seq(("k", 100.0, 300.0)))
+    assert(staleKept.size == allFiles(next).size,
+      "a stale manifest must keep everything (conservative), i.e. prune nothing")
+
+    // the RE-HARVESTED manifest prunes: range-clustered files have tight
+    // boxes, so a narrow box keeps only a sliver of the 8 files
+    val freshKept = StatsManifest.prunedFiles(
+      TableMaintenance.statsManifest(spark, root, next), allFiles(next),
+      Seq(("k", 100.0, 300.0)))
+    assert(allFiles(next).size >= 4, "compaction target must yield several files")
+    assert(freshKept.size < allFiles(next).size,
+      s"re-harvested manifest must skip files: kept ${freshKept.size}/${allFiles(next).size}")
+
+    // pruned read ≡ full filtered scan, bit-for-bit
+    val pruned = TableMaintenance.readCurrentPruned(spark, root,
+        Seq(("k", 100.0, 300.0)), col("k").between(100, 300))
+      .select("k", "grp", "value").collect().map(_.mkString("|")).toSet
+    val full = spark.read.parquet(TableMaintenance.dataPath(root, next))
+      .where(col("k").between(100, 300))
+      .select("k", "grp", "value").collect().map(_.mkString("|")).toSet
+    assert(pruned == full)
+
+    // Bloom point lookup on the maintained generation: pruned and exact
+    val bloomKept = BloomSkipIndex.prunedFiles(
+      TableMaintenance.bloomIndex(spark, root, next), allFiles(next),
+      "k", lit(12345L))
+    assert(bloomKept.size < allFiles(next).size,
+      s"bloom must skip files for a point key: kept ${bloomKept.size}/${allFiles(next).size}")
+    val hit = TableMaintenance.pointLookupCurrent(spark, root, "k", lit(12345L))
+      .select("k").as[Long].collect().toSeq
+    assert(hit == Seq(12345L))
+  }
+}
