@@ -284,6 +284,7 @@ object IvfIndex {
   def writeIndex(vecs: DataFrame, path: String, nCells: Int = 16,
                  seed: Long = 42L, maxTrain: Int = 65536): Unit = {
     val (assigned, cents) = assign(vecs, nCells, seed, maxTrain)
+    IndexLedger.reset(vecs.sparkSession, path)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/assigned")
     cents.write.mode("overwrite").parquet(s"$path/centroids")
   }
@@ -297,18 +298,28 @@ object IvfIndex {
     * only on the centroids, the updated index is bit-identical to
     * rebuilding the assignment over base ∪ increment with the same
     * quantizer (IvfIncrementalSpec asserts store and probe equality), so
-    * probes keep pruning partitions unchanged. The documented limit is
-    * quantizer drift: after enough distribution shift the cells skew and
-    * recall decays, at which point the maintenance job is a refit +
-    * [[writeIndex]] rebuild — the ANN analogue of table compaction. */
+    * probes keep pruning partitions unchanged. A replayed increment would
+    * duplicate its vec_ids in the candidate stream, so `incrementId` is
+    * guarded by the store's [[IndexLedger]] high-water mark (monotone ids,
+    * single ingest writer — the MaterializedAgg.refreshOnce discipline):
+    * an orchestrator-retried append is a no-op returning false. The
+    * documented limit is quantizer drift: after enough distribution shift
+    * the cells skew and recall decays, at which point the maintenance job
+    * is a refit + [[writeIndex]] rebuild — the ANN analogue of table
+    * compaction. */
   def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-                    newVecs: DataFrame): Unit = {
-    val cents = spark.read.parquet(s"$path/centroids")
-      .orderBy("cell").collect()
-      .map(r => r.getAs[Seq[Double]]("centroid").toArray)
-    val assigned = newVecs.select(col("vec_id"), col("emb"),
-      graft.functions.NearestCell.nearest(spark, col("emb"), cents).as("cell"))
-    assigned.write.mode("append").partitionBy("cell").parquet(s"$path/assigned")
+                    newVecs: DataFrame, incrementId: Long): Boolean = {
+    if (incrementId <= IndexLedger.applied(spark, path)) false
+    else {
+      val cents = spark.read.parquet(s"$path/centroids")
+        .orderBy("cell").collect()
+        .map(r => r.getAs[Seq[Double]]("centroid").toArray)
+      val assigned = newVecs.select(col("vec_id"), col("emb"),
+        graft.functions.NearestCell.nearest(spark, col("emb"), cents).as("cell"))
+      assigned.write.mode("append").partitionBy("cell").parquet(s"$path/assigned")
+      IndexLedger.record(spark, path, incrementId)
+      true
+    }
   }
 
   /** Probe a stored index. The union of probed cells is collected first —

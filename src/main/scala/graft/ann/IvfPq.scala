@@ -85,6 +85,7 @@ object IvfPq {
     // centroids/codebooks — readers refuse an unmarked store
     val (fs, marker) = commitMarker(spark, path)
     fs.delete(marker, false)
+    IndexLedger.reset(spark, path)
     val (coarse, cbs) = fitBoth(vecs, dim, nCells, m, codes, seed, maxTrain)
     indexRows(vecs, coarse, cbs)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
@@ -124,20 +125,36 @@ object IvfPq {
     * cell partitions. O(increment) per ingest, no refit, no rewrite;
     * because every index column is a per-row function of the stored
     * metadata, append ≡ bulk-indexing the union with the same quantizer
-    * (IvfPqSpec asserts it row-for-row). PRECONDITION: increments must be
-    * disjoint from the indexed set (and from each other) — a replayed
-    * vec_id doubles its ADC partials, inflating its approximate score by
-    * √2 and crowding real neighbours out of the re-rank pool with no
-    * error anywhere. Dedupe at the ingest layer (the dedup_incremental
-    * operator / an applied-batch ledger like MaterializedAgg.refreshOnce);
-    * this method deliberately does not scan the index per append to
-    * re-check. Drift limit as for IVF: enough distribution shift ⇒
-    * refit + [[writeIndex]] rebuild. */
+    * (IvfPqSpec asserts it row-for-row).
+    *
+    * Replay/crash protection (the round-11 ADVICE fix — a replayed vec_id
+    * doubles its ADC partials, inflating its approximate score by √2 and
+    * crowding real neighbours out of the re-rank pool with no error
+    * anywhere): `incrementId` is checked against the store's
+    * [[IndexLedger]] high-water mark, so an orchestrator-retried or
+    * `foreachBatch`-replayed increment is a NO-OP (returns false), and the
+    * `_index_commit` marker is dropped for the duration of the append —
+    * a crash mid-append leaves the store explicitly unreadable (probes
+    * refuse, recovery = [[writeIndex]] rebuild) instead of silently
+    * serving partially or doubly coded rows. Increment ids must be
+    * monotone per store (single ingest writer), like
+    * MaterializedAgg.refreshOnce's batch ids. Distinctness of vec_ids
+    * ACROSS increments remains the ingest layer's contract (the
+    * dedup_incremental operator). Drift limit as for IVF: enough
+    * distribution shift ⇒ refit + [[writeIndex]] rebuild. */
   def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-                    newVecs: DataFrame): Unit = {
+                    newVecs: DataFrame, incrementId: Long): Boolean = {
     val (coarse, cbs) = readMeta(spark, path)
-    indexRows(newVecs, coarse, cbs)
-      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+    if (incrementId <= IndexLedger.applied(spark, path)) false
+    else {
+      val (fs, marker) = commitMarker(spark, path)
+      fs.delete(marker, false)
+      indexRows(newVecs, coarse, cbs)
+        .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+      IndexLedger.record(spark, path, incrementId)
+      fs.create(marker, true).close()
+      true
+    }
   }
 
   /** Probe a stored index: centroids/codebooks are metadata reads, the

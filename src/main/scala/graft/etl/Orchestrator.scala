@@ -45,13 +45,18 @@ object Orchestrator {
   }
 
   /** The reference's daily pipeline shape: bars → features → signals, with
-    * fundamentals and sentiment independent branches. */
+    * fundamentals and sentiment independent branches. Configured with the
+    * SAME window/ribbon periods as the registered signal queries
+    * (SignalQueries — testdata histories are 30 bars), so the registered
+    * `pipeline_daily_run` status report can reuse their oracle CTEs. */
   def dailyPipeline: Seq[Step] = Seq(
     Step("bars", Nil, (s, d, _) => graft.features.Bars.daily(graft.Tables.events(s, d))),
     Step("features", Seq("bars"), (_, _, r) =>
       graft.features.Recursive.withRecursive(
-        graft.features.Indicators.withHighLow(graft.features.Indicators.windowed(r("bars"))))),
-    Step("signals", Seq("features"), (_, _, r) => graft.signals.Strategies.all(r("features"))),
+        graft.features.Indicators.withHighLow(
+          graft.features.Indicators.windowed(r("bars"), Seq(3, 5, 10, 20, 50))))),
+    Step("signals", Seq("features"), (_, _, r) =>
+      graft.signals.Strategies.all(r("features"), ribbonPeriods = Seq(3, 5, 10, 20), trendSma = 20)),
     Step("fundamentals", Nil, (s, d, _) => graft.fundamentals.Statements.full(s, d)),
     Step("sentiment", Nil, (s, d, _) => graft.text.SentimentAgg.aggregated(s, d)))
 }

@@ -352,6 +352,50 @@ object EtlQueries {
       |FROM events
       |GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** The dependency-ordered daily pipeline run end-to-end
+    * (graft.etl.Orchestrator — transforms/run_daily_transform.py:1-424):
+    * plan() topologically orders the five reference stages (bars →
+    * features → signals, with fundamentals and sentiment as independent
+    * branches), run() executes them reusing upstream results, and the
+    * registered output is the per-stage status report: topological
+    * position, dependency list, and the stage's produced row count. The
+    * oracle recomputes every stage's cardinality from raw parquet through
+    * the SAME CTE chains the stage queries are checked against
+    * (SignalQueries.featCte / allFlagsSubquery for the bar→signal spine,
+    * FundamentalQueries.prelude for the statement grain, the document
+    * (source, lang) grain for sentiment) — so the orchestration wiring,
+    * not just each stage in isolation, is oracle-anchored. */
+  private val pipelineDailyRun = Q(
+    (s, d) => {
+      val steps = graft.etl.Orchestrator.dailyPipeline
+      val planned = graft.etl.Orchestrator.plan(steps)
+      val results = graft.etl.Orchestrator.run(s, d, steps)
+      val rows = planned.zipWithIndex.map { case (st, i) =>
+        (i + 1, st.name, st.deps.sorted.mkString(","), results(st.name).count())
+      }
+      import s.implicits._
+      rows.toDF("position", "step", "deps", "n_rows").orderBy("position")
+    },
+    s"""${SignalQueries.featCte},
+       |sigall AS MATERIALIZED (
+       |  ${SignalQueries.allFlagsSubquery}
+       |),
+       |${FundamentalQueries.prelude.stripPrefix("WITH ")}
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS INTEGER) AS position, 'bars' AS step, '' AS deps,
+       |         (SELECT COUNT(*) FROM b) AS n_rows
+       |  UNION ALL
+       |  SELECT 2, 'features', 'bars', (SELECT COUNT(*) FROM feat)
+       |  UNION ALL
+       |  SELECT 3, 'fundamentals', '', (SELECT COUNT(*) FROM fz)
+       |  UNION ALL
+       |  SELECT 4, 'sentiment', '',
+       |         (SELECT COUNT(*) FROM (SELECT DISTINCT source, lang FROM documents))
+       |  UNION ALL
+       |  SELECT 5, 'signals', 'features', (SELECT COUNT(*) FROM sigall)
+       |)
+       |ORDER BY position""".stripMargin)
+
   /** The full table-maintenance TRANSACTION (graft.sources.TableMaintenance):
     * compact + re-harvest both skipping indexes + generation-pointer flip as
     * one entry point — closing the round-11 gap where compaction wrote a new
@@ -585,6 +629,7 @@ object EtlQueries {
     "events_day_scan" -> eventsDayScan,
     "events_compaction" -> eventsCompaction,
     "events_maintenance_cycle" -> eventsMaintenanceCycle,
+    "pipeline_daily_run" -> pipelineDailyRun,
     "mv_incremental_refresh" -> mvIncrementalRefresh,
     "events_skipping_scan" -> eventsSkippingScan,
     "events_point_lookup" -> eventsPointLookup,

@@ -143,7 +143,7 @@ object FundamentalQueries {
        |  FROM fx
        |)""".stripMargin
 
-  private val prelude = s"WITH $stmtCte,\n$ratioCte,\n$winCte"
+  private[queries] val prelude = s"WITH $stmtCte,\n$ratioCte,\n$winCte"
 
   // ---------------------------------------------------------------- queries
   private def sel(df: org.apache.spark.sql.DataFrame,

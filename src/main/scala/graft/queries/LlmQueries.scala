@@ -412,7 +412,7 @@ object LlmQueries {
         .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
       val path = s"${sys.props("java.io.tmpdir")}/graft-ivf-incr-${Integer.toHexString(d.hashCode)}"
       graft.ann.IvfIndex.writeIndex(e.where(col("vec_id") % 10 =!= 7), path)
-      graft.ann.IvfIndex.appendToIndex(s, path, e.where(col("vec_id") % 10 === 7))
+      graft.ann.IvfIndex.appendToIndex(s, path, e.where(col("vec_id") % 10 === 7), incrementId = 1L)
       graft.ann.IvfIndex.approxTopKStored(s, path, q, k = 10).orderBy("query_id", "rank")
     },
     s"""WITH ${ivfFitCtes(k = 16, iters = 5, dim = 64, seed = 42L, maxTrain = 65536,
@@ -629,7 +629,7 @@ object LlmQueries {
         .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
       val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-incr-${Integer.toHexString(d.hashCode)}"
       graft.ann.IvfPq.writeIndex(e.where(col("vec_id") % 10 =!= 7), path, dim = 64)
-      graft.ann.IvfPq.appendToIndex(s, path, e.where(col("vec_id") % 10 === 7))
+      graft.ann.IvfPq.appendToIndex(s, path, e.where(col("vec_id") % 10 === 7), incrementId = 1L)
       graft.ann.IvfPq.approxTopKStored(s, path, e, q, k = 10, dim = 64)
         .orderBy("query_id", "rank")
     },

@@ -161,12 +161,22 @@ object StreamNearDup {
     * `flatMapGroupsWithState` preloads: one (band, bucket) → member-ids
     * state row per occupied bucket — built with ONE batch banding pass
     * over the corpus, never re-run per increment. */
-  def initialBucketState(corpus: DataFrame): org.apache.spark.sql.KeyValueGroupedDataset[(Int, String), Seq[Long]] = {
-    import corpus.sparkSession.implicits._
+  def initialBucketState(corpus: DataFrame): org.apache.spark.sql.KeyValueGroupedDataset[(Int, String), Seq[Long]] =
+    initialBucketStateFrom(bucketStateFrame(corpus))
+
+  /** The banding + per-bucket aggregation half of [[initialBucketState]],
+    * split out so a session can compute (and cache) it ONCE per corpus —
+    * re-seeding a fresh stream then pays only the state-store load, not a
+    * re-band of the whole corpus (the once-per-deployment cost the bench
+    * otherwise re-measures on every run). */
+  def bucketStateFrame(corpus: DataFrame): DataFrame =
     bandedDocs(corpus)
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("doc_id")).as("ids"))
-      .as[(Int, String, Seq[Long])]
+
+  def initialBucketStateFrom(frame: DataFrame): org.apache.spark.sql.KeyValueGroupedDataset[(Int, String), Seq[Long]] = {
+    import frame.sparkSession.implicits._
+    frame.as[(Int, String, Seq[Long])]
       .groupByKey { case (band, bucket, _) => (band, bucket) }
       .mapValues { case (_, _, ids) => ids }
   }

@@ -21,7 +21,9 @@ class IvfIncrementalSpec extends SparkSpec {
     val appended = s"$tmp/appended"; val rebuilt = s"$tmp/rebuilt"
 
     IvfIndex.writeIndex(base, appended)
-    IvfIndex.appendToIndex(spark, appended, inc)
+    assert(IvfIndex.appendToIndex(spark, appended, inc, incrementId = 1L))
+    // a replayed increment id must be a no-op (the ledger guard)
+    assert(!IvfIndex.appendToIndex(spark, appended, inc, incrementId = 1L))
 
     // rebuild: same base-fit centroids, one-shot assignment of the union
     IvfIndex.writeIndex(base, rebuilt)

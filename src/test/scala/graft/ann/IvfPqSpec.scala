@@ -69,7 +69,9 @@ class IvfPqSpec extends SparkSpec {
     val base = e.where(col("vec_id") % 10 =!= 7)
     val inc = e.where(col("vec_id") % 10 === 7)
     IvfPq.writeIndex(base, path, dim = 64)
-    IvfPq.appendToIndex(spark, path, inc)
+    assert(IvfPq.appendToIndex(spark, path, inc, incrementId = 1L))
+    // replay of the same increment id is a no-op: no doubled vec_ids/ADC partials
+    assert(!IvfPq.appendToIndex(spark, path, inc, incrementId = 1L))
     val stored = spark.read.parquet(s"$path/codes")
     assert(stored.count() == e.count(), "append must add every increment row exactly once")
     assert(stored.select("vec_id").distinct().count() == e.count())
