@@ -194,6 +194,93 @@ object IvfPq {
     Pq.adcRankExact(vecs, queries, pairs, rerank, k)
   }
 
+  /** FAISS's `by_residual = true` variant, behind its own entry point:
+    * codes quantize the RESIDUAL x − c(cell(x)) instead of the raw vector.
+    * At equal bits the codebooks spend their 2^bits centroids on the
+    * small within-cell displacement rather than the whole embedding
+    * spread, so quantization error — and therefore ADC ranking error —
+    * drops wherever the coarse cells capture real structure (clustered
+    * corpora); IvfPqResidualSpec demonstrates the recall win on a
+    * clustered fixture and no-regression on the synthetic corpus.
+    *
+    * The trade (why RAW coding stays the registered/incremental default):
+    * every code is coupled to its cell's centroid — a coarse-quantizer
+    * refit invalidates ALL stored codes (raw codes survive), the
+    * per-query LUT becomes per-(query, probed cell) (nProbe× bigger, the
+    * FAISS `use_precomputed_table` machinery), and appends must reproduce
+    * the residual against the exact stored centroid. Operationally
+    * simple beats marginally finer on the synthetic corpus; the flag
+    * exists for the clustered regimes where residual wins outright.
+    *
+    * Decomposition (disjoint subspaces make every term exact):
+    *   dot(q, x̂)  = Σ_j [ dot(q_j, c_cell,j) + dot(q_j, r̂_j) ]  (qc + qr)
+    *   |x̂|²       = Σ_j |c_cell,j + r̂_j|²                        (w2)
+    * qc rides a (query × probed cell × m) table, qr the usual
+    * (query × m × codes) LUT, w2 a (nCells × m × codes) metadata
+    * broadcast — the ADC tail then reuses [[Pq.adcRankExact]] verbatim
+    * with pdot = qc + qr and cn2 = w2. */
+  def approxTopKResidual(vecs: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                         nCells: Int = 16, nProbe: Int = 8,
+                         m: Int = Pq.SubSpaces, codes: Int = Pq.Codes, rerank: Int = Pq.Rerank,
+                         seed: Long = 42L, maxTrain: Int = 65536): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    require(nCells <= IvfIndex.DriverFitMaxCells,
+      s"single-collect IvfPq fit is for the driver regime (nCells <= ${IvfIndex.DriverFitMaxCells})")
+    val sd = dim / m
+    val sample = Pq.collectSample(vecs, seed, maxTrain)
+    val coarse = IvfIndex.lloydExact(sample, nCells, seed, IvfIndex.Iters)
+    // residual training set: x − its coarse centroid (sample is already
+    // driver-resident, so the subtraction is driver arithmetic)
+    def cellOf(x: Array[Double]): Int =
+      coarse.indices.minBy { c =>
+        var d2 = 0.0; var i = 0
+        while (i < x.length) { val df = x(i) - coarse(c)(i); d2 += df * df; i += 1 }
+        (d2, c)
+      }
+    val resSample = sample.map { case (id, x) =>
+      val c = coarse(cellOf(x)); (id, x.indices.map(i => x(i) - c(i)).toArray)
+    }
+    val cbs = Pq.fitFromSample(resSample, dim, m, codes, seed)
+
+    val cents = coarse.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "centroid")
+    // index rows: assign, subtract the cell centroid, code the residual
+    val assigned = vecs.select(col("vec_id"), col("emb"),
+      graft.functions.NearestCell.nearest(spark, col("emb"), coarse).as("cell"))
+    val resRows = assigned.join(broadcast(cents), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("emb"), col("centroid"), (a, b) => a - b).as("emb"))
+    val codeLong = Pq.meltCodes(
+      resRows.select(col("vec_id") +: col("cell") +: Pq.codeCols(spark, cbs): _*),
+      m, Seq("vec_id", "cell"))
+
+    // driver metadata tables: centroid subspace slices and |c_j + r̂|²
+    val cellSub = (for { c <- coarse.indices; j <- 0 until m }
+      yield (c, j, coarse(c).slice(j * sd, (j + 1) * sd).toSeq)).toDF("cell", "j", "csub")
+    val w2 = (for { c <- coarse.indices; j <- 0 until m; cd <- cbs(j).indices } yield {
+      val s = coarse(c).slice(j * sd, (j + 1) * sd).zip(cbs(j)(cd)).map { case (a, b) => a + b }
+      (c, j, cd, BigDecimal(s.map(v => v * v).sum).setScale(10, BigDecimal.RoundingMode.HALF_EVEN).toDouble)
+    }).toDF("cell", "j", "code", "cn2")
+
+    val qcells = IvfIndex.probeCells(queries, cents, nProbe).select("query_id", "cell")
+    import graft.functions.GraftFunctions.dot
+    val qc = qcells.join(queries, Seq("query_id")).join(broadcast(cellSub), Seq("cell"))
+      .select(col("query_id"), col("cell"), col("j"),
+        round(dot(spark, slice(col("qemb"), col("j") * sd + 1, lit(sd)), col("csub")), 10).as("qc"))
+    val qr = queries.crossJoin(broadcast(Pq.codebookDf(spark, cbs)))
+      .select(col("query_id"), col("j"), col("code"),
+        round(dot(spark, slice(col("qemb"), col("j") * sd + 1, lit(sd)), col("cent")), 10).as("qr"))
+    val pairs = qcells.join(codeLong, Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .join(qc, Seq("query_id", "cell", "j"))
+      .join(broadcast(qr), Seq("query_id", "j", "code"))
+      .join(broadcast(w2), Seq("cell", "j", "code"))
+      .select(col("query_id"), col("vec_id"),
+        (col("qc") + col("qr")).as("pdot"), col("cn2"))
+    Pq.adcRankExact(vecs, queries, pairs, rerank, k)
+  }
+
   /** ADC top-k over the probed cells only, then exact re-rank. Output
     * contract: (query_id, vec_id, cosine, rank), rank ≤ k. In-memory
     * variant of the [[writeIndex]]/[[approxTopKStored]] pair — same

@@ -92,13 +92,37 @@ object MinHashLSH {
       .select(col("doc_id") +: carry.map(col) :+ col("bb.band") :+ col("bb.bucket"): _*)
   }
 
+  /** Hot-bucket skew guard: a band bucket with more than this many members
+    * contributes NO candidate pairs. An m-member bucket yields m²/2 pairs,
+    * so one degenerate bucket (empty-ish signatures, boilerplate text, a
+    * million exact copies) turns the bucket join into the quadratic blowup
+    * LSH exists to avoid — the one dedup path with no explicit skew bound
+    * until round 12. The recall effect is documented and small: a bucket
+    * this hot means the band signature is degenerate, and genuinely
+    * near-dup members that large are exact-dup-like clusters the hash
+    * dedup (dedup_exact) catches upstream; ordinary near-dup pairs still
+    * collide in their other, non-degenerate bands. Mirrors the Jaccard
+    * inverted-index df-cap. The oracle replays the same rule (HAVING
+    * COUNT(*) <= cap on the bucket), so the contract is exact under ANY
+    * data, not just data that never trips it. */
+  val MaxBucketSize = 1024
+
   /** Candidate pairs from shared band buckets (bucket equi-join). */
   def candidates(docs: DataFrame): DataFrame =
     candidatesFromShingles(Jaccard.shingles(docs))
 
   def candidatesFromShingles(sh: DataFrame): DataFrame = {
     val bb = bandBuckets(sh)
-    bb.as("a").join(bb.as("b"),
+    // oversized buckets excluded BEFORE the self-join: the size rollup
+    // shuffles on the same (band, bucket) key the join uses, and the hot
+    // set is metadata-sized (buckets over cap), so the anti-join
+    // broadcasts — the guard never costs a corpus-sized extra exchange
+    val hot = bb.groupBy(col("band"), col("bucket"))
+      .count().where(col("count") > MaxBucketSize)
+      .select(col("band"), col("bucket"))
+    val cool = bb.join(org.apache.spark.sql.functions.broadcast(hot),
+      Seq("band", "bucket"), "left_anti")
+    cool.as("a").join(cool.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

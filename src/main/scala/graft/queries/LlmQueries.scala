@@ -90,9 +90,15 @@ object LlmQueries {
   // pairs (`candFilter`) — one oracle body covers all three.
   private[queries] def minhashNearDupSqlWith(candFilter: String): String =
     s"""WITH $minhashBandCtes,
+       |ok AS (
+       |  SELECT band, bucket FROM bands
+       |  GROUP BY 1, 2 HAVING COUNT(*) <= ${MinHashLSH.MaxBucketSize}
+       |),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
+       |  FROM bands a
+       |  JOIN ok ON a.band = ok.band AND a.bucket = ok.bucket
+       |  JOIN bands b
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
        |  $candFilter
        |),

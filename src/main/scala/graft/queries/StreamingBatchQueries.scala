@@ -285,7 +285,7 @@ object StreamingBatchQueries {
 
   private val streamNearDup = Q(
     (s, d) => runNearDupStream(s, d, "neardup-src2", Tables.documents(s, d))(
-      graft.streaming.StreamNearDup.candidatePairs),
+      banded => graft.streaming.StreamNearDup.candidatePairs(banded)),
     LlmQueries.minhashNearDupSql)
 
   /** The incremental-ingest shape of stream_neardup — the one a production

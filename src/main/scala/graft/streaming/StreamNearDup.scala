@@ -67,21 +67,33 @@ object StreamNearDup {
     * sets are arrival-order invariant because every pair is canonicalized
     * to doc_a < doc_b and each (old × new) + (new × new) pair surfaces in
     * exactly the trigger where its later member arrives. */
-  private[streaming] def pairBucket(
+  private[streaming] def pairBucket(cap: Int)(
       key: (Int, String), rows: Iterator[BandedDoc],
       state: GroupState[Seq[Long]]): Iterator[CandPair] = {
     val prev = state.getOption.getOrElse(Seq.empty)
     val seen = prev.toSet
-    val fresh = rows.map(_.doc_id).toSeq.distinct.filterNot(seen).sorted
-    if (fresh.isEmpty) Iterator.empty
+    // hot-bucket saturation backstop (MinHashLSH.MaxBucketSize, the batch
+    // path's skew guard): a saturated bucket stops adopting members and
+    // stops emitting — bounded state AND bounded emission under a
+    // degenerate bucket. Stream ≡ batch stays EXACT whenever no bucket
+    // saturates (the registered corpora and specs — batch drops a hot
+    // bucket's pairs entirely, the stream additionally emitted its first
+    // cap-arrivals' pairs before freezing, so the two diverge only past
+    // the cap; both bound the blowup).
+    val room = cap - prev.size
+    if (room <= 0) Iterator.empty
     else {
-      state.update(prev ++ fresh)
-      val cross = for { b <- fresh.iterator; a <- prev.iterator }
-        yield CandPair(math.min(a, b), math.max(a, b))
-      val within = for {
-        i <- fresh.indices.iterator; j <- (i + 1 until fresh.size).iterator
-      } yield CandPair(fresh(i), fresh(j))
-      cross ++ within
+      val fresh = rows.map(_.doc_id).toSeq.distinct.filterNot(seen).sorted.take(room)
+      if (fresh.isEmpty) Iterator.empty
+      else {
+        state.update(prev ++ fresh)
+        val cross = for { b <- fresh.iterator; a <- prev.iterator }
+          yield CandPair(math.min(a, b), math.max(a, b))
+        val within = for {
+          i <- fresh.indices.iterator; j <- (i + 1 until fresh.size).iterator
+        } yield CandPair(fresh(i), fresh(j))
+        cross ++ within
+      }
     }
   }
 
@@ -89,12 +101,13 @@ object StreamNearDup {
     * hold the bucket's members as state, emit pairs as they collide. The
     * output may repeat a pair that collides in several bands (same as the
     * batch bucket join pre-distinct) — the downstream verify dedups. */
-  def candidatePairs(banded: DataFrame): Dataset[CandPair] = {
+  def candidatePairs(banded: DataFrame,
+                     cap: Int = MinHashLSH.MaxBucketSize): Dataset[CandPair] = {
     import banded.sparkSession.implicits._
     banded.as[BandedDoc]
       .groupByKey(bd => (bd.band, bd.bucket))
       .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(pairBucket)
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(pairBucket(cap))
   }
 
   /** Banded rows carrying event time, for the TTL path: same codegen
@@ -113,7 +126,7 @@ object StreamNearDup {
     * time seen in the batch + TTL), so a hot bucket never ages out while
     * it keeps matching. The trade is explicit: a duplicate arriving after
     * its partner's bucket expired is NOT detected — the dedup horizon. */
-  private[streaming] def pairBucketTTL(ttlMs: Long)(
+  private[streaming] def pairBucketTTL(ttlMs: Long, cap: Int = MinHashLSH.MaxBucketSize)(
       key: (Int, String), rows: Iterator[BandedDocT],
       state: GroupState[Seq[Long]]): Iterator[CandPair] = {
     if (state.hasTimedOut) { state.remove(); Iterator.empty }
@@ -121,7 +134,12 @@ object StreamNearDup {
       val rs = rows.toSeq
       val prev = state.getOption.getOrElse(Seq.empty)
       val seen = prev.toSet
-      val fresh = rs.map(_.doc_id).distinct.filterNot(seen).sorted
+      // same saturation backstop as pairBucket; eviction eventually frees
+      // a hot bucket here, so saturation is per-horizon, not permanent
+      val room = cap - prev.size
+      val fresh =
+        if (room <= 0) Seq.empty
+        else rs.map(_.doc_id).distinct.filterNot(seen).sorted.take(room)
       val horizon = rs.map(_.ts.getTime).max + ttlMs
       if (fresh.isEmpty) {
         // all members already known ⇒ state exists; refresh its horizon
@@ -172,7 +190,11 @@ object StreamNearDup {
   def bucketStateFrame(corpus: DataFrame): DataFrame =
     bandedDocs(corpus)
       .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col("doc_id")).as("ids"))
+      // sorted + capped: the preloaded state honors the same hot-bucket
+      // bound as the live operator (a degenerate corpus bucket must not
+      // smuggle unbounded state in through the seed)
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1,
+        MinHashLSH.MaxBucketSize).as("ids"))
 
   def initialBucketStateFrom(frame: DataFrame): org.apache.spark.sql.KeyValueGroupedDataset[(Int, String), Seq[Long]] = {
     import frame.sparkSession.implicits._
@@ -196,6 +218,7 @@ object StreamNearDup {
     banded.as[BandedDoc]
       .groupByKey(bd => (bd.band, bd.bucket))
       .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout, initial)(pairBucket)
+        OutputMode.Append, GroupStateTimeout.NoTimeout, initial)(
+        pairBucket(MinHashLSH.MaxBucketSize))
   }
 }
