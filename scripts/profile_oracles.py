@@ -43,7 +43,10 @@ def main():
                                text=True, timeout=timeout)
             wall = time.time() - t0
             if r.returncode != 0:
-                status = "ERR: " + r.stderr.strip().splitlines()[-1][:120]
+                # OOM-killed children (the exact overload this profiler
+                # hunts) die with empty stderr — don't crash the sweep
+                lines = r.stderr.strip().splitlines() or [f"exit {r.returncode}"]
+                status = "ERR: " + lines[-1][:120]
             else:
                 status = r.stdout.strip()
         except subprocess.TimeoutExpired:

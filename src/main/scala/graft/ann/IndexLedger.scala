@@ -9,36 +9,50 @@ import org.apache.spark.sql.SparkSession
   * partials — the documented √2 score inflation with no error anywhere),
   * and orchestrators / `foreachBatch` re-deliver the last batch after a
   * crash; increment ids from one ingest stream are monotone and only the
-  * last is replayed, so one mark file suffices (the
-  * [[graft.etl.MaterializedAgg.refreshOnce]] discipline, single-writer). */
+  * last is replayed, so one high-water mark suffices (the
+  * [[graft.etl.MaterializedAgg.refreshOnce]] discipline, single-writer).
+  *
+  * The mark is FILENAME-encoded: each applied id is an empty file
+  * `_applied/inc-<id>`, and [[applied]] is the max parsed id. A file
+  * create is all-or-nothing at the name level, so there is no
+  * partial-content corruption window at all — the hazard a truncate-then-
+  * write scalar file has (crash mid-write ⇒ empty file ⇒ every later
+  * parse throws and the store wedges until hand repair). Old mark files
+  * beyond the newest few are pruned opportunistically on record. */
 object IndexLedger {
 
-  private def markPath(path: String) = new Path(s"$path/_applied_increment")
+  private def dirPath(path: String) = new Path(s"$path/_applied")
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def applied(spark: SparkSession, path: String): Long = {
+  private def ids(spark: SparkSession, path: String): Seq[Long] = {
     val f = fs(spark, path)
-    val p = markPath(path)
-    if (!f.exists(p)) -1L
-    else {
-      val in = f.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-      finally in.close()
-    }
+    val d = dirPath(path)
+    if (!f.exists(d)) Seq.empty
+    else f.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("inc-"))
+      .flatMap(n => n.stripPrefix("inc-").toLongOption)
   }
 
+  def applied(spark: SparkSession, path: String): Long =
+    ids(spark, path).maxOption.getOrElse(-1L)
+
   def record(spark: SparkSession, path: String, incrementId: Long): Unit = {
-    val out = fs(spark, path).create(markPath(path), true)
-    try out.write(incrementId.toString.getBytes("UTF-8")) finally out.close()
+    val f = fs(spark, path)
+    f.mkdirs(dirPath(path))
+    f.create(new Path(dirPath(path), s"inc-$incrementId"), true).close()
+    // prune superseded marks (keep a small tail for post-mortems)
+    ids(spark, path).sorted.dropRight(4).foreach { i =>
+      f.delete(new Path(dirPath(path), s"inc-$i"), false)
+    }
   }
 
   /** A full rebuild starts a fresh increment history — writeIndex calls
     * this, else a rebuilt store would silently no-op the first replayed
     * increment id of the new stream. */
   def reset(spark: SparkSession, path: String): Unit = {
-    fs(spark, path).delete(markPath(path), false)
+    fs(spark, path).delete(dirPath(path), true)
     ()
   }
 }

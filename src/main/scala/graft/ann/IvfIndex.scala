@@ -276,6 +276,24 @@ object IvfIndex {
     rescoreTopK(probeCells(queries, cents, nProbe), assigned, k)
   }
 
+  /** Commit marker shared by the IVF store's write/append/probe paths —
+    * the same crash-loudness discipline [[IvfPq]] has had since round 11
+    * (its absence here was a round-12 review finding): the marker is
+    * dropped before any store mutation and re-created only after every
+    * piece landed, so a torn rebuild (new `assigned` beside stale
+    * `centroids`) or a crashed append can never be read as a healthy
+    * index — probes refuse, recovery is a [[writeIndex]] rebuild. */
+  private def commitMarker(spark: org.apache.spark.sql.SparkSession, path: String) =
+    (org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(s"$path/_index_commit"))
+
+  private def requireCommitted(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val (fs, marker) = commitMarker(spark, path)
+    require(fs.exists(marker),
+      s"$path has no _index_commit marker: writeIndex/append did not complete (or is mid-mutation)")
+  }
+
   /** Materialize the index in the layout the header promises: assignments
     * written `partitionBy(cell)` (one directory per cell) with the centroid
     * table beside them. A stored probe then reads only the probed cells'
@@ -283,10 +301,14 @@ object IvfIndex {
     * reshuffle of the whole assigned-vector frame per query batch. */
   def writeIndex(vecs: DataFrame, path: String, nCells: Int = 16,
                  seed: Long = 42L, maxTrain: Int = 65536): Unit = {
+    val spark = vecs.sparkSession
+    val (fs, marker) = commitMarker(spark, path)
+    fs.delete(marker, false)
     val (assigned, cents) = assign(vecs, nCells, seed, maxTrain)
-    IndexLedger.reset(vecs.sparkSession, path)
+    IndexLedger.reset(spark, path)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/assigned")
     cents.write.mode("overwrite").parquet(s"$path/centroids")
+    fs.create(marker, true).close()
   }
 
   /** Incremental index maintenance — the production ANN ingest path: new
@@ -309,8 +331,15 @@ object IvfIndex {
     * compaction. */
   def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     newVecs: DataFrame, incrementId: Long): Boolean = {
+    requireCommitted(spark, path)
     if (incrementId <= IndexLedger.applied(spark, path)) false
     else {
+      // marker dropped for the append window: a crash after data landed
+      // but before the ledger advanced must NOT let the retry silently
+      // re-append (the review-found double-append) — with the marker gone
+      // the retry (and every probe) fails loudly instead
+      val (fs, marker) = commitMarker(spark, path)
+      fs.delete(marker, false)
       val cents = spark.read.parquet(s"$path/centroids")
         .orderBy("cell").collect()
         .map(r => r.getAs[Seq[Double]]("centroid").toArray)
@@ -318,6 +347,7 @@ object IvfIndex {
         graft.functions.NearestCell.nearest(spark, col("emb"), cents).as("cell"))
       assigned.write.mode("append").partitionBy("cell").parquet(s"$path/assigned")
       IndexLedger.record(spark, path, incrementId)
+      fs.create(marker, true).close()
       true
     }
   }
@@ -329,6 +359,7 @@ object IvfIndex {
     * IvfStoreSpec on the scan's partition count). */
   def approxTopKStored(spark: org.apache.spark.sql.SparkSession, path: String,
                        queries: DataFrame, k: Int, nProbe: Int = 8): DataFrame = {
+    requireCommitted(spark, path)
     val cents = spark.read.parquet(s"$path/centroids")
     val qcells = probeCells(queries, cents, nProbe)
     val probed = qcells.select("cell").distinct().collect()

@@ -112,7 +112,12 @@ object MinHashLSH {
     candidatesFromShingles(Jaccard.shingles(docs))
 
   def candidatesFromShingles(sh: DataFrame): DataFrame = {
-    val bb = bandBuckets(sh)
+    // localCheckpoint: the banding kernel (signature + band explode) now
+    // has THREE consumers — the hot-bucket rollup and both self-join
+    // sides — and they cannot share a plan subtree, so without the
+    // materialization the corpus-sized banding pass would run three times
+    // (review finding; the oracle shares its `bands` CTE the same way)
+    val bb = bandBuckets(sh).localCheckpoint()
     // oversized buckets excluded BEFORE the self-join: the size rollup
     // shuffles on the same (band, bucket) key the join uses, and the hot
     // set is metadata-sized (buckets over cap), so the anti-join

@@ -74,18 +74,11 @@ object MaterializedAgg {
 
   // ------------------------------------------------------------ manifest
 
-  /** Committed manifest versions: a `v=N` dir counts when `_SUCCESS`
-    * exists (Spark's committer writes it last) — a crashed manifest write
-    * is invisible, so readers always resolve a complete flip. */
-  private def manifestVersions(spark: SparkSession, root: String): Seq[Long] = {
-    val fs = fileSystem(spark, root)
-    val p = new Path(s"$root/_manifest")
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v=") &&
-        fs.exists(new Path(s.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.stripPrefix("v=").toLong)
-  }
+  /** Committed manifest versions — the shared `_SUCCESS`-gated protocol
+    * ([[graft.sources.CommittedVersions]]): a crashed manifest write is
+    * invisible, so readers always resolve a complete flip. */
+  private def manifestVersions(spark: SparkSession, root: String): Seq[Long] =
+    graft.sources.CommittedVersions.list(spark, s"$root/_manifest")
 
   private def readManifest(spark: SparkSession, root: String): (Long, Seq[MvManifestRow]) = {
     val v = manifestVersions(spark, root).maxOption.getOrElse(

@@ -80,16 +80,8 @@ object Watermarks {
     * mid-write directory is invisible to [[latestVersion]]/[[readState]]
     * and a restart genuinely resumes from the previous commit — the
     * crash-safety half of the [[writeState]] contract. */
-  private def versions(spark: SparkSession, root: String): Seq[Long] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(root)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v=") &&
-        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.stripPrefix("v=").toLong)
-  }
+  private def versions(spark: SparkSession, root: String): Seq[Long] =
+    graft.sources.CommittedVersions.list(spark, root)
 
   def latestVersion(spark: SparkSession, root: String): Option[Long] =
     versions(spark, root).maxOption

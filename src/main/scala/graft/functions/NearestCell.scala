@@ -102,23 +102,34 @@ object NearestCell {
     md.digest().map("%02x".format(_)).mkString
   }
 
+  private val transientCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Column API. Registers a temp function binding THIS centroid matrix
     * (the registry path avoids private Column ctors, same as
-    * [[GraftFunctions.dot]]), keyed by content so repeated calls with the
-    * same matrix share one entry. Callers whose plan is consumed eagerly
-    * AND whose matrix is transient (the distributed Lloyd's iterations —
-    * a different interim matrix every iteration) should use
-    * [[nearestNamed]] + [[drop]] to release each snapshot; long-lived
-    * matrices (the memoized final fit) can stay registered — one k·d
-    * array per distinct fit. */
-  def nearest(spark: SparkSession, emb: Column, cents: Array[Array[Double]]): Column =
-    nearestNamed(spark, emb, cents)._2
+    * [[GraftFunctions.dot]]), keyed by CONTENT so repeated calls with the
+    * same matrix share one entry — the registry stays bounded by the
+    * number of distinct fitted matrices, never by query executions.
+    * Content-keyed entries are NEVER dropped (a shared name one caller
+    * could drop from under another's unanalyzed plan would be a race);
+    * a handful of k·d arrays per session is the accepted residency.
+    * Callers whose matrix is TRANSIENT (the distributed Lloyd's
+    * iterations — a different interim matrix every pass) use
+    * [[nearestNamed]] + [[drop]] instead. */
+  def nearest(spark: SparkSession, emb: Column, cents: Array[Array[Double]]): Column = {
+    val name = s"graft_nearest_cell_${contentKey(cents)}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => NearestCell(exprs.head, cents), "built-in")
+    org.apache.spark.sql.functions.call_function(name, emb)
+  }
 
-  /** [[nearest]] plus the registered function name, for eager consumers
-    * that drop the registration (and its captured centroids) after use. */
+  /** Uniquely-named registration for eager consumers that [[drop]] the
+    * entry (and its captured centroids) after their plan executes. The
+    * per-call unique suffix makes drop race-free under concurrent
+    * identical fits — two callers can never share (and so never yank) one
+    * another's registration, which a pure content key would allow. */
   def nearestNamed(spark: SparkSession, emb: Column,
                    cents: Array[Array[Double]]): (String, Column) = {
-    val name = s"graft_nearest_cell_${contentKey(cents)}"
+    val name = s"graft_nearest_cell_${contentKey(cents)}_t${transientCounter.incrementAndGet()}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, exprs => NearestCell(exprs.head, cents), "built-in")
     (name, org.apache.spark.sql.functions.call_function(name, emb))

@@ -311,8 +311,12 @@ object StreamingBatchQueries {
       // bucket-aggregated ONCE per deployment — exactly the production
       // amortization — so repeated runs (the bench's min-of-N) pay only
       // the state-store load per fresh stream, not a corpus re-band
+      // the fingerprint rides the CACHE key too: regenerated testdata at
+      // the same path must invalidate the memoized seed exactly like it
+      // invalidates the staged stream dir (review finding — a stale seed
+      // would pair old bucket state with the new corpus's arrivals)
       val seed = graft.sqlx.FrameCache.getOrElseUpdate(
-        graft.sqlx.FrameCache.key(s, "neardup-seed", d))(
+        graft.sqlx.FrameCache.key(s, "neardup-seed", d, sourceFingerprint(s, d)))(
         graft.streaming.StreamNearDup.bucketStateFrame(
           Tables.documents(s, d).where(col("doc_id") % 7 =!= 3))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))

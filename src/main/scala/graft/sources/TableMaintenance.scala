@@ -50,15 +50,8 @@ object TableMaintenance {
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def pointerVersions(spark: SparkSession, root: String): Seq[Long] = {
-    val f = fs(spark, root)
-    val p = new Path(s"$root/_current")
-    if (!f.exists(p)) Seq.empty
-    else f.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v=") &&
-        f.exists(new Path(s.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.stripPrefix("v=").toLong)
-  }
+  private def pointerVersions(spark: SparkSession, root: String): Seq[Long] =
+    CommittedVersions.list(spark, s"$root/_current")
 
   /** The committed current generation. */
   def currentGen(spark: SparkSession, root: String): Long = {

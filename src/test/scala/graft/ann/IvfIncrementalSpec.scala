@@ -52,5 +52,21 @@ class IvfIncrementalSpec extends SparkSpec {
     val ca = spark.read.parquet(s"$appended/centroids")
     val cb = spark.read.parquet(s"$rebuilt/centroids")
     assert(ca.exceptAll(cb).isEmpty && cb.exceptAll(ca).isEmpty)
+
+    // crash loudness: a store whose append died mid-mutation (commit
+    // marker gone) must REFUSE probes and further appends instead of
+    // silently serving — and double-appending — partial data
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(appended), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$appended/_index_commit"), false)
+    intercept[IllegalArgumentException] {
+      IvfIndex.approxTopKStored(spark, appended, q, k = 10)
+    }
+    intercept[IllegalArgumentException] {
+      IvfIndex.appendToIndex(spark, appended, inc, incrementId = 2L)
+    }
+    // a rebuild recovers the store
+    IvfIndex.writeIndex(base, appended)
+    assert(IvfIndex.approxTopKStored(spark, appended, q, k = 10).count() > 0)
   }
 }

@@ -15,14 +15,24 @@ class NearestCellRegistrySpec extends SparkSpec {
   private val m1 = Array(Array(0.0, 0.0), Array(1.0, 1.0))
   private val m2 = Array(Array(0.0, 0.0), Array(2.0, 2.0))
 
-  test("same matrix content reuses one registry entry; different content does not") {
+  test("transient registrations are per-call unique (drop is race-free); " +
+    "shared registrations key by content") {
+    // nearestNamed: unique names even for IDENTICAL matrices — one eager
+    // caller's drop can never yank a concurrent caller's registration
     val (n1, _) = NearestCell.nearestNamed(spark, col("emb"), m1)
     val (n1again, _) = NearestCell.nearestNamed(spark, col("emb"), m1.map(_.clone()))
     val (n2, _) = NearestCell.nearestNamed(spark, col("emb"), m2)
-    assert(n1 == n1again, "equal content must share the registration")
-    assert(n1 != n2, "different centroids must never collide")
-    NearestCell.drop(spark, n1)
-    NearestCell.drop(spark, n2)
+    assert(n1 != n1again, "transient registrations must be per-call unique")
+    assert(n1 != n2)
+    Seq(n1, n1again, n2).foreach(NearestCell.drop(spark, _))
+    // nearest: equal content must resolve to ONE registry name (asserted
+    // indirectly by the growth test below; here check determinism of the
+    // shared-name prefix via two registrations not growing the registry)
+    val before = spark.sessionState.functionRegistry.listFunction().size
+    NearestCell.nearest(spark, col("emb"), m1)
+    NearestCell.nearest(spark, col("emb"), m1.map(_.clone()))
+    val after = spark.sessionState.functionRegistry.listFunction().size
+    assert(after - before <= 1, "equal content must share one shared-path registration")
   }
 
   test("repeated registration does not grow the registry") {
