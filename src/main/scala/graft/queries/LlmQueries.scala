@@ -1385,6 +1385,107 @@ object LlmQueries {
        |FROM idx WHERE fi % 4 = 0
        |ORDER BY doc_id, frame_idx""".stripMargin)
 
+  /** Retrieval-quality evaluation (graft.retrieval.Eval): recall@10, MRR
+    * and nDCG@10 of the memoized BM25 top-k lists against a deterministic
+    * relevance rule — doc d is relevant to query q iff they share
+    * (source, lang) and d ≠ q (the grouping the corpus actually carries).
+    * Consumes the SAME memoized list `retrieval_rrf` fuses (a stack
+    * retrieves once and both fuses and evaluates); the oracle replays the
+    * BM25 chain plus the metrics with the IDENTICAL Scala-computed gain /
+    * ideal-DCG literal tables — no engine evaluates a log at compare
+    * time. */
+  private val retrievalEval = Q(
+    (s, d) => {
+      val docs = graft.Tables.documents(s, d).select("doc_id", "source", "lang")
+      val queries = docs.where(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("query_id"), col("source"), col("lang"))
+      val relevant = queries.join(docs,
+          Seq("source", "lang")).where(col("doc_id") =!= col("query_id"))
+        .select("query_id", "doc_id")
+      graft.retrieval.Eval.metrics(
+          bm25TopK(s, d).select("query_id", "doc_id", "rank"), relevant, k = 10)
+        .orderBy("query_id")
+    },
+    s"""WITH $bm25ChainCtes,
+       |rel AS (
+       |  SELECT q.doc_id AS query_id, d2.doc_id
+       |  FROM documents q JOIN documents d2
+       |    ON q.source = d2.source AND q.lang = d2.lang AND q.doc_id <> d2.doc_id
+       |  WHERE q.doc_id % 100 = 0
+       |),
+       |relc AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_relevant FROM rel GROUP BY 1),
+       |g(rank, g10) AS (VALUES ${graft.retrieval.Eval.gainValuesSql(10)}),
+       |icg(m, idcg) AS (VALUES ${graft.retrieval.Eval.idcgValuesSql(10)}),
+       |hits AS (
+       |  SELECT r.query_id, r.rank FROM r JOIN rel USING (query_id, doc_id)
+       |  WHERE r.rank <= 10
+       |),
+       |hq AS (
+       |  SELECT query_id,
+       |         CAST(COUNT(*) AS BIGINT) AS hits_at_k,
+       |         MIN(rank) AS min_rank,
+       |         CAST(CAST(SUM(CAST(g10 AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS dcg
+       |  FROM hits JOIN g USING (rank) GROUP BY 1
+       |)
+       |SELECT relc.query_id, n_relevant,
+       |  COALESCE(hits_at_k, 0) AS hits_at_k,
+       |  ${OracleSql.rd("CAST(COALESCE(hits_at_k, 0) AS DOUBLE) / CAST(n_relevant AS DOUBLE)", "recall_at_k")},
+       |  CASE WHEN min_rank IS NOT NULL THEN 1.0 / CAST(min_rank AS DOUBLE) ELSE 0.0 END AS mrr,
+       |  COALESCE(dcg, 0.0) AS dcg,
+       |  icg.idcg AS idcg,
+       |  ${OracleSql.rd("COALESCE(dcg, 0.0) / icg.idcg", "ndcg_at_k")}
+       |FROM relc
+       |JOIN icg ON icg.m = LEAST(n_relevant, 10)
+       |LEFT JOIN hq USING (query_id)
+       |ORDER BY query_id""".stripMargin)
+
+  /** Sample/count layout shared by both audio oracles — the SQL mirror of
+    * [[graft.multimodal.Audio]]'s synthesis formula (sample i of doc d =
+    * (d·37 + i·97) mod 65536 − 32768; count = n_chars mod 200 + 16): the
+    * registered queries decode REAL RIFF/WAVE bytes through the chunk
+    * walker, the oracle replays every decoded field from the integer
+    * formula without materializing binary. */
+  private val wavCte: String =
+    """au AS (SELECT doc_id, CAST(n_chars % 200 + 16 AS BIGINT) AS n FROM documents),
+      |sm AS (
+      |  SELECT doc_id, n, i, (doc_id * 37 + i * 97) % 65536 - 32768 AS s
+      |  FROM au, UNNEST(range(0, n)) AS t(i)
+      |)""".stripMargin
+
+  /** Audio decode + signal features through the real WAV parser. RMS is
+    * one IEEE sqrt of an exact BIGINT-sum ratio — bit-stable across
+    * engines (sqrt is correctly rounded); everything else is integer. */
+  private val mmAudioFeatures = Q(
+    (s, d) => graft.multimodal.Audio.features(s, d).toDF().orderBy("doc_id"),
+    s"""WITH $wavCte,
+       |lg AS (
+       |  SELECT doc_id, n, i, s, lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS ps
+       |  FROM sm
+       |)
+       |SELECT doc_id, 'audio/wav' AS media_type,
+       |  CAST(44 + 2 * n AS INTEGER) AS byte_len,
+       |  ${graft.multimodal.Audio.SampleRate} AS sample_rate,
+       |  CAST(n AS INTEGER) AS n_samples,
+       |  CAST(n AS DOUBLE) * 1000.0 / ${graft.multimodal.Audio.SampleRate}.0 AS duration_ms,
+       |  SQRT(CAST(SUM(s * s) AS DOUBLE) / n) AS rms,
+       |  CAST(SUM(CASE WHEN ps IS NOT NULL AND ps * s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+       |  CAST(MAX(ABS(s)) AS INTEGER) AS peak
+       |FROM lg GROUP BY doc_id, n ORDER BY doc_id""".stripMargin)
+
+  /** Fixed 64-sample frame energies (keyframe-sampling analog): per-frame
+    * Σ s² rides BIGINT — the whole row is integer-exact. */
+  private val mmAudioFrames = Q(
+    (s, d) => graft.multimodal.Audio.frameEnergies(
+        graft.multimodal.Audio.records(s, d)).toDF()
+      .orderBy("doc_id", "frame_idx"),
+    s"""WITH $wavCte
+       |SELECT doc_id, CAST(i // 64 AS INTEGER) AS frame_idx,
+       |  CAST(COUNT(*) AS INTEGER) AS n_in_frame,
+       |  CAST(SUM(s * s) AS BIGINT) AS energy,
+       |  CAST(MAX(ABS(s)) AS INTEGER) AS frame_peak
+       |FROM sm GROUP BY doc_id, i // 64
+       |ORDER BY doc_id, frame_idx""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
@@ -1411,6 +1512,7 @@ object LlmQueries {
     "text_keywords" -> textKeywords,
     "text_bm25" -> textBm25,
     "retrieval_rrf" -> retrievalRrf,
+    "retrieval_eval" -> retrievalEval,
     "text_fingerprint" -> textFingerprint,
     "vocab_top_tokens" -> vocabTopTokens,
     "vocab_bpe_merges" -> vocabBpeMerges,
@@ -1421,5 +1523,7 @@ object LlmQueries {
     "corpus_split" -> corpusSplit,
     "corpus_clean" -> corpusClean,
     "mm_features" -> mmFeatures,
-    "mm_frames" -> mmFrames)
+    "mm_frames" -> mmFrames,
+    "mm_audio_features" -> mmAudioFeatures,
+    "mm_audio_frames" -> mmAudioFrames)
 }
