@@ -1439,6 +1439,68 @@ object LlmQueries {
        |LEFT JOIN hq USING (query_id)
        |ORDER BY query_id""".stripMargin)
 
+  /** Contrastive training-triplet mining (query, positive, hard negative)
+    * — the operator that turns a retrieval corpus into embedding-model
+    * TRAINING rows (the SimCSE/DPR data shape): for each query vector,
+    * the positive is its highest-cosine SAME-label neighbour in the ANN
+    * top-k and the negative its highest-cosine DIFFERENT-label neighbour
+    * from the same list — an in-list hard negative (high-scoring but
+    * wrong), exactly what contrastive losses need; `margin` = pos − neg
+    * cosine is the row's difficulty. Queries whose top-k lacks either
+    * side are dropped (no fabricated pairs). Consumes the memoized ANN
+    * list (retrieve once, fuse/evaluate/mine many — the stack
+    * convention); the oracle replays the cosine chain + label joins +
+    * the two row_number picks. */
+  private val trainingTriplets = Q(
+    (s, d) => {
+      val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val topk = annTopK(s, d)
+        .join(labels.withColumnRenamed("label", "item_label"), Seq("vec_id"))
+        .join(labels.select(col("vec_id").as("query_id"), col("label").as("query_label")),
+          Seq("query_id"))
+      val wPos = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("rank"))
+      val pos = topk.where(col("item_label") === col("query_label"))
+        .withColumn("rn", row_number().over(wPos)).where(col("rn") === 1)
+        .select(col("query_id"), col("vec_id").as("pos_id"),
+          col("cosine").as("pos_cosine"), col("rank").as("pos_rank"))
+      val neg = topk.where(col("item_label") =!= col("query_label"))
+        .withColumn("rn", row_number().over(wPos)).where(col("rn") === 1)
+        .select(col("query_id"), col("vec_id").as("neg_id"),
+          col("cosine").as("neg_cosine"), col("rank").as("neg_rank"))
+      pos.join(neg, Seq("query_id"))
+        .withColumn("margin", graft.sqlx.Exact.r4(col("pos_cosine") - col("neg_cosine")))
+        .orderBy("query_id")
+    },
+    s"""WITH ae AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+       |aq AS (SELECT vec_id AS query_id, emb AS qemb, label AS query_label FROM ae WHERE vec_id % 100 = 0),
+       |asc0 AS (
+       |  SELECT query_id, query_label, ae.vec_id, ae.label AS item_label,
+       |         ${cosRndSql("qemb", "emb")} AS cosine
+       |  FROM ae CROSS JOIN aq WHERE ae.vec_id <> query_id
+       |),
+       |ar AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+       |  FROM asc0
+       |),
+       |topk AS (SELECT * FROM ar WHERE rank <= 10),
+       |pos AS (
+       |  SELECT query_id, vec_id AS pos_id, cosine AS pos_cosine, rank AS pos_rank,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY rank) AS rn
+       |  FROM topk WHERE item_label = query_label
+       |),
+       |neg AS (
+       |  SELECT query_id, vec_id AS neg_id, cosine AS neg_cosine, rank AS neg_rank,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY rank) AS rn
+       |  FROM topk WHERE item_label <> query_label
+       |)
+       |SELECT p.query_id, p.pos_id, p.pos_cosine, p.pos_rank,
+       |       n.neg_id, n.neg_cosine, n.neg_rank,
+       |       ${OracleSql.rd("p.pos_cosine - n.neg_cosine", "margin")}
+       |FROM pos p JOIN neg n USING (query_id)
+       |WHERE p.rn = 1 AND n.rn = 1
+       |ORDER BY p.query_id""".stripMargin)
+
   /** Sample/count layout shared by both audio oracles — the SQL mirror of
     * [[graft.multimodal.Audio]]'s synthesis formula (sample i of doc d =
     * (d·37 + i·97) mod 65536 − 32768; count = n_chars mod 200 + 16): the
@@ -1513,6 +1575,7 @@ object LlmQueries {
     "text_bm25" -> textBm25,
     "retrieval_rrf" -> retrievalRrf,
     "retrieval_eval" -> retrievalEval,
+    "training_triplets" -> trainingTriplets,
     "text_fingerprint" -> textFingerprint,
     "vocab_top_tokens" -> vocabTopTokens,
     "vocab_bpe_merges" -> vocabBpeMerges,

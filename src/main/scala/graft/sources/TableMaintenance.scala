@@ -120,6 +120,26 @@ object TableMaintenance {
     next
   }
 
+  /** Committed pointer history: (version, generation) pairs within the
+    * retention window — the time-travel surface. */
+  def pointerHistory(spark: SparkSession, root: String): Seq[(Long, Long)] =
+    pointerVersions(spark, root).sorted.map { v =>
+      v -> spark.read.parquet(s"$root/_current/v=$v").head().getLong(0)
+    }
+
+  /** Time travel: the data as of pointer version `version` (Delta's
+    * VERSION AS OF). Retention-bounded — [[maintain]] keeps
+    * [[RetainGens]] superseded generations and their pointer versions
+    * alive precisely so a lagging reader (or an explicit as-of audit) can
+    * still resolve them; older versions are vacuumed and raise here. */
+  def readAsOf(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val hist = pointerHistory(spark, root).toMap
+    val gen = hist.getOrElse(version,
+      sys.error(s"pointer version $version is not committed (or was vacuumed); " +
+        s"available: ${hist.keys.toSeq.sorted.mkString(", ")}"))
+    spark.read.parquet(dataPath(root, gen))
+  }
+
   /** The persisted stats manifest / Bloom index of a generation. */
   def statsManifest(spark: SparkSession, root: String, gen: Long): DataFrame =
     spark.read.parquet(statsPath(root, gen))

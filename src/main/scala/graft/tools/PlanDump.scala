@@ -66,7 +66,12 @@ object PlanDump {
       "mv_incremental_refresh" -> "MV read-back: finalized algebraic columns off the bucketed partial-state store",
       "events_skipping_scan" -> "manifest-pruned scan: file-list read of intersecting z-order boxes + residual filter",
       "events_point_lookup" -> "bloom-pruned point read: surviving files only + exact equality residual",
-      "table_fk_contracts" -> "per-edge LEFT ANTI orphan join against distinct parent keys (dimension side broadcasts)")
+      "table_fk_contracts" -> "per-edge LEFT ANTI orphan join against distinct parent keys (dimension side broadcasts)",
+      "events_maintenance_cycle" -> "maintained-generation read: manifest-pruned box scan through the committed pointer",
+      "pipeline_daily_run" -> "orchestrated per-stage counts over memoized stage checkpoints",
+      "mm_audio_features" -> "binary WAV decode: per-partition batched codec pass, payload never exploded",
+      "retrieval_eval" -> "metrics over metadata-sized top-k lists: query-keyed joins + broadcast gain tables",
+      "training_triplets" -> "in-list positive/negative picks: two windows over the memoized ANN top-k")
     val sb = new StringBuilder
     sb.append("# Physical-plan audit (generated by graft.tools.PlanDump at sf0.001)\n\n")
     sb.append("Each section is `df.explain(\"formatted\")` output for a representative\n")

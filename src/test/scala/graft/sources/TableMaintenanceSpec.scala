@@ -80,5 +80,19 @@ class TableMaintenanceSpec extends SparkSpec {
     val hit = TableMaintenance.pointLookupCurrent(spark, root, "k", lit(12345L))
       .select("k").as[Long].collect().toSeq
     assert(hit == Seq(12345L))
+
+    // time travel: the superseded pointer version still resolves (within
+    // retention) and serves content identical to the compacted generation
+    val hist = TableMaintenance.pointerHistory(spark, root)
+    assert(hist.map(_._2) == Seq(1L, next), s"history $hist")
+    val v1 = hist.head._1
+    val asOf = TableMaintenance.readAsOf(spark, root, v1)
+      .select("k", "grp", "value").collect().map(_.mkString("|")).toSet
+    val cur = spark.read.parquet(TableMaintenance.dataPath(root, next))
+      .select("k", "grp", "value").collect().map(_.mkString("|")).toSet
+    assert(asOf == cur, "compaction must preserve content across generations")
+    intercept[RuntimeException] {
+      TableMaintenance.readAsOf(spark, root, 999L)
+    }
   }
 }
