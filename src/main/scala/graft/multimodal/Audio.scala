@@ -106,9 +106,14 @@ object Audio {
           while (i < samples.length) { samples(i) = buf.getShort.toInt; i += 1 }
         case _ => // skip unknown chunks, like a real reader
       }
-      buf.position(next + (size & 1)) // RIFF chunks are 2-byte aligned
+      // RIFF chunks are 2-byte aligned, but the pad byte after a final
+      // odd-sized chunk may legitimately be omitted at EOF — clamp so a
+      // real-world file isn't rejected with a bare ByteBuffer error
+      buf.position(math.min(next + (size & 1), buf.limit()))
     }
     require(samples != null, "no data chunk")
+    require(samples.nonEmpty,
+      "empty data chunk: zero samples decode to NaN features — refuse loudly per record")
     Wav(rate, bits, channels, samples)
   }
 
@@ -128,10 +133,14 @@ object Audio {
       n * 1000.0 / w.sampleRate, math.sqrt(sq.toDouble / n), zc, peak)
   }
 
-  /** Batched decode+feature pass (bounded memory per partition). */
-  def features(spark: SparkSession, dir: String, batchSize: Int = 64): Dataset[WavFeatures] = {
+  /** Streaming per-record decode+feature pass: featuresOf is strictly
+    * per-record, so a plain map holds exactly ONE payload at a time —
+    * grouped batching here would only multiply peak memory (a codec that
+    * amortizes real per-batch setup, like [[Binary.decodeBatch]]'s shape,
+    * is where batching earns its buffer). */
+  def features(spark: SparkSession, dir: String): Dataset[WavFeatures] = {
     import spark.implicits._
-    records(spark, dir).mapPartitions(_.grouped(batchSize).flatMap(_.map(featuresOf)))
+    records(spark, dir).map(featuresOf)
   }
 
   /** Fixed 64-sample frame energies — the audio analog of keyframe

@@ -45,6 +45,21 @@ class AudioSpec extends SparkSpec {
     val bb = ByteBuffer.wrap(stereo).order(ByteOrder.LITTLE_ENDIAN)
     bb.putShort(22, 2.toShort) // numChannels field of the fmt chunk
     intercept[IllegalArgumentException] { Audio.decodeWav(stereo) }
+    // empty data chunk: zero samples would NaN the features — refuse loudly
+    val empty = ByteBuffer.allocate(44).order(ByteOrder.LITTLE_ENDIAN)
+    empty.put(good, 0, 40).putInt(0) // header intact, data size 0
+    intercept[IllegalArgumentException] { Audio.decodeWav(empty.array()) }
+  }
+
+  test("a final odd-sized chunk without its EOF pad byte still decodes") {
+    val base = Audio.wavPayload(9L, 60L)
+    // append a 3-byte odd chunk with NO trailing pad (real writers do this)
+    val tail = ByteBuffer.allocate(8 + 3).order(ByteOrder.LITTLE_ENDIAN)
+    tail.put("junk".getBytes("US-ASCII")).putInt(3).put(Array[Byte](1, 2, 3))
+    val spliced = ByteBuffer.allocate(base.length + 11).order(ByteOrder.LITTLE_ENDIAN)
+    spliced.put(base).put(tail.array())
+    val w = Audio.decodeWav(spliced.array())
+    assert(w.samples.toSeq == Audio.decodeWav(base).samples.toSeq)
   }
 
   test("frame energies partition the total energy exactly") {
