@@ -40,52 +40,17 @@ object QualityScores {
     when(c.isNotNull, least(greatest(c, lit(0.0)), lit(100.0)))
 
   /** Interpolated global quantile bounds of fcf (q=0.2 and 0.8) appended as
-    * literal columns via a broadcast cross join.
-    *
-    * Exact AND distributed: range-partition the column, rank within each
-    * partition (a partitioned window — parallel), and turn local ranks into
-    * global ranks by adding per-partition offsets. The only serial step is
-    * collecting the per-partition row counts — ≤ numShufflePartitions rows
-    * of metadata, the same scale of driver traffic Spark's own
-    * RangePartitioner incurs — so no single-partition sort ever touches the
-    * data itself. The interpolation formula (numpy default) is unchanged. */
+    * literal columns. The exact-and-distributed global-rank machinery now
+    * lives in [[graft.operators.ExactQuantiles]] (promoted round 12 so the
+    * curriculum tiering shares one implementation); the interpolation
+    * formula and its bit-exactness contract with the DuckDB oracle's
+    * franked-window replay are unchanged. */
   private[fundamentals] def withFcfBounds(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val vals = df.select(col("fcf_free_cash_flow").as("v")).where(col("v").isNotNull)
-    val nParts = spark.sessionState.conf.numShufflePartitions
-    // persist the range-partitioned column: the counts job and the rank job
-    // MUST see the same partitioning (RangePartitioner samples boundaries
-    // with an RDD-id-dependent seed, so re-executing the exchange could
-    // shift rows across pids and corrupt the global ranks)
-    val parts = vals.repartitionByRange(nParts, col("v"))
-      .withColumn("pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // metadata-sized collect: one (pid, count) row per partition
-      val sizes = parts.groupBy("pid").agg(count(lit(1)).as("cnt"))
-        .as[(Int, Long)].collect().sortBy(_._1)
-      val total = sizes.map(_._2).sum
-      val offsets = sizes.map(_._1).zip(sizes.scanLeft(0L)(_ + _._2)).toSeq
-      val ranked = parts.join(broadcast(offsets.toDF("pid", "offset")), "pid")
-        .withColumn("rn",
-          row_number().over(Window.partitionBy("pid").orderBy("v")) + col("offset"))
-        .withColumn("n", lit(total))
-      def bound(q: Double): Column = {
-        val pos = lit(q) * (col("n") - lit(1)).cast("double")
-        val lo = floor(pos) + 1
-        val frac = pos - floor(pos)
-        val xlo = max(when(col("rn") === lo, col("v")))
-        val xhi = max(when(col("rn") === lo + 1, col("v")))
-        val fr = max(when(col("rn") === lo, frac))
-        xlo + (coalesce(xhi, xlo) - xlo) * fr
-      }
-      // 1-row aggregate → literals (bounded driver traffic at any SF)
-      val b = ranked.agg(bound(0.2).as("fcf_q20"), bound(0.8).as("fcf_q80")).head()
-      def dlit(i: Int): Column =
-        (if (b.isNullAt(i)) lit(null) else lit(b.getDouble(i))).cast("double")
-      df.withColumn("fcf_q20", dlit(0)).withColumn("fcf_q80", dlit(1))
-    } finally parts.unpersist()
+    val bs = graft.operators.ExactQuantiles.interpolated(
+      df.select(col("fcf_free_cash_flow").as("v")), Seq(0.2, 0.8))
+    def dlit(o: Option[Double]): Column =
+      o.map(lit).getOrElse(lit(null)).cast("double")
+    df.withColumn("fcf_q20", dlit(bs(0))).withColumn("fcf_q80", dlit(bs(1)))
   }
 
   /** Score table over [[Statements.full]] output (memoized + persisted per

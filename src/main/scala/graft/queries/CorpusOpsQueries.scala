@@ -532,7 +532,65 @@ object CorpusOpsQueries {
          |ORDER BY doc_id""".stripMargin
     })
 
+  /** Curriculum ordering (graft.operators.ExactQuantiles): the corpus
+    * sorted easy-to-hard for curriculum training — tier 0 = top quality
+    * quartile first, tier 3 = bottom — with tiers cut at EXACT
+    * interpolated quartile bounds of the heuristic quality score
+    * (distributed global-rank machinery, no single-partition sort; the
+    * same implementation the fundamentals fcf bounds use) and a
+    * deterministic md5 order within each tier (the corpus_shuffle
+    * doctrine: no rand(), any engine recomputes the same order). The
+    * registered ORDER (tier, order_key, doc_id) IS the curriculum; the
+    * oracle replays the quality chain, the franked-window quantile
+    * interpolation (bit-equal: 0.25/0.5/0.75 are dyadic, the
+    * interpolation is the identical IEEE op DAG) and the md5 keys. */
+  private val corpusCurriculum = Q(
+    (s, d) => {
+      val q = graft.text.Corpus.quality(s, d).select(col("doc_id"), col("quality_score"))
+      val bs = graft.operators.ExactQuantiles.interpolated(
+        q.select(col("quality_score").as("v")), Seq(0.25, 0.5, 0.75))
+      val Seq(b25, b50, b75) = bs.map(_.getOrElse(Double.NaN))
+      q.withColumn("tier",
+          when(col("quality_score").isNull, lit(3))
+            .when(col("quality_score") <= lit(b25), lit(3))
+            .when(col("quality_score") <= lit(b50), lit(2))
+            .when(col("quality_score") <= lit(b75), lit(1))
+            .otherwise(lit(0)))
+        .withColumn("order_key",
+          md5(concat(col("doc_id").cast("string"), lit(":curriculum"))))
+        .orderBy("tier", "order_key", "doc_id")
+    }, {
+      def b(q: String) = {
+        val lo = s"floor($q * CAST(fn - 1 AS DOUBLE)) + 1"
+        s"""MAX(CASE WHEN frn = $lo THEN v END)
+           |      + (COALESCE(MAX(CASE WHEN frn = $lo + 1 THEN v END),
+           |                  MAX(CASE WHEN frn = $lo THEN v END))
+           |         - MAX(CASE WHEN frn = $lo THEN v END))
+           |        * MAX(CASE WHEN frn = $lo
+           |              THEN $q * CAST(fn - 1 AS DOUBLE) - floor($q * CAST(fn - 1 AS DOUBLE)) END)""".stripMargin
+      }
+      s"""WITH ${LlmQueries.qualityCtes},
+         |cvals AS (SELECT quality_score AS v FROM q2 WHERE quality_score IS NOT NULL),
+         |cranked AS (SELECT v, row_number() OVER (ORDER BY v) AS frn, COUNT(*) OVER () AS fn FROM cvals),
+         |cb AS (
+         |  SELECT ${b("0.25")} AS b25,
+         |         ${b("0.5")} AS b50,
+         |         ${b("0.75")} AS b75
+         |  FROM cranked
+         |)
+         |SELECT doc_id, quality_score,
+         |  CASE WHEN quality_score IS NULL THEN 3
+         |       WHEN quality_score <= b25 THEN 3
+         |       WHEN quality_score <= b50 THEN 2
+         |       WHEN quality_score <= b75 THEN 1
+         |       ELSE 0 END AS tier,
+         |  md5(CAST(doc_id AS VARCHAR) || ':curriculum') AS order_key
+         |FROM q2 CROSS JOIN cb
+         |ORDER BY tier, order_key, doc_id""".stripMargin
+    })
+
   val all: Map[String, Q] = Map(
+    "corpus_curriculum" -> corpusCurriculum,
     "dedup_clusters" -> dedupClusters,
     "dedup_canonical" -> dedupCanonical,
     "corpus_curation_report" -> corpusCurationReport,

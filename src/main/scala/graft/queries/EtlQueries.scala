@@ -457,6 +457,51 @@ object EtlQueries {
       |WHERE user_id BETWEEN um // 5 AND um // 2 AND day BETWEEN dm // 5 AND dm // 2
       |GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** Schema evolution on a mixed-generation parquet store — the contract
+    * every long-lived 100 TB table hits the week ingest adds a column:
+    * old files lack it, new files carry it, and the store must stay
+    * readable WITHOUT rewriting history. Staged here as two generations
+    * of the events table appended under one root (gen 1 without
+    * `value_bucket`, gen 2 with it — an integer derivation so the oracle
+    * is hazard-free), read back with mergeSchema: the union schema
+    * resolves, old-generation rows surface the new column as NULL (never
+    * fabricated), and the rollup's null accounting proves exactly which
+    * generation each row came from. Oracle = the same rollup from raw
+    * events with the generation rule inlined. SchemaEvolutionSpec pins
+    * the schema union, the null placement, and that the evolved store
+    * needs no rewrite (gen-1 files byte-identical after the append). */
+  private val eventsSchemaEvolution = Q(
+    (s, d) => {
+      import graft.sqlx.Exact
+      val tag = Integer.toHexString(d.hashCode)
+      val root = s"${sys.props("java.io.tmpdir")}/graft-events-schevo-$tag"
+      new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      val ev = graft.Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      ev.where(col("event_id") % 2 === 0)
+        .write.parquet(s"$root/part=a")
+      ev.where(col("event_id") % 2 === 1)
+        .withColumn("value_bucket", (col("event_id") % 100).cast("int"))
+        .write.parquet(s"$root/part=b")
+      s.read.option("mergeSchema", "true").parquet(root)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("value_bucket")).as("n_with_bucket"),
+          sum(col("value_bucket").cast("long")).as("bucket_sum"),
+          Exact.decSumAgg(col("value")).as("value_sum"))
+        .orderBy("event_type")
+    },
+    """SELECT event_type,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_bucket,
+      |  CAST(SUM(CASE WHEN event_id % 2 = 1 THEN event_id % 100 END) AS BIGINT) AS bucket_sum,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS value_sum
+      |FROM events
+      |GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** Incremental materialized-view maintenance (graft.etl.MaterializedAgg):
     * the daily events rollup is stored as PARTIAL aggregate state bucketed
     * on the group-key hash; the increment (a deterministic 20% slice
@@ -630,6 +675,7 @@ object EtlQueries {
     "events_compaction" -> eventsCompaction,
     "events_maintenance_cycle" -> eventsMaintenanceCycle,
     "pipeline_daily_run" -> pipelineDailyRun,
+    "events_schema_evolution" -> eventsSchemaEvolution,
     "mv_incremental_refresh" -> mvIncrementalRefresh,
     "events_skipping_scan" -> eventsSkippingScan,
     "events_point_lookup" -> eventsPointLookup,
