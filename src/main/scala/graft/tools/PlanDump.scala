@@ -71,7 +71,9 @@ object PlanDump {
       "pipeline_daily_run" -> "orchestrated per-stage counts over memoized stage checkpoints",
       "mm_audio_features" -> "binary WAV decode: per-partition batched codec pass, payload never exploded",
       "retrieval_eval" -> "metrics over metadata-sized top-k lists: query-keyed joins + broadcast gain tables",
-      "training_triplets" -> "in-list positive/negative picks: two windows over the memoized ANN top-k")
+      "training_triplets" -> "in-list positive/negative picks: two windows over the memoized ANN top-k",
+      "events_schema_evolution" -> "mergeSchema union read over mixed-generation files, null-accounted rollup",
+      "corpus_curriculum" -> "exact-quantile tier bounds as literals + md5 order keys, no single-partition sort")
     val sb = new StringBuilder
     sb.append("# Physical-plan audit (generated by graft.tools.PlanDump at sf0.001)\n\n")
     sb.append("Each section is `df.explain(\"formatted\")` output for a representative\n")
