@@ -48,6 +48,24 @@ object IndexLedger {
     }
   }
 
+  /** Recover from the one crash window the append protocol leaves: between
+    * [[record]] and the commit-marker re-create. The ledger mark is written
+    * strictly AFTER the data append, so `applied >= incrementId` with the
+    * marker missing certifies a fully-landed, internally consistent append
+    * — recreate the marker and treat the retry as the replay no-op it is,
+    * instead of wedging the store into a full writeIndex rebuild. A marker
+    * missing WITHOUT the ledger advance still means a possibly half-written
+    * append and stays loud (the caller's requireCommitted throws). Returns
+    * true when it recovered (caller returns false = "already applied"). */
+  def recoverMarker(spark: SparkSession, path: String, incrementId: Long,
+                    fsMarker: (org.apache.hadoop.fs.FileSystem, Path)): Boolean = {
+    val (f, marker) = fsMarker
+    if (!f.exists(marker) && incrementId <= applied(spark, path)) {
+      f.create(marker, true).close()
+      true
+    } else false
+  }
+
   /** A full rebuild starts a fresh increment history — writeIndex calls
     * this, else a rebuilt store would silently no-op the first replayed
     * increment id of the new stream. */

@@ -331,6 +331,8 @@ object IvfIndex {
     * compaction. */
   def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     newVecs: DataFrame, incrementId: Long): Boolean = {
+    if (IndexLedger.recoverMarker(spark, path, incrementId, commitMarker(spark, path)))
+      return false
     requireCommitted(spark, path)
     if (incrementId <= IndexLedger.applied(spark, path)) false
     else {

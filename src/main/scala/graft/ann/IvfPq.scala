@@ -144,6 +144,8 @@ object IvfPq {
     * distribution shift ⇒ refit + [[writeIndex]] rebuild. */
   def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     newVecs: DataFrame, incrementId: Long): Boolean = {
+    if (IndexLedger.recoverMarker(spark, path, incrementId, commitMarker(spark, path)))
+      return false
     val (coarse, cbs) = readMeta(spark, path)
     if (incrementId <= IndexLedger.applied(spark, path)) false
     else {

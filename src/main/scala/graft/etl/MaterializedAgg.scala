@@ -200,7 +200,20 @@ object MaterializedAgg {
     // metadata-sized: at most NBuckets values
     val touched = inc.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    if (touched.isEmpty) return touched
+    if (touched.isEmpty) {
+      // An empty increment still ADVANCES the applied-batch mark when one
+      // was supplied: without the mark-only flip, refreshOnce would report
+      // the batch applied while the manifest's high-water mark lags it —
+      // benign for replay (re-merging nothing is a no-op) but a broken
+      // "mark and swap commit atomically" contract. Data dirs untouched.
+      if (appliedBatch >= 0) {
+        val (v, entries) = readManifest(spark, root)
+        writeManifest(spark, root, v + 1L,
+          entries.map(e => MvManifestRow(e.bucket, e.gen, appliedBatch)))
+        vacuum(spark, root)
+      }
+      return touched
+    }
     val (v, entries) = readManifest(spark, root)
     val touchedSet = touched.toSet
     val (touchedEntries, untouched) = entries.partition(e => touchedSet(e.bucket))

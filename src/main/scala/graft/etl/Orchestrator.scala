@@ -64,17 +64,8 @@ object Orchestrator {
     * nothing the per-stage baselines don't already gate. localCheckpoint
     * also truncates the ~60-window recursive lineage, the same reasoning
     * as SignalQueries.signalFeatures. */
-  private def eventsFingerprint(s: SparkSession, d: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val parts =
-      if (!fs.exists(p)) Seq.empty
-      else if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq.sortBy(_.getPath.getName)
-      else Seq(fs.getFileStatus(p))
-    Integer.toHexString(
-      parts.map(x => s"${x.getPath.getName}:${x.getLen}:${x.getModificationTime}")
-        .mkString("|").hashCode)
-  }
+  private def eventsFingerprint(s: SparkSession, d: String): String =
+    graft.sources.SourceFingerprint.of(s, d, "events")
 
   def dailyPipeline: Seq[Step] = Seq(
     Step("bars", Nil, (s, d, _) => graft.features.Bars.daily(graft.Tables.events(s, d))),

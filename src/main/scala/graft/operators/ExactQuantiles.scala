@@ -25,6 +25,9 @@ object ExactQuantiles {
     * q ∈ `qs`. Returns None per q when the column is empty. ONE pass:
     * all requested quantiles resolve from a single ranked frame. */
   def interpolated(vals: DataFrame, qs: Seq[Double]): Seq[Option[Double]] = {
+    require(qs.nonEmpty, "ExactQuantiles.interpolated: empty quantile request")
+    require(qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"ExactQuantiles.interpolated: quantiles must be in [0,1], got $qs")
     val spark = vals.sparkSession
     import spark.implicits._
     val v = vals.select(col("v")).where(col("v").isNotNull)

@@ -234,17 +234,8 @@ object StreamingBatchQueries {
     * forever (it even survives sbt clean), silently desyncing the stream
     * results from oracles recomputed over the new data. */
   private def sourceFingerprint(s: org.apache.spark.sql.SparkSession, d: String,
-                                table: String = "documents"): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val parts =
-      if (!fs.exists(p)) Seq.empty
-      else if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq.sortBy(_.getPath.getName)
-      else Seq(fs.getFileStatus(p))
-    Integer.toHexString(
-      parts.map(x => s"${x.getPath.getName}:${x.getLen}:${x.getModificationTime}")
-        .mkString("|").hashCode)
-  }
+                                table: String = "documents"): String =
+    graft.sources.SourceFingerprint.of(s, d, table)
 
   private def runNearDupStream(
       s: org.apache.spark.sql.SparkSession, d: String, dirTag: String,
@@ -263,6 +254,15 @@ object StreamingBatchQueries {
       s"graft-$dirTag-8f-${Integer.toHexString(d.hashCode)}-${sourceFingerprint(s, d)}")
     if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
       toStage.repartition(8).write.mode("overwrite").parquet(dir.toString)
+    }
+    // stream ≡ oracle precondition, checked once per corpus content (both
+    // stream queries see the FULL corpus's buckets — arrivals here, the
+    // complement via the incremental path's preloaded state)
+    val capOk = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft-bucketcap-ok-${sourceFingerprint(s, d)}")
+    if (!java.nio.file.Files.exists(capOk)) {
+      graft.streaming.StreamNearDup.assertNoSaturatedBucket(Tables.documents(s, d))
+      java.nio.file.Files.createFile(capOk)
     }
     val qname = s"${dirTag.replace('-', '_')}_${memSinkId.incrementAndGet()}"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")

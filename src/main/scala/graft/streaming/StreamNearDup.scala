@@ -97,6 +97,26 @@ object StreamNearDup {
     }
   }
 
+  /** Guard for the one place stream and batch semantics DIVERGE: past the
+    * saturation cap the stream has already emitted the first `cap`
+    * arrivals' pairs while the batch oracle (minhashNearDupSql's
+    * `HAVING COUNT(*) <= cap`) drops the bucket entirely — so a corpus
+    * with a >cap band bucket would FAIL its oracle check rather than
+    * degrade gracefully. Registered stream queries call this on their
+    * corpus (memoized per content fingerprint) so the precondition is
+    * ASSERTED, not implicitly guaranteed by the current test data: a
+    * regenerated corpus that trips the backstop fails loudly here, naming
+    * the divergence, instead of surfacing as an opaque hash mismatch. */
+  def assertNoSaturatedBucket(docs: DataFrame, cap: Int = MinHashLSH.MaxBucketSize): Unit = {
+    val worst = bandedDocs(docs).groupBy(col("band"), col("bucket"))
+      .count().agg(org.apache.spark.sql.functions.max(col("count"))).head()
+    val max = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+    require(max <= cap,
+      s"corpus has a band bucket of size $max > MaxBucketSize=$cap: past the cap the " +
+        "streaming backstop (first-cap emission) and the batch oracle (bucket dropped) " +
+        "diverge by design — this corpus cannot back an oracle-checked stream query")
+  }
+
   /** Streaming candidate pairs from banded rows: group on (band, bucket),
     * hold the bucket's members as state, emit pairs as they collide. The
     * output may repeat a pair that collides in several bands (same as the

@@ -11,7 +11,15 @@ import graft.Tables
   * result (the only safe place for a global window — grouped cardinality is
   * the number of sources, not rows). */
 object TextAnalysis {
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   def eda(spark: SparkSession, dir: String): DataFrame = {
+    // breadcrumb for log triage: every "No Partition Defined for Window
+    // operation" warning a sweep emits traces back to this one declared
+    // site (directly or via the queries composing eda) — without the line
+    // the warnings read identically to an undeclared scale bug
+    log.info("declared-small global window: per-source EDA aggregate, " +
+      "cardinality = distinct sources (TextAnalysisSpec pins < 100)")
     val g = Tables.documents(spark, dir)
       .groupBy(col("source"))
       .agg(

@@ -69,4 +69,48 @@ class IvfIncrementalSpec extends SparkSpec {
     IvfIndex.writeIndex(base, appended)
     assert(IvfIndex.approxTopKStored(spark, appended, q, k = 10).count() > 0)
   }
+
+  test("retry after a crash between ledger record and marker re-create self-heals " +
+    "(the ledger certifies the append landed completely)") {
+    val base = emb.where(col("vec_id") % 10 =!= 7)
+    val inc = emb.where(col("vec_id") % 10 === 7)
+    val store = java.nio.file.Files.createTempDirectory("graft-ivf-heal-spec").toString
+    IvfIndex.writeIndex(base, store)
+    assert(IvfIndex.appendToIndex(spark, store, inc, incrementId = 1L))
+    val q = emb.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val before = IvfIndex.approxTopKStored(spark, store, q, k = 10).collect().toSet
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(store), spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$store/_index_commit")
+    // the one benign crash window: data landed, ledger advanced (inc-1
+    // exists), only the marker re-create was lost
+    fs.delete(marker, false)
+    // the orchestrator's retry of increment 1: ledger ≥ id proves the
+    // append is complete, so the store self-heals instead of demanding a
+    // full rebuild — marker back, replay reported as the no-op it is
+    assert(!IvfIndex.appendToIndex(spark, store, inc, incrementId = 1L))
+    assert(fs.exists(marker), "retry must recreate the commit marker")
+    assert(IvfIndex.approxTopKStored(spark, store, q, k = 10).collect().toSet == before)
+    // but a NEW increment id against a missing marker still refuses loudly:
+    // without the ledger advance the data may be half-written
+    fs.delete(marker, false)
+    intercept[IllegalArgumentException] {
+      IvfIndex.appendToIndex(spark, store, inc, incrementId = 2L)
+    }
+    // same protocol on the composed IVF+PQ store
+    val pqStore = java.nio.file.Files.createTempDirectory("graft-ivfpq-heal-spec").toString
+    IvfPq.writeIndex(base, pqStore, dim = 64)
+    assert(IvfPq.appendToIndex(spark, pqStore, inc, incrementId = 1L))
+    val pqFs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(pqStore), spark.sparkContext.hadoopConfiguration)
+    val pqMarker = new org.apache.hadoop.fs.Path(s"$pqStore/_index_commit")
+    pqFs.delete(pqMarker, false)
+    assert(!IvfPq.appendToIndex(spark, pqStore, inc, incrementId = 1L))
+    assert(pqFs.exists(pqMarker), "IvfPq retry must recreate the commit marker")
+    pqFs.delete(pqMarker, false)
+    intercept[IllegalArgumentException] {
+      IvfPq.appendToIndex(spark, pqStore, inc, incrementId = 2L)
+    }
+  }
 }

@@ -103,6 +103,25 @@ class MaterializedAggSpec extends SparkSpec {
     assert(MaterializedAgg.refreshOnce(spark, root, 7L, inc, keys, "value"))
   }
 
+  test("an EMPTY micro-batch still advances the applied-batch mark (mark-only flip)") {
+    val root = s"${sys.props("java.io.tmpdir")}/graft-mv-spec-emptymark"
+    val base = data.where(col("row_id") <= 3000)
+    val inc = data.where(col("row_id") > 3000)
+    MaterializedAgg.writeInit(base, keys, "value", root)
+    val before = rows(MaterializedAgg.read(spark, root, keys))
+    // batch 5 delivers zero rows: applied, data untouched — but the mark
+    // must advance with the reported application, or a replay of batch 5
+    // carrying DIFFERENT (now non-empty) rows would double-apply later ids
+    assert(MaterializedAgg.refreshOnce(spark, root, 5L, data.where(lit(false)), keys, "value"))
+    assert(rows(MaterializedAgg.read(spark, root, keys)) == before)
+    // the mark advanced: a replay of batch 5 (even non-empty) is a no-op...
+    assert(!MaterializedAgg.refreshOnce(spark, root, 5L, inc, keys, "value"))
+    assert(rows(MaterializedAgg.read(spark, root, keys)) == before)
+    // ...and the next batch applies normally
+    assert(MaterializedAgg.refreshOnce(spark, root, 6L, inc, keys, "value"))
+    assert(rows(MaterializedAgg.read(spark, root, keys)) == rows(finalize(data)))
+  }
+
   test("uncommitted generation dirs (a crashed refresh) are invisible to readers " +
     "and overwritten idempotently by the retry") {
     val root = s"${sys.props("java.io.tmpdir")}/graft-mv-spec-crash"

@@ -41,4 +41,11 @@ class ExactQuantilesSpec extends SparkSpec {
     assert(ExactQuantiles.interpolated(df, Seq(0.0, 0.5, 1.0)) ==
       Seq(Some(7.25), Some(7.25), Some(7.25)))
   }
+
+  test("empty or out-of-range quantile request fails loudly, before any job") {
+    val df = Seq(1.0, 2.0).toDF("v")
+    intercept[IllegalArgumentException](ExactQuantiles.interpolated(df, Seq.empty))
+    intercept[IllegalArgumentException](ExactQuantiles.interpolated(df, Seq(0.5, 1.5)))
+    intercept[IllegalArgumentException](ExactQuantiles.interpolated(df, Seq(-0.1)))
+  }
 }

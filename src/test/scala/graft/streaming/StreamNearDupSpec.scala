@@ -138,4 +138,19 @@ class StreamNearDupSpec extends SparkSpec {
         "in-horizon detection must survive eviction")
     } finally q.stop()
   }
+
+  test("assertNoSaturatedBucket: passes the registered corpus, rejects a planted hot bucket") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001")).select("doc_id", "text")
+    // the stream ≡ oracle precondition holds on the real corpus
+    StreamNearDup.assertNoSaturatedBucket(docs)
+    // a planted >cap bucket (identical texts share every band bucket) is
+    // exactly where stream (first-cap emission) and batch oracle (bucket
+    // dropped) diverge — the guard must name it loudly
+    val hot = (1L to 12L).map(i => (i, "the same degenerate boilerplate text repeated"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      StreamNearDup.assertNoSaturatedBucket(hot, cap = 8)
+    }
+    assert(e.getMessage.contains("MaxBucketSize"))
+  }
 }
