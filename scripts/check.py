@@ -88,52 +88,12 @@ def check_sketch_stats(con, out_dir):
                 return f"FAIL: {et}.{qc}={ar[qc]} outside [{er['min_value']}, {er['max_value']}]"
     return "bounded-ok"
 
-def check_feature_importance(con, out_dir):
-    """model_feature_importance: importances are gain statistics of the
-    TRAINING run (not replayable from the fitted trees), so no SQL oracle
-    exists — but the dump is still bounds-checkable against invariants plus
-    the serialized ensemble the trades_filter_model oracle carries:
-    non-negative, sums to 1, ranked by (importance desc, feature), and any
-    feature with positive importance must actually appear as a split
-    feature in the serialized trees (an importance on a never-split feature
-    would mean the dump and the model disagree)."""
-    imp = read_dump(con, out_dir, "model_feature_importance")
-    if imp is None:
-        return "skip (dump missing)"
-    rows = sorted(imp.to_pylist(), key=lambda r: r["rank"])
-    if [r["rank"] for r in rows] != list(range(1, len(rows) + 1)):
-        return f"FAIL: ranks not 1..{len(rows)}"
-    if any(r["importance"] < 0 for r in rows):
-        return "FAIL: negative importance"
-    total = sum(r["importance"] for r in rows)
-    if abs(total - 1.0) > 1e-9:
-        return f"FAIL: importances sum to {total}, not 1"
-    key = [(-r["importance"], r["feature"]) for r in rows]
-    if key != sorted(key):
-        return "FAIL: not ranked by (importance desc, feature)"
-    if any(not (0.0 <= r["auc_train"] <= 1.0 and 0.0 <= r["auc_test"] <= 1.0)
-           for r in rows):
-        return "FAIL: AUC outside [0, 1]"
-    # split-feature subset check against the serialized ensemble
-    try:
-        with open(os.path.join(out_dir, "oracle_sql.json")) as f:
-            msql = json.load(f).get("trades_filter_model", "")
-    except OSError:
-        msql = ""
-    if msql:
-        for r in rows:
-            # the dump keeps the ohlcv_ table prefix; the serialized trees
-            # reference the stripped feature-CTE column names
-            feat = r["feature"].removeprefix("ohlcv_")
-            if r["importance"] > 0 and f"mf.{feat}" not in msql:
-                return (f"FAIL: {r['feature']} has importance "
-                        f"{r['importance']} but never splits in the "
-                        "serialized trees")
-    return "bounded-ok"
-
+# model_feature_importance graduated from this table in round 13: the
+# fitted trees' per-split gain stats are serialized into a real SQL oracle
+# (GbtSql.gainStats → decimal-exact normalization replay), so it's now a
+# standard hash compare like every scoring query.
 BOUNDED = {"table_profile_approx": check_profile_approx,
-           "sketch_event_stats": check_sketch_stats,
-           "model_feature_importance": check_feature_importance}
+           "sketch_event_stats": check_sketch_stats}
 
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]

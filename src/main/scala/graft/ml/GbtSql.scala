@@ -57,4 +57,36 @@ object GbtSql {
     * this exact formulation). */
   def probabilitySql(marginExpr: String): String =
     s"(1.0 - 1.0 / (1.0 + exp(2.0 * $marginExpr)))"
+
+  /** Per-internal-node gain statistics of the ensemble, preorder:
+    * (featureIndex, gain · weighted node count) — exactly the inputs of
+    * MLlib's GBT `featureImportances` (TreeEnsembleModel.featureImportances
+    * with perTreeNormalization = false: importance(f) = Σ_f gain·count /
+    * Σ_all gain·count). Serialized into the feature-importance oracle the
+    * same way the split thresholds ride into the scoring oracles — the
+    * training-run statistics become constants of the published report.
+    * `impurityStats` is package-private in the Scala API but public in
+    * bytecode (it is part of the persisted model format, written to every
+    * saved tree's parquet), so it's read reflectively. */
+  def gainStats(m: GBTClassificationModel): Seq[(Int, Double)] = {
+    def count(n: Node): Double = {
+      val stats = n.getClass.getMethod("impurityStats").invoke(n)
+      stats.getClass.getMethod("count").invoke(stats).asInstanceOf[Double]
+    }
+    def walk(n: Node): Seq[(Int, Double)] = n match {
+      case _: LeafNode => Seq.empty
+      case i: InternalNode =>
+        (i.split.featureIndex, i.gain * count(i)) +:
+          (walk(i.leftChild) ++ walk(i.rightChild))
+    }
+    m.trees.toSeq.flatMap(t => walk(t.rootNode))
+  }
+
+  /** 10dp half-up decimal string of a double's SHORTEST representation —
+    * the literal form both engines sum exactly (DECIMAL(25,10) /
+    * BigDecimal): the quantize-then-sum-exactly rule from
+    * [[graft.sqlx.Exact]] applied to the serialized gain stats. */
+  def dec10(x: Double): String =
+    new java.math.BigDecimal(java.lang.Double.toString(x))
+      .setScale(10, java.math.RoundingMode.HALF_UP).toPlainString
 }

@@ -194,13 +194,39 @@ object TradeSuccess {
     scoreFrameExpr(f.gbt, trades.join(feats, Seq("symbol_id", "entry_date")))
   }
 
+  /** MLlib's GBT feature-importance definition (importance(f) =
+    * Σ_f gain·count / Σ_all gain·count over the ensemble's internal nodes;
+    * perTreeNormalization = false for GBT) replayed through the repo's
+    * cross-engine decimal canon so the published values are BIT-IDENTICAL
+    * to the DuckDB oracle's replay of the same serialized gain stats:
+    * each per-node stat is quantized to 10dp (exact, order-free
+    * DECIMAL(25,10) sums in both engines), the two sums divide as doubles
+    * via the VARCHAR round-trip, and the ratio publishes at 10dp (+0.0
+    * zero-sign canon). Differs from `gbt.featureImportances` only in
+    * summation-order ulps and the 10dp quantization — TradeSuccessSpec
+    * pins agreement within 1e-8. */
+  def canonicalImportances(gbt: GBTClassificationModel): Seq[(String, Double)] = {
+    import java.math.{BigDecimal => JBD}
+    def parse(b: JBD): Double = java.lang.Double.parseDouble(b.toPlainString)
+    val gains = GbtSql.gainStats(gbt).map { case (i, g) => (i, new JBD(GbtSql.dec10(g))) }
+    val byFeat = gains.groupMapReduce(_._1)(_._2)(_.add(_))
+    val all = parse(byFeat.values.reduce(_.add(_)))
+    FeatureCols.indices.map { i =>
+      val imp = byFeat.get(i)
+        .map(s => java.lang.Double.parseDouble(GbtSql.dec10(parse(s) / all)) + 0.0)
+        .getOrElse(0.0)
+      (FeatureCols(i), imp)
+    }
+  }
+
   /** Feature-importance + AUC export (trade_success_predictor.py:124-294
     * exports exactly this report). The importance vector is driver-local
     * model metadata, so the ranking is computed driver-side — no global
-    * window over data. */
+    * window over data. Values are the [[canonicalImportances]] canon (the
+    * oracle replays the serialized gain stats through the identical DAG). */
   def featureImportances(spark: SparkSession, dir: String): DataFrame = {
     val f = fitted(spark, dir)
-    val ranked = FeatureCols.zip(f.gbt.featureImportances.toArray)
+    val ranked = canonicalImportances(f.gbt)
       .sortBy { case (name, imp) => (-imp, name) }.zipWithIndex
       .map { case ((name, imp), i) => (i + 1, name, imp, f.aucTrain, f.aucTest) }
     spark.createDataFrame(ranked)

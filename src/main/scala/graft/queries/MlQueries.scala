@@ -255,13 +255,47 @@ object MlQueries {
 
   /** Feature importances + train/held-out AUC
     * (trade_success_predictor.py:124-294's export). Deterministic schema:
-    * (rank, feature, importance, auc_train, auc_test), 10 rows. Rows-only
-    * by design: importances are gain-weighted impurity statistics of the
-    * TRAINING run — replaying them needs the training internals, not the
-    * fitted trees, so no scoring-time oracle exists. TradeSuccessSpec pins
-    * shape, normalization (Σ=1) and AUC bounds. */
-  private val modelFeatureImportance = Q(
-    (s, d) => graft.ml.TradeSuccess.featureImportances(s, d), None)
+    * (rank, feature, importance, auc_train, auc_test), 10 rows.
+    *
+    * Oracle-green via the model-as-constant precedent extended to TRAINING
+    * statistics: the fitted trees carry per-split impurity stats
+    * (gain · node count — persisted in the saved model, not a runtime
+    * internal), so the oracle serializes those rows as 10dp decimals
+    * (GbtSql.gainStats / dec10) and independently replays MLlib's GBT
+    * importance definition — Σ_f gain·count / Σ_all gain·count
+    * (perTreeNormalization=false), exact decimal sums, VARCHAR-round-trip
+    * division, 10dp publication — plus the (importance DESC, feature)
+    * ranking. The Spark side computes the identical canon
+    * (TradeSuccess.canonicalImportances), so the compare is bit-exact.
+    * The AUCs are training-run constants of the same fit and ride as
+    * lit17 literals (like the tree thresholds in every scoring oracle);
+    * TradeSuccessSpec pins their [0,1] bounds and the canon ≡ MLlib
+    * agreement. */
+  private val modelFeatureImportance = Q.gen(
+    (s, d) => graft.ml.TradeSuccess.featureImportances(s, d)) { (s, d) =>
+    val f = graft.ml.TradeSuccess.fitted(s, d)
+    val gains = graft.ml.GbtSql.gainStats(f.gbt)
+      .map { case (i, g) => s"($i, CAST('${graft.ml.GbtSql.dec10(g)}' AS DECIMAL(25,10)))" }
+      .mkString(",\n    ")
+    val feats = graft.ml.TradeSuccess.FeatureCols.zipWithIndex
+      .map { case (n, i) => s"($i, '$n')" }.mkString(", ")
+    s"""WITH gains(fidx, g) AS (VALUES
+       |    $gains),
+       |feats(fidx, feature) AS (VALUES $feats),
+       |fsum AS (SELECT fidx, SUM(g) AS s FROM gains GROUP BY fidx),
+       |alls AS (SELECT SUM(g) AS a FROM gains),
+       |imp AS (
+       |  SELECT feats.feature,
+       |         COALESCE(${rnd("CAST(CAST(fsum.s AS VARCHAR) AS DOUBLE) / CAST(CAST(alls.a AS VARCHAR) AS DOUBLE)", 10)}, 0.0) AS importance
+       |  FROM feats LEFT JOIN fsum USING (fidx) CROSS JOIN alls
+       |)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY importance DESC, feature) AS INTEGER) AS rank,
+       |       feature, importance,
+       |       ${lit17(f.aucTrain)} AS auc_train,
+       |       ${lit17(f.aucTest)} AS auc_test
+       |FROM imp
+       |ORDER BY rank""".stripMargin
+  }
 
   val all: Map[String, Q] = Map(
     "ml_training_frame" -> mlTrainingFrame,

@@ -31,6 +31,25 @@ class ModelScoringSpec extends SparkSpec {
     assert(vals.toSeq == vals.toSeq.sortBy(-_))
   }
 
+  test("canonical importances (the published/oracle canon) agree with MLlib's " +
+    "featureImportances to summation-order ulps + the 10dp quantization") {
+    val f = TradeSuccess.fitted(spark, dir)
+    val canon = TradeSuccess.canonicalImportances(f.gbt).toMap
+    val mllib = TradeSuccess.FeatureCols.zip(f.gbt.featureImportances.toArray).toMap
+    assert(canon.keySet == mllib.keySet)
+    canon.foreach { case (feat, c) =>
+      assert(math.abs(c - mllib(feat)) < 1e-8,
+        s"$feat: canonical $c vs MLlib ${mllib(feat)}")
+    }
+    // and the serialized gain stats only name features the trees split on
+    val splitFeats = GbtSql.gainStats(f.gbt).map(_._1).toSet
+    assert(splitFeats.subsetOf(TradeSuccess.FeatureCols.indices.toSet))
+    canon.foreach { case (feat, c) =>
+      if (c > 0) assert(splitFeats.contains(TradeSuccess.FeatureCols.indexOf(feat)),
+        s"$feat has importance $c but never splits")
+    }
+  }
+
   test("trades_filter_model output equals filtering the scored frame by model probability") {
     val scored = graft.queries.MlQueries.scoredTrades(spark, dir)
     assert(scored.count() > 0, "no simulated trade matched an entry-date feature row")
