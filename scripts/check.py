@@ -3,14 +3,13 @@
 against the DuckDB oracles and diff row-by-row. Dev tool only (driver-side
 python env) — the Scala library never depends on this.
 
-Beyond the driver's gate, two approx-twin queries with no SQL oracle are
-bounds-checked here against their hash-green exact anchors (both dumped by
-the same Verify sweep):
-  table_profile_approx  vs table_profile            (n_distinct within 5%,
-                                                     every other stat bit-equal)
-  sketch_event_stats    vs sketch_event_stats_exact (counts exact, HLL++
-                                                     users within 5%,
-                                                     quantiles inside min/max)
+Every registered query now carries a real SQL oracle (round 13 converted
+the last two approx twins — table_profile_approx and sketch_event_stats —
+to deterministic KMV bottom-k sketches whose estimates replay exactly in
+DuckDB; model_feature_importance graduated via serialized gain stats), so
+this is a pure hash-compare gate with no bounded side-checks left. The
+error-vs-exact bounds those side-checks asserted live on as ScalaTest
+specs (ProfileSpec, SketchSpec, KmvSpec).
 
 Writes CHECK_LOCAL.json beside the dumps: per-query status + summary, the
 builder-committed counterpart of the driver's CORRECTNESS artifact (the
@@ -37,63 +36,6 @@ def read_dump(con, out_dir, name):
     if not files:
         return None
     return con.execute(f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table()
-
-def check_profile_approx(con, out_dir):
-    """table_profile_approx vs the exact table_profile anchor."""
-    approx = read_dump(con, out_dir, "table_profile_approx")
-    exact = read_dump(con, out_dir, "table_profile")
-    if approx is None or exact is None:
-        return "skip (anchor or approx dump missing)"
-    a = {r["column_name"]: r for r in approx.to_pylist()}
-    e = {r["column_name"]: r for r in exact.to_pylist()}
-    if sorted(a) != sorted(e):
-        return f"FAIL: column sets differ {sorted(a)} vs {sorted(e)}"
-    for cname, ar in a.items():
-        er = e[cname]
-        for k in er:
-            if k == "n_distinct":
-                # None/0 exacts demand an equal approx — `if er[k]` would
-                # silently disable the bound exactly when it must be tight
-                if ar[k] is None or er[k] is None or not er[k]:
-                    if ar[k] != er[k]:
-                        return f"FAIL: {cname}.n_distinct approx={ar[k]} exact={er[k]}"
-                elif abs(ar[k] - er[k]) > 0.05 * er[k]:
-                    return f"FAIL: {cname}.n_distinct approx={ar[k]} exact={er[k]} (>5%)"
-            elif canon(ar[k]) != canon(er[k]):
-                return f"FAIL: {cname}.{k} approx={ar[k]!r} exact={er[k]!r}"
-    return "bounded-ok"
-
-def check_sketch_stats(con, out_dir):
-    """sketch_event_stats vs the exact anchor: counts exact, HLL++ within 5%,
-    approx quantiles inside the group's [min, max]."""
-    approx = read_dump(con, out_dir, "sketch_event_stats")
-    exact = read_dump(con, out_dir, "sketch_event_stats_exact")
-    if approx is None or exact is None:
-        return "skip (anchor or approx dump missing)"
-    a = {r["event_type"]: r for r in approx.to_pylist()}
-    e = {r["event_type"]: r for r in exact.to_pylist()}
-    if sorted(a) != sorted(e):
-        return f"FAIL: key sets differ {sorted(a)} vs {sorted(e)}"
-    for et, ar in a.items():
-        er = e[et]
-        if ar["n_events"] != er["n_events"]:
-            return f"FAIL: {et}.n_events {ar['n_events']} vs exact {er['n_events']}"
-        if None in (ar["approx_users"], er["n_users"], ar["p50_value"],
-                    ar["p95_value"], er["min_value"], er["max_value"]):
-            return f"FAIL: {et} has NULL stats: approx={ar} exact={er}"
-        if abs(ar["approx_users"] - er["n_users"]) > 0.05 * er["n_users"]:
-            return f"FAIL: {et}.approx_users={ar['approx_users']} exact={er['n_users']} (>5%)"
-        for qc in ("p50_value", "p95_value"):
-            if not (er["min_value"] <= ar[qc] <= er["max_value"]):
-                return f"FAIL: {et}.{qc}={ar[qc]} outside [{er['min_value']}, {er['max_value']}]"
-    return "bounded-ok"
-
-# model_feature_importance graduated from this table in round 13: the
-# fitted trees' per-split gain stats are serialized into a real SQL oracle
-# (GbtSql.gainStats → decimal-exact normalization replay), so it's now a
-# standard hash compare like every scoring query.
-BOUNDED = {"table_profile_approx": check_profile_approx,
-           "sketch_event_stats": check_sketch_stats}
 
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
@@ -140,24 +82,8 @@ def main():
         got = con.execute(
             f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table()
         if name not in oracles:
-            if name in BOUNDED:
-                try:
-                    verdict = BOUNDED[name](con, out_dir)
-                except Exception as e:  # a broken dump must record a FAIL, not abort the sweep
-                    verdict = f"FAIL: bounded check raised {e!r}"
-                label = ("BOUNDED" if verdict == "bounded-ok"
-                         else "BOUND-SKIP" if verdict.startswith("skip")
-                         else "BOUND-FAIL")
-                print(f"[{label}] {name}: rows={got.num_rows} {verdict}")
-                if verdict == "bounded-ok":
-                    n_bounded += 1; record(name, "bounded-ok", f"rows={got.num_rows}")
-                elif verdict.startswith("skip"):
-                    record(name, "rows-only", verdict)
-                else:
-                    n_fail += 1; record(name, "bound-fail", verdict)
-            else:
-                print(f"[ROWS] {name}: rows={got.num_rows} (no oracle)")
-                record(name, "rows-only", f"rows={got.num_rows}")
+            print(f"[ROWS] {name}: rows={got.num_rows} (no oracle)")
+            record(name, "rows-only", f"rows={got.num_rows}")
             continue
         try:
             qcon = fresh_con(sf_dir)

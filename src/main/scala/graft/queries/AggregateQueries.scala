@@ -272,21 +272,67 @@ object AggregateQueries {
        |GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** Sketch aggregations — the 100 TB substitutes for exact distinct/
-    * quantiles: HyperLogLog++ distinct users and a Greenwald-Khanna-style
-    * quantile sketch per event type, one pass, constant memory per group,
-    * mergeable across partitions (vs. the full shuffle-and-sort an exact
-    * distinct or percentile costs). Deterministic but algorithm-specific,
-    * so no cross-engine oracle — SketchSpec bounds the error vs the exact
-    * answers instead (rows-only registration, SURVEY §6). */
+    * quantiles, now DETERMINISTIC and oracle-green: KMV bottom-k sketches
+    * (graft.functions.Kmv) in place of the opaque HLL++ / GK pair. Same
+    * scale posture — one pass, ≤k longs of state per group, map-side
+    * combinable, ObjectHashAggregate partial+final like Spark's own
+    * sketches — but the estimate is a pure function of md5, so DuckDB
+    * replays it bit-for-bit (rank the distinct 52-bit hashes, apply the
+    * (k−1)·2^52 div h_k estimator; sample quantiles via the shared
+    * franked-window interpolation). SketchSpec still bounds the error vs
+    * the exact answers; sketchEventStatsExact stays as the exact anchor. */
   private val sketchEventStats = Q(
-    (s, d) => graft.Tables.events(s, d)
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_events"),
-        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
-        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_value"),
-        percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95_value"))
-      .orderBy("event_type"),
-    None)
+    (s, d) => {
+      val k = graft.functions.Kmv.K
+      graft.Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          graft.functions.Kmv.distinctCount(s, col("user_id").cast("string"), k)
+            .as("kmv_users"),
+          graft.functions.Kmv.sample(s, col("event_id").cast("string"), col("value"), k)
+            .as("samp"))
+        .select(col("event_type"), col("n_events"), col("kmv_users"),
+          graft.functions.Kmv.quantileFromSorted(col("samp"), 0.5).as("p50_value"),
+          graft.functions.Kmv.quantileFromSorted(col("samp"), 0.95).as("p95_value"))
+        .orderBy("event_type")
+    }, {
+      val k = graft.functions.Kmv.K
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    ${graft.functions.Kmv.hashSql("CAST(user_id AS VARCHAR)")} AS hv
+         |  FROM events WHERE user_id IS NOT NULL),
+         |r AS (
+         |  SELECT event_type, hv,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+         |  FROM h),
+         |kd AS (
+         |  SELECT event_type, ${graft.functions.Kmv.estimateSql(k)} AS kmv_users
+         |  FROM r GROUP BY event_type),
+         |sh AS (
+         |  SELECT DISTINCT event_type,
+         |    ${graft.functions.Kmv.hashSql("CAST(event_id AS VARCHAR)")} AS hv,
+         |    value
+         |  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
+         |sr AS (
+         |  SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY hv, value) AS srn
+         |  FROM sh),
+         |ranked AS (
+         |  SELECT event_type, v,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS frn,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS fn
+         |  FROM (SELECT event_type, value AS v FROM sr WHERE srn <= $k)),
+         |q AS (
+         |  SELECT event_type,
+         |    ${graft.functions.Kmv.quantileSql("0.5")} AS p50_value,
+         |    ${graft.functions.Kmv.quantileSql("0.95")} AS p95_value
+         |  FROM ranked GROUP BY event_type),
+         |c AS (SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type)
+         |SELECT c.event_type, c.n_events, kd.kmv_users, q.p50_value, q.p95_value
+         |FROM c JOIN kd USING (event_type) JOIN q USING (event_type)
+         |ORDER BY event_type""".stripMargin
+    })
 
   /** Exact companion to the sketch query: the same grouping with the
     * deterministic aggregates (count, exact distinct, min/max bounds for
@@ -326,8 +372,12 @@ object AggregateQueries {
     "event_id" -> "bigint", "ts" -> "timestamp", "user_id" -> "bigint",
     "event_type" -> "string", "value" -> "double", "props" -> "string")
 
-  private def profileSelect(table: String, c: String, dt: String): String = {
+  private def profileSelect(table: String, c: String, dt: String,
+      kmvDistinct: Boolean = false): String = {
     val numeric = Set("bigint", "int", "double")
+    val distinctSql =
+      if (kmvDistinct) graft.relational.Profile.kmvDistinctSql(table, c, dt)
+      else s"CAST(COUNT(DISTINCT $c) AS BIGINT)"
     val (minN, maxN, mean) =
       if (numeric(dt))
         (s"MIN($c)::DOUBLE", s"MAX($c)::DOUBLE",
@@ -343,15 +393,16 @@ object AggregateQueries {
     s"""SELECT '$table' AS table_name, '$c' AS column_name, '$dt' AS data_type,
        |  COUNT(*) AS n_rows, CAST(COUNT($c) AS BIGINT) AS n_nonnull,
        |  COUNT(*) - COUNT($c) AS n_nulls,
-       |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+       |  $distinctSql AS n_distinct,
        |  $minN AS min_num, $maxN AS max_num, $mean AS mean,
        |  $minS AS min_str, $maxS AS max_str,
        |  $minD AS min_date, $maxD AS max_date
        |FROM $table""".stripMargin
   }
 
-  private def profileOracle(table: String, cols: Seq[(String, String)]): String =
-    cols.map { case (c, dt) => profileSelect(table, c, dt) }
+  private def profileOracle(table: String, cols: Seq[(String, String)],
+      kmvDistinct: Boolean = false): String =
+    cols.map { case (c, dt) => profileSelect(table, c, dt, kmvDistinct) }
       .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
 
   private val tableProfile = Q(
@@ -359,17 +410,18 @@ object AggregateQueries {
       .orderBy("column_name"),
     profileOracle("lineitem", LineitemCols))
 
-  /** The 100 TB profile path: one scan, approx_count_distinct (HLL++) in
-    * place of the exact second melt+distinct pass. Rows-only registration —
-    * the probabilistic n_distinct has no deterministic oracle — anchored by
-    * the hash-green exact twin [[tableProfile]] over the same table and by
-    * ProfileSpec (every non-distinct stat bit-identical between modes,
-    * distincts within 5%, no Expand in the plan). */
+  /** The 100 TB profile path: one scan, a deterministic KMV bottom-k sketch
+    * (graft.functions.Kmv) in place of the exact second melt+distinct pass.
+    * Hash-green: the oracle replays each column's sketch from the canonical
+    * strings (Profile.kmvDistinctSql), so the whole approx profile is
+    * bit-checked, not bounds-checked — while keeping the single-scan,
+    * no-Expand, constant-state-per-column posture. Still anchored by the
+    * exact twin [[tableProfile]] and ProfileSpec's 5% deviation bound. */
   private val tableProfileApprox = Q(
     (s, d) => graft.relational.Profile.table(
         graft.Tables.lineitem(s, d), "lineitem", exact = false)
       .orderBy("column_name"),
-    None)
+    profileOracle("lineitem", LineitemCols, kmvDistinct = true))
 
   /** Profile over a second table shape: events exercises the session-TZ
     * timestamp branch (ts → date min/max) plus an all-distinct id column

@@ -21,10 +21,17 @@ import org.apache.spark.sql.types._
   * N-aggregate Expand blow-up Spark plans for multi-column COUNT(DISTINCT)
   * (measured 6× slower than this shape at sf0.1). Exact mode therefore
   * costs two columnar scans (stats + melt); `exact = false` keeps one scan
-  * with approx_count_distinct (HLL++ rsd 0.03 — the interpreted sketch
-  * update cost scales with the register count, and rsd 0.02's 4× registers
-  * measured 3× slower for no useful gain; ProfileSpec bounds the observed
-  * deviation vs exact within 5% on every profiled table and scale factor).
+  * with a KMV bottom-k sketch per column (graft.functions.Kmv, k=1024,
+  * rsd ≈ 3.1%) — same one-pass mergeable posture as the HLL++ it replaced,
+  * but deterministic md5 arithmetic, so the whole approx profile is
+  * hash-checked against a DuckDB replay ([[kmvDistinctSql]]) instead of
+  * bounds-checked; ProfileSpec still bounds the deviation vs exact within
+  * 5% on every profiled table and scale factor. The sketch hashes a
+  * CANONICAL string per type class ([[canonical]]/[[canonicalSql]]) —
+  * engine-portable by construction: integers/NTZ-timestamps cast to
+  * identical strings, doubles pin a DECIMAL(28,6) rendering (raw
+  * double→string formatting differs between engines), instant timestamps
+  * go through epoch micros.
   *
   * Min/max keep native types per column class (numeric → double,
   * string → string, date/timestamp → date) rather than stringifying
@@ -33,6 +40,36 @@ import org.apache.spark.sql.types._
   * double is bit-identical to the DuckDB oracle after ROUND 4.
   */
 object Profile {
+
+  /** Engine-portable canonical string for KMV hashing, per type class.
+    * Must stay the byte-identical mirror of [[canonicalSql]]. Doubles add
+    * 0.0 first (−0.0 → 0.0, same IEEE op both sides) then pin a
+    * DECIMAL(28,6) rendering; TIMESTAMP (instant) canonicalizes through
+    * epoch micros (string fraction-trimming differs between engines);
+    * TIMESTAMP_NTZ/DATE cast to identical ISO strings. */
+  def canonical(c: Column, dt: DataType): Column = dt match {
+    case StringType => c
+    case FloatType | DoubleType =>
+      (c + lit(0.0)).cast(DecimalType(28, 6)).cast("string")
+    case TimestampType => unix_micros(c).cast("string")
+    case _ => c.cast("string")
+  }
+
+  /** DuckDB mirror of [[canonical]]. */
+  def canonicalSql(c: String, dt: String): String = dt match {
+    case "string" => c
+    case "float" | "double" => s"CAST(CAST($c + 0.0 AS DECIMAL(28,6)) AS VARCHAR)"
+    case "timestamp" => s"CAST(epoch_us($c) AS VARCHAR)"
+    case _ => s"CAST($c AS VARCHAR)"
+  }
+
+  /** Per-column KMV distinct-estimate replay for the approx-profile oracle:
+    * a scalar subquery ranking the column's distinct 52-bit hashes. */
+  def kmvDistinctSql(table: String, c: String, dt: String, k: Int = graft.functions.Kmv.K): String =
+    s"""(SELECT ${graft.functions.Kmv.estimateSql(k).replace("\n", " ")}
+       |   FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rn, COUNT(*) OVER () AS nd
+       |         FROM (SELECT DISTINCT ${graft.functions.Kmv.hashSql(canonicalSql(c, dt))} AS hv
+       |               FROM $table WHERE $c IS NOT NULL)))""".stripMargin
 
   def table(df: DataFrame, tableName: String, exact: Boolean = true): DataFrame = {
     val fields = df.schema.fields.toSeq
@@ -59,7 +96,8 @@ object Profile {
       val c = col(f.name)
       val base = Seq(count(c).as(s"${f.name}__nonnull")) ++
         (if (exact) Nil
-         else Seq(approx_count_distinct(c, rsd = 0.03).as(s"${f.name}__distinct")))
+         else Seq(graft.functions.Kmv.distinctCount(
+           df.sparkSession, canonical(c, f.dataType)).as(s"${f.name}__distinct")))
       val typed = f.dataType match {
         case _: NumericType => Seq(
           min(c).cast("double").as(s"${f.name}__min_num"),

@@ -3,9 +3,11 @@ package graft.sqlx
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** Error bounds for the sketch aggregations (sketch_event_stats): HLL++
-  * distinct within 3×rsd of exact, quantile sketch within the rank
-  * accuracy guarantee. */
+/** Error bounds for the sketch aggregations (sketch_event_stats): KMV
+  * bottom-k distinct within its rsd of exact, sampled quantiles within the
+  * sampling-rank tolerance. (The sketch's cross-engine bit-identity is the
+  * registered query's DuckDB oracle; KmvSpec pins the operator semantics —
+  * this spec keeps the accuracy-vs-exact contract the old HLL++ twin had.) */
 class SketchSpec extends SparkSpec {
 
   test("sketch distinct/quantiles stay within their error bounds vs exact") {
@@ -23,9 +25,10 @@ class SketchSpec extends SparkSpec {
     exact.foreach { case (et, (users, p50, p95)) =>
       val (aUsers, aP50, aP95) = approx(et)
       val relErr = math.abs(aUsers - users).toDouble / users
-      assert(relErr <= 0.06, s"$et HLL rel err $relErr (approx=$aUsers exact=$users)")
-      // accuracy=10000 bounds rank error by n/10000; values are dense
-      // uniform doubles, so a loose 2% value tolerance is generous
+      assert(relErr <= 0.06, s"$et KMV rel err $relErr (approx=$aUsers exact=$users)")
+      // k=2048 bottom-k sampling: rank error σ ≈ √(q(1−q)/k) ≈ 1.1%; values
+      // are dense uniform doubles, so a loose 2% value tolerance is generous
+      // (at sf0.01 each group fits inside k, so the quantiles are exact)
       assert(math.abs(aP50 - p50) <= math.abs(p50) * 0.02 + 1e-6, s"$et p50 $aP50 vs $p50")
       assert(math.abs(aP95 - p95) <= math.abs(p95) * 0.02 + 1e-6, s"$et p95 $aP95 vs $p95")
     }
