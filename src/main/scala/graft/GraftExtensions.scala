@@ -23,6 +23,34 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * route in each expression's companion), so the extension is additive —
   * the injection path is what a cluster-wide deployment configures once.
   */
+object GraftExtensions {
+  @volatile private var cached: org.apache.spark.sql.SparkSession = _
+
+  /** A session on `base`'s SparkContext built THROUGH the extensions
+    * injection path — what `--conf spark.sql.extensions=graft.GraftExtensions`
+    * yields cluster-wide. Memoized per context (the registered
+    * sql_extensions_simhash query routes every Verify/Bench invocation
+    * here; one extra sessionState per JVM, not per call). getOrCreate only
+    * honors withExtensions when no default session claims the builder, so
+    * the default/active slots are cleared and restored around the build. */
+  def sessionFor(base: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    synchronized {
+      if (cached == null || cached.sparkContext != base.sparkContext) {
+        val act = org.apache.spark.sql.SparkSession.getActiveSession
+        val dft = org.apache.spark.sql.SparkSession.getDefaultSession
+        org.apache.spark.sql.SparkSession.clearActiveSession()
+        org.apache.spark.sql.SparkSession.clearDefaultSession()
+        try cached = org.apache.spark.sql.SparkSession.builder()
+          .withExtensions(new GraftExtensions).getOrCreate()
+        finally {
+          dft.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
+          act.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+        }
+      }
+      cached
+    }
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     def arity(name: String, n: Int, exprs: Seq[Expression]): Unit =

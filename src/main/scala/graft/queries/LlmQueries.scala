@@ -123,12 +123,11 @@ object LlmQueries {
       .orderBy("doc_a", "doc_b"),
     minhashNearDupSql)
 
-  // Banded + Hamming≤3 ≡ all-pairs + Hamming≤3 (pigeonhole over 4 bands),
-  // so the oracle verifies with a plain fingerprint self-join.
-  private val dedupSimhash = Q(
-    (s, d) => SimHash.nearDuplicates(Tables.documents(s, d), maxHamming = 3)
-      .orderBy("doc_a", "doc_b"),
-    s"""WITH toks AS (
+  /** The per-document SimHash fingerprint replay (toks → per-token md5
+    * bits → 64 majority votes → signed 64-bit fp) — shared by the
+    * dedup_simhash oracle and the sql_extensions_simhash anchor. */
+  private val simhashFpCtes: String =
+    s"""toks AS (
        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents
        |),
        |th AS (
@@ -149,12 +148,37 @@ object LlmQueries {
        |            ELSE CAST(power(2, i) AS HUGEINT) END)
        |      ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS fp
        |  FROM bits GROUP BY 1
-       |)
+       |)""".stripMargin
+
+  // Banded + Hamming≤3 ≡ all-pairs + Hamming≤3 (pigeonhole over 4 bands),
+  // so the oracle verifies with a plain fingerprint self-join.
+  private val dedupSimhash = Q(
+    (s, d) => SimHash.nearDuplicates(Tables.documents(s, d), maxHamming = 3)
+      .orderBy("doc_a", "doc_b"),
+    s"""WITH $simhashFpCtes
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |       CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin)
+
+  /** §2 #55ac anchor: the same fingerprint computation, but the Spark side
+    * is PLAIN SQL TEXT on a session built with
+    * `spark.sql.extensions=graft.GraftExtensions` — the cluster-wide
+    * deployment route (notebooks / spark-sql / thrift, no Scala API). The
+    * oracle is the shared fp replay, so the injected function surface is
+    * hash-anchored end to end, not just spec-pinned. */
+  private val sqlExtensionsSimhash = Q(
+    (s, d) => {
+      val ext = graft.GraftExtensions.sessionFor(s)
+      Tables.documents(ext, d).where(col("text").isNotNull)
+        .createOrReplaceTempView("ext_documents")
+      ext.sql(
+        """SELECT doc_id, graft_simhash64(split(trim(text), ' ')) AS simhash
+          |FROM ext_documents ORDER BY doc_id""".stripMargin)
+    },
+    s"""WITH $simhashFpCtes
+       |SELECT doc_id, fp AS simhash FROM fp ORDER BY doc_id""".stripMargin)
 
   // ---------------------------------------------------------------- ann
   /** Guarded cosine, the SQL mirror of the Spark family's zero-norm guard
@@ -1553,6 +1577,7 @@ object LlmQueries {
     "dedup_jaccard" -> dedupJaccard,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
+    "sql_extensions_simhash" -> sqlExtensionsSimhash,
     "ann_topk" -> annTopk,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
