@@ -310,4 +310,77 @@ object IvfPq {
       .select("query_id", "vec_id", "pdot", "cn2")
     Pq.adcRankExact(vecs, queries, pairs, rerank, k)
   }
+
+  /** Quantizer-drift monitor over a STORED index — the signal the
+    * documented IVF/IVFPQ maintenance limit ("enough distribution shift ⇒
+    * refit + writeIndex rebuild", [[appendToIndex]] scaladoc) fires on.
+    * Until now that refit decision had no input; this rollup gives it
+    * three, per cell:
+    *
+    *   - `n_vectors` / `fill_ratio` (cell count ÷ mean fill) and the
+    *     global `imbalance` (max fill ÷ mean fill): a drifting corpus
+    *     piles appends into few cells — probes over-read exactly there.
+    *     Rule of thumb: rebuild when imbalance exceeds ~4 (a probe of the
+    *     hottest cell then scans 4× its fair share).
+    *   - `mse_base` vs `mse_increment`: mean PQ reconstruction error
+    *     ‖x − decode(code(x))‖² for pre-existing rows vs the newest
+    *     increment. The codebooks were fit on the base sample, so
+    *     `mse_increment / mse_base` ≫ 1 (≈2 is a reasonable trigger)
+    *     means arriving vectors live where the codebooks have no
+    *     resolution — ADC ranking quality is silently degrading even
+    *     though every append succeeded.
+    *
+    * Cost shape: one scan of the stored code table (already 64×
+    * compressed), a broadcast of the metadata codebooks, one slice/dot
+    * per (row, subspace), and a 16-row rollup — runs where the codes
+    * live, output is metadata-sized. `increment` is the newest
+    * increment's vec_ids (the ingest layer knows them; the ledger only
+    * records that an id was applied). Reconstruction error is computed
+    * from the STORED codes, so the report doubles as an integrity check:
+    * any stored code that is not the argmin of its subspace would show up
+    * as an inflated cell mse vs the oracle's min-distance replay. */
+  def indexHealth(spark: org.apache.spark.sql.SparkSession, path: String,
+                  vecs: DataFrame, increment: DataFrame, dim: Int): DataFrame = {
+    val (fs, marker) = commitMarker(spark, path)
+    require(fs.exists(marker),
+      s"$path has no _index_commit marker: writeIndex/append did not complete (or is mid-mutation)")
+    val codesDf = spark.read.parquet(s"$path/codes")
+    val m = codesDf.columns.count(_.startsWith("code_"))
+    val sd = dim / m
+    val nCells = spark.read.parquet(s"$path/centroids").count().toInt
+    val cb = spark.read.parquet(s"$path/codebooks").select("j", "code", "cent")
+    val dec = (c: org.apache.spark.sql.Column) =>
+      c.cast(org.apache.spark.sql.types.DecimalType(25, 10))
+    val terms = Pq.meltCodes(codesDf, m, Seq("vec_id", "cell"))
+      .join(vecs.select(col("vec_id"), col("emb")), Seq("vec_id"))
+      .join(broadcast(cb), Seq("j", "code"))
+      .join(broadcast(increment.select(col("vec_id"), lit(true).as("is_inc"))),
+        Seq("vec_id"), "left")
+      .withColumn("diff",
+        zip_with(slice(col("emb"), col("j") * sd + 1, lit(sd)), col("cent"), (a, b) => a - b))
+      .withColumn("d2", graft.functions.GraftFunctions.dot(spark, col("diff"), col("diff")))
+      .select(col("cell"), coalesce(col("is_inc"), lit(false)).as("is_inc"), col("d2"))
+    val perCell = terms.groupBy("cell").agg(
+      (count(lit(1)) / lit(m)).cast("long").as("n_vectors"),
+      (count(when(col("is_inc"), lit(1))) / lit(m)).cast("long").as("n_increment"),
+      sum(when(!col("is_inc"), dec(col("d2")))).cast("double").as("se_base"),
+      sum(when(col("is_inc"), dec(col("d2")))).cast("double").as("se_inc"))
+    val totals = perCell.agg(
+      sum(col("n_vectors")).as("total"), max(col("n_vectors")).as("maxn"))
+    perCell.crossJoin(broadcast(totals)).select(
+      col("cell"), col("n_vectors"), col("n_increment"),
+      ((col("n_vectors") * lit(nCells)).cast("double") / col("total").cast("double"))
+        .as("fill_ratio"),
+      ((col("maxn") * lit(nCells)).cast("double") / col("total").cast("double"))
+        .as("imbalance"),
+      when(col("n_vectors") - col("n_increment") === 0, lit(null).cast("double"))
+        .otherwise(graft.sqlx.Exact.r4(
+          col("se_base") / (col("n_vectors") - col("n_increment")).cast("double")))
+        .as("mse_base"),
+      when(col("n_increment") === 0, lit(null).cast("double"))
+        .otherwise(graft.sqlx.Exact.r4(
+          col("se_inc") / col("n_increment").cast("double")))
+        .as("mse_increment"))
+      .orderBy("cell")
+  }
 }

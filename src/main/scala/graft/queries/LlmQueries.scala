@@ -671,6 +671,68 @@ object LlmQueries {
        |${pqAdcSql(m = graft.ann.Pq.SubSpaces, sd = 64 / graft.ann.Pq.SubSpaces,
                    rerank = graft.ann.Pq.Rerank, k = 10, probed = Some(("c5", 8)))}""".stripMargin)
 
+  /** Index-health / quantizer-drift monitor (graft.ann.IvfPq.indexHealth):
+    * per-cell fill counts, global imbalance, and mean PQ reconstruction
+    * error split base-vs-newest-increment over the SAME stored composed
+    * index ann_ivfpq_incremental maintains — the input the documented
+    * "drift ⇒ refit+rebuild" maintenance decision was missing. The oracle
+    * replays both base-restricted fits, the full-corpus assignment, and
+    * per-(vector, subspace) reconstruction error as MIN over codebook
+    * entries (the stored code IS the argmin, so recomputing its distance
+    * equals the min — which also makes the report an integrity check of
+    * the stored codes). Means go through the §6 decimal-sum + VARCHAR
+    * ROUND canon; ratios are single IEEE divisions of exact counts. */
+  private val annIndexHealth = Q(
+    (s, d) => {
+      val e = corpusEmb(s, d)
+      val inc = e.where(col("vec_id") % 10 === 7)
+      val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-health-${Integer.toHexString(d.hashCode)}"
+      graft.ann.IvfPq.writeIndex(e.where(col("vec_id") % 10 =!= 7), path, dim = 64)
+      graft.ann.IvfPq.appendToIndex(s, path, inc, incrementId = 1L)
+      graft.ann.IvfPq.indexHealth(s, path, e, inc.select("vec_id"), dim = 64)
+    }, {
+      val m = graft.ann.Pq.SubSpaces
+      val sd = 64 / m
+      val nCells = 16
+      def decSum(cond: String): String =
+        s"CAST(CAST(SUM(CASE WHEN $cond THEN CAST(d2 AS DECIMAL(25,10)) END) AS VARCHAR) AS DOUBLE)"
+      def r4(x: String): String =
+        s"CAST(ROUND(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,20)), 4) + 0.0 AS DOUBLE)"
+      s"""WITH ${ivfFitCtes(k = nCells, iters = 5, dim = 64, seed = 42L, maxTrain = 65536,
+                            fitWhere = "vec_id % 10 <> 7")},
+         |${pqFitCtes(m = m, sd = sd, codes = graft.ann.Pq.Codes, iters = graft.ann.Pq.Iters,
+                      seed = 42L, maxTrain = 65536, includeHead = false)},
+         |jj AS (SELECT unnest(range($m)) AS j),
+         |sub AS (
+         |  SELECT a.vec_id, a.cell, jj.j,
+         |         list_slice(a.emb, jj.j * $sd + 1, (jj.j + 1) * $sd) AS sv,
+         |         a.vec_id % 10 = 7 AS is_inc
+         |  FROM asg a CROSS JOIN jj),
+         |td AS (
+         |  SELECT s.vec_id, s.cell, s.j, s.is_inc,
+         |         MIN(list_dot_product(list_transform(generate_series(1, $sd), i -> s.sv[i] - c.cent[i]),
+         |                              list_transform(generate_series(1, $sd), i -> s.sv[i] - c.cent[i]))) AS d2
+         |  FROM sub s JOIN cb c ON c.j = s.j
+         |  GROUP BY 1, 2, 3, 4),
+         |pc AS (
+         |  SELECT cell,
+         |    CAST(COUNT(*) / $m AS BIGINT) AS n_vectors,
+         |    CAST(COUNT(CASE WHEN is_inc THEN 1 END) / $m AS BIGINT) AS n_increment,
+         |    ${decSum("NOT is_inc")} AS se_base,
+         |    ${decSum("is_inc")} AS se_inc
+         |  FROM td GROUP BY cell),
+         |tot AS (SELECT SUM(n_vectors) AS total, MAX(n_vectors) AS maxn FROM pc)
+         |SELECT cell, n_vectors, n_increment,
+         |  CAST(n_vectors * $nCells AS DOUBLE) / CAST(total AS DOUBLE) AS fill_ratio,
+         |  CAST(maxn * $nCells AS DOUBLE) / CAST(total AS DOUBLE) AS imbalance,
+         |  CASE WHEN n_vectors - n_increment = 0 THEN NULL
+         |       ELSE ${r4("se_base / CAST(n_vectors - n_increment AS DOUBLE)")} END AS mse_base,
+         |  CASE WHEN n_increment = 0 THEN NULL
+         |       ELSE ${r4("se_inc / CAST(n_increment AS DOUBLE)")} END AS mse_increment
+         |FROM pc CROSS JOIN tot
+         |ORDER BY cell""".stripMargin
+    })
+
   /** SemDeDup: k-means-cell-restricted semantic dedup at the embedding
     * near-dup threshold — O(Σ cell²) instead of corpus². Oracle-green: the
     * deterministic fit (ivfFitCtes — same cells as IvfIndex.assign) makes
@@ -1585,6 +1647,7 @@ object LlmQueries {
     "ann_pq" -> annPq,
     "ann_ivfpq" -> annIvfPq,
     "ann_ivfpq_incremental" -> annIvfPqIncremental,
+    "ann_index_health" -> annIndexHealth,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
     "text_langid" -> textLangid,
