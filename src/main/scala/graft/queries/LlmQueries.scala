@@ -652,6 +652,21 @@ object LlmQueries {
     * fitting on the base frame) with the full-corpus encode/assign:
     * every index column is per-row against fixed metadata, so
     * append ≡ rebuild. */
+  /** Shared oracle of the two incremental-ingest IVFPQ queries: the
+    * base-restricted two-fit replay + full-corpus probe. Assignment and
+    * coding are per-row against fixed stored metadata, so append ≡ rebuild
+    * — and HOW the increment arrived (one batch, or n micro-batches) is
+    * invisible to the final store, which is why the streamed ingest can
+    * share it verbatim. */
+  private val ivfPqIncrementalOracle: String =
+    s"""WITH ${ivfFitCtes(k = 16, iters = 5, dim = 64, seed = 42L, maxTrain = 65536,
+                          fitWhere = "vec_id % 10 <> 7")},
+       |${pqFitCtes(m = graft.ann.Pq.SubSpaces, sd = 64 / graft.ann.Pq.SubSpaces,
+                    codes = graft.ann.Pq.Codes, iters = graft.ann.Pq.Iters,
+                    seed = 42L, maxTrain = 65536, includeHead = false)},
+       |${pqAdcSql(m = graft.ann.Pq.SubSpaces, sd = 64 / graft.ann.Pq.SubSpaces,
+                   rerank = graft.ann.Pq.Rerank, k = 10, probed = Some(("c5", 8)))}""".stripMargin
+
   private val annIvfPqIncremental = Q(
     (s, d) => {
       val e = corpusEmb(s, d)
@@ -663,13 +678,55 @@ object LlmQueries {
       graft.ann.IvfPq.approxTopKStored(s, path, e, q, k = 10, dim = 64)
         .orderBy("query_id", "rank")
     },
-    s"""WITH ${ivfFitCtes(k = 16, iters = 5, dim = 64, seed = 42L, maxTrain = 65536,
-                          fitWhere = "vec_id % 10 <> 7")},
-       |${pqFitCtes(m = graft.ann.Pq.SubSpaces, sd = 64 / graft.ann.Pq.SubSpaces,
-                    codes = graft.ann.Pq.Codes, iters = graft.ann.Pq.Iters,
-                    seed = 42L, maxTrain = 65536, includeHead = false)},
-       |${pqAdcSql(m = graft.ann.Pq.SubSpaces, sd = 64 / graft.ann.Pq.SubSpaces,
-                   rerank = graft.ann.Pq.Rerank, k = 10, probed = Some(("c5", 8)))}""".stripMargin)
+    ivfPqIncrementalOracle)
+
+  /** Streaming ANN index ingest — the production shape for a continuously
+    * growing vector corpus, composing three proven pieces: the file
+    * streaming source (arriving parquet = one micro-batch each),
+    * foreachBatch as the ingest driver, and the ledger-guarded
+    * [[graft.ann.IvfPq.appendToIndex]] with `batchId + 1` as the increment
+    * id — which makes the ingest exactly-once FOR FREE: Structured
+    * Streaming's replayed-last-batch delivery hits the IndexLedger
+    * high-water mark and is a no-op (IvfPqStreamSpec asserts the replay
+    * and the stream ≡ batch-append equivalence). The base index is
+    * rebuilt each run (the stream mutates the store, like
+    * stream_mv_refresh re-inits its view); the increment arrives as two
+    * staged files ⇒ two genuine micro-batches, each appended
+    * assign+encode-against-fixed-metadata in O(batch). The final probe
+    * shares ann_ivfpq_incremental's oracle verbatim: n micro-batches or
+    * one append, the store must converge to the same rows. */
+  private val streamAnnIngest = Q(
+    (s, d) => {
+      val e = corpusEmb(s, d)
+      val q = e.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+      val tag = Integer.toHexString(d.hashCode)
+      val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-stream-$tag"
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-ann-stream-src-$tag-${graft.sources.SourceFingerprint.of(s, d, "embeddings")}")
+      if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
+        e.where(col("vec_id") % 10 === 7).repartition(2)
+          .write.mode("overwrite").parquet(dir.toString)
+      }
+      graft.ann.IvfPq.writeIndex(e.where(col("vec_id") % 10 =!= 7), path, dim = 64)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("emb",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      val sq = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          graft.ann.IvfPq.appendToIndex(batch.sparkSession, path, batch, incrementId = id + 1)
+          ()
+        }
+        .start()
+      try sq.processAllAvailable() finally sq.stop()
+      graft.ann.IvfPq.approxTopKStored(s, path, e, q, k = 10, dim = 64)
+        .orderBy("query_id", "rank")
+    },
+    ivfPqIncrementalOracle)
 
   /** Index-health / quantizer-drift monitor (graft.ann.IvfPq.indexHealth):
     * per-cell fill counts, global imbalance, and mean PQ reconstruction
@@ -1648,6 +1705,7 @@ object LlmQueries {
     "ann_ivfpq" -> annIvfPq,
     "ann_ivfpq_incremental" -> annIvfPqIncremental,
     "ann_index_health" -> annIndexHealth,
+    "stream_ann_ingest" -> streamAnnIngest,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
     "text_langid" -> textLangid,
