@@ -73,4 +73,50 @@ object IndexLedger {
     fs(spark, path).delete(dirPath(path), true)
     ()
   }
+
+  // ------------------------------------------------------------ mutation lock
+
+  private def lockPath(path: String) = new Path(s"$path/_mutating")
+
+  /** Writer mutual exclusion for the index stores (round 13): every
+    * mutation (writeIndex rebuild, appendToIndex) runs under an
+    * exclusive-create `_mutating` lock, so two concurrent mutators can
+    * never interleave parquet appends into the same cell dirs — the
+    * loser fails LOUDLY here (ConcurrentCommitException) instead of
+    * silently corrupting ADC partials. Appends have no "recompute from
+    * the new head" notion (they are order-independent data adds), so the
+    * right semantics is a lock, not a version CAS — the ledger's
+    * increment ids stay the idempotence key WITHIN the single winning
+    * stream.
+    *
+    * Crash recovery: a holder that dies leaves the lock on disk, and a
+    * filesystem cannot distinguish dead from slow — so the lock is never
+    * auto-broken. `lock present + _index_commit present` = the store is
+    * consistent (the holder died outside the data window, or is about to
+    * finish); `lock present + marker absent` = possibly half-mutated.
+    * Either way the operator confirms no mutator is running, then
+    * [[breakMutationLock]] + (if the marker is absent and the ledger does
+    * NOT certify the increment — see [[recoverMarker]]) a writeIndex
+    * rebuild. */
+  def acquireMutationLock(spark: SparkSession, path: String, op: String): Unit =
+    if (!graft.sources.CommittedVersions.tryCreateExclusive(
+          spark, lockPath(path).toString))
+      throw new graft.sources.ConcurrentCommitException(
+        s"$op: another mutation holds ${lockPath(path)} — concurrent index " +
+          "mutators are rejected, not interleaved. If the holder crashed, " +
+          "confirm nothing is running, then IndexLedger.breakMutationLock " +
+          "(+ writeIndex rebuild if the commit marker is absent and the " +
+          "ledger does not certify the increment).")
+
+  def releaseMutationLock(spark: SparkSession, path: String): Unit = {
+    fs(spark, path).delete(lockPath(path), false)
+    ()
+  }
+
+  /** Operator-invoked stale-lock removal after a crashed mutator — see
+    * [[acquireMutationLock]] for the safety precondition (no live
+    * mutator; a lease/heartbeat would automate this, at the cost of
+    * wall-clock coupling a zero-egress library shouldn't hardcode). */
+  def breakMutationLock(spark: SparkSession, path: String): Unit =
+    releaseMutationLock(spark, path)
 }

@@ -302,13 +302,16 @@ object IvfIndex {
   def writeIndex(vecs: DataFrame, path: String, nCells: Int = 16,
                  seed: Long = 42L, maxTrain: Int = 65536): Unit = {
     val spark = vecs.sparkSession
-    val (fs, marker) = commitMarker(spark, path)
-    fs.delete(marker, false)
-    val (assigned, cents) = assign(vecs, nCells, seed, maxTrain)
-    IndexLedger.reset(spark, path)
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/assigned")
-    cents.write.mode("overwrite").parquet(s"$path/centroids")
-    fs.create(marker, true).close()
+    IndexLedger.acquireMutationLock(spark, path, "IvfIndex.writeIndex")
+    try {
+      val (fs, marker) = commitMarker(spark, path)
+      fs.delete(marker, false)
+      val (assigned, cents) = assign(vecs, nCells, seed, maxTrain)
+      IndexLedger.reset(spark, path)
+      assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/assigned")
+      cents.write.mode("overwrite").parquet(s"$path/centroids")
+      fs.create(marker, true).close()
+    } finally IndexLedger.releaseMutationLock(spark, path)
   }
 
   /** Incremental index maintenance — the production ANN ingest path: new
@@ -336,21 +339,30 @@ object IvfIndex {
     requireCommitted(spark, path)
     if (incrementId <= IndexLedger.applied(spark, path)) false
     else {
-      // marker dropped for the append window: a crash after data landed
-      // but before the ledger advanced must NOT let the retry silently
-      // re-append (the review-found double-append) — with the marker gone
-      // the retry (and every probe) fails loudly instead
-      val (fs, marker) = commitMarker(spark, path)
-      fs.delete(marker, false)
-      val cents = spark.read.parquet(s"$path/centroids")
-        .orderBy("cell").collect()
-        .map(r => r.getAs[Seq[Double]]("centroid").toArray)
-      val assigned = newVecs.select(col("vec_id"), col("emb"),
-        graft.functions.NearestCell.nearest(spark, col("emb"), cents).as("cell"))
-      assigned.write.mode("append").partitionBy("cell").parquet(s"$path/assigned")
-      IndexLedger.record(spark, path, incrementId)
-      fs.create(marker, true).close()
-      true
+      // concurrent mutators are rejected loudly BEFORE any file lands —
+      // two interleaved appends into the same cell dirs was the round-13
+      // concurrency review's remaining corruption window
+      IndexLedger.acquireMutationLock(spark, path, "IvfIndex.appendToIndex")
+      try {
+        // re-check under the lock: a rival may have applied this id
+        // between the optimistic check above and the acquire
+        if (incrementId <= IndexLedger.applied(spark, path)) return false
+        // marker dropped for the append window: a crash after data landed
+        // but before the ledger advanced must NOT let the retry silently
+        // re-append (the review-found double-append) — with the marker gone
+        // the retry (and every probe) fails loudly instead
+        val (fs, marker) = commitMarker(spark, path)
+        fs.delete(marker, false)
+        val cents = spark.read.parquet(s"$path/centroids")
+          .orderBy("cell").collect()
+          .map(r => r.getAs[Seq[Double]]("centroid").toArray)
+        val assigned = newVecs.select(col("vec_id"), col("emb"),
+          graft.functions.NearestCell.nearest(spark, col("emb"), cents).as("cell"))
+        assigned.write.mode("append").partitionBy("cell").parquet(s"$path/assigned")
+        IndexLedger.record(spark, path, incrementId)
+        fs.create(marker, true).close()
+        true
+      } finally IndexLedger.releaseMutationLock(spark, path)
     }
   }
 

@@ -83,20 +83,23 @@ object IvfPq {
     // only after codes AND metadata all landed, so a rebuild that dies
     // between writes can never leave new codes silently paired with stale
     // centroids/codebooks — readers refuse an unmarked store
-    val (fs, marker) = commitMarker(spark, path)
-    fs.delete(marker, false)
-    IndexLedger.reset(spark, path)
-    val (coarse, cbs) = fitBoth(vecs, dim, nCells, m, codes, seed, maxTrain)
-    indexRows(vecs, coarse, cbs)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
-    coarse.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
-      .toDF("cell", "centroid")
-      .write.mode("overwrite").parquet(s"$path/centroids")
-    // codebooks persisted WITH their quantized |cent|² so the stored
-    // probe's cn2 is bit-identical to the in-memory path by construction
-    Pq.codebookDf(spark, cbs)
-      .write.mode("overwrite").parquet(s"$path/codebooks")
-    fs.create(marker, true).close()
+    IndexLedger.acquireMutationLock(spark, path, "IvfPq.writeIndex")
+    try {
+      val (fs, marker) = commitMarker(spark, path)
+      fs.delete(marker, false)
+      IndexLedger.reset(spark, path)
+      val (coarse, cbs) = fitBoth(vecs, dim, nCells, m, codes, seed, maxTrain)
+      indexRows(vecs, coarse, cbs)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+      coarse.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+        .toDF("cell", "centroid")
+        .write.mode("overwrite").parquet(s"$path/centroids")
+      // codebooks persisted WITH their quantized |cent|² so the stored
+      // probe's cn2 is bit-identical to the in-memory path by construction
+      Pq.codebookDf(spark, cbs)
+        .write.mode("overwrite").parquet(s"$path/codebooks")
+      fs.create(marker, true).close()
+    } finally IndexLedger.releaseMutationLock(spark, path)
   }
 
   /** Read the stored quantizer metadata back as arrays (cell- and
@@ -149,13 +152,20 @@ object IvfPq {
     val (coarse, cbs) = readMeta(spark, path)
     if (incrementId <= IndexLedger.applied(spark, path)) false
     else {
-      val (fs, marker) = commitMarker(spark, path)
-      fs.delete(marker, false)
-      indexRows(newVecs, coarse, cbs)
-        .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
-      IndexLedger.record(spark, path, incrementId)
-      fs.create(marker, true).close()
-      true
+      // reject concurrent mutators loudly before any file lands (the
+      // lock discipline shared with IvfIndex.appendToIndex — interleaved
+      // cell-dir appends were the remaining corruption window)
+      IndexLedger.acquireMutationLock(spark, path, "IvfPq.appendToIndex")
+      try {
+        if (incrementId <= IndexLedger.applied(spark, path)) return false
+        val (fs, marker) = commitMarker(spark, path)
+        fs.delete(marker, false)
+        indexRows(newVecs, coarse, cbs)
+          .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+        IndexLedger.record(spark, path, incrementId)
+        fs.create(marker, true).close()
+        true
+      } finally IndexLedger.releaseMutationLock(spark, path)
     }
   }
 

@@ -41,8 +41,17 @@ import graft.sqlx.Exact
   * also carries the exactly-once `applied_batch` high-water mark, so
   * [[refreshOnce]]'s state swap and its replay mark commit ATOMICALLY —
   * the old "crash between swap and mark double-counts" window is closed,
-  * not documented away. Single-writer assumption (one stream/orchestrator
-  * owns a store root), same as every table-format maintenance path here.
+  * not documented away.
+  *
+  * Concurrent writers (round 13 — Delta/Iceberg's optimistic concurrency,
+  * re-expressed on the file store): generation ids are exclusive-create
+  * CLAIMS (disjoint write targets per refresher) and the manifest flip is
+  * a check-and-fail CAS at `v = read-version + 1` — exactly one refresher
+  * wins each manifest version; the loser gets a loud
+  * ConcurrentCommitException (its snapshot was stale; re-read and re-run),
+  * and its orphaned generation dirs are vacuumed once the head passes
+  * them. ConcurrencySpec runs two racing refreshers and proves one-winner-
+  * per-version, no lost updates, loud loser.
   */
 /** One bucket's live generation (+ the store-wide applied-batch mark,
   * duplicated per row so the manifest stays a single tiny table).
@@ -87,16 +96,32 @@ object MaterializedAgg {
     (v, spark.read.parquet(s"$root/_manifest/v=$v").as[MvManifestRow].collect().toSeq)
   }
 
+  /** Commit manifest version `v` via the shared check-and-fail CAS
+    * (stage + atomic rename, [[graft.sources.CommittedVersions
+    * .publishVersion]]). The conflict rule: a refresher commits the
+    * version AFTER the manifest it read its bucket generations from; if a
+    * rival committed that number first, this refresher merged against
+    * stale generations and is REJECTED loudly (ConcurrentCommitException)
+    * — its already-written generation dirs are unreferenced orphans the
+    * next successful vacuum removes. Re-read the head and re-run the
+    * refresh (increments are kept by the caller; partials re-merge
+    * exactly against the new state). */
   private def writeManifest(spark: SparkSession, root: String, v: Long,
                             rows: Seq[MvManifestRow]): Unit = {
     import spark.implicits._
-    rows.toDF().coalesce(1).write.mode("overwrite").parquet(s"$root/_manifest/v=$v")
+    graft.sources.CommittedVersions.publishVersion(
+      rows.toDF().coalesce(1), s"$root/_manifest", v, "MaterializedAgg manifest")
   }
 
   /** Drop manifest versions beyond [[RetainManifests]] and every data
-    * generation no retained manifest references (gen dirs ABOVE a bucket's
-    * live generation are uncommitted leftovers of a crashed refresh — also
-    * removed; the single-writer assumption means no in-flight sibling). */
+    * generation no retained manifest references — crashed-refresh
+    * leftovers AND CAS losers' orphaned gens. Only gens strictly BELOW
+    * the live head are eligible: a higher unreferenced gen may be a
+    * CONCURRENT refresher's claimed in-flight write (deleting it under
+    * that writer was the one mutual-destruction window the claim protocol
+    * left; the loser's orphan is cleaned by the NEXT vacuum, once the
+    * head has passed it). Dead claims, staging leftovers, and stale
+    * manifest stagings go the same way. */
   private def vacuum(spark: SparkSession, root: String): Unit = {
     val fs = fileSystem(spark, root)
     val versions = manifestVersions(spark, root).sorted
@@ -108,16 +133,24 @@ object MaterializedAgg {
       spark.read.parquet(s"$root/_manifest/v=$v").as[MvManifestRow].collect()
         .map(r => (r.bucket, r.gen))
     }.toSet
+    val maxLive = live.map(_._2).maxOption.getOrElse(0L)
     val dataRoot = new Path(s"$root/data")
     if (fs.exists(dataRoot)) {
       fs.listStatus(dataRoot).toSeq.filter(_.getPath.getName.startsWith("bucket=")).foreach { bdir =>
         val b = bdir.getPath.getName.stripPrefix("bucket=").toInt
         fs.listStatus(bdir.getPath).toSeq.filter(_.getPath.getName.startsWith("gen=")).foreach { gdir =>
           val g = gdir.getPath.getName.stripPrefix("gen=").toLong
-          if (!live.contains((b, g))) fs.delete(gdir.getPath, true)
+          if (g < maxLive && !live.contains((b, g))) fs.delete(gdir.getPath, true)
         }
       }
+      fs.listStatus(dataRoot).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("_stage-gen-"))
+        .filter(_.getName.stripPrefix("_stage-gen-").toLongOption.exists(_ < maxLive))
+        .foreach(fs.delete(_, true))
     }
+    graft.sources.CommittedVersions.vacuumClaims(
+      spark, s"$root/data/_genclaims", maxLive)
+    graft.sources.CommittedVersions.vacuumStaging(spark, s"$root/_manifest")
   }
 
   // ------------------------------------------------------------ state algebra
@@ -145,19 +178,30 @@ object MaterializedAgg {
         min(col("vmin")).as("vmin"),
         max(col("vmax")).as("vmax"))
 
-  /** Write partial-state rows as generation `gen` of their buckets. The
-    * target gen dirs are pre-cleared: they can only hold uncommitted
-    * leftovers of a crashed attempt at this same generation (no manifest
-    * references them), and clearing makes the retried write idempotent. */
+  /** Write partial-state rows as generation `gen` of their buckets: one
+    * Spark job into a gen-unique staging dir, then a metadata rename per
+    * bucket into place. The staging indirection is load-bearing for
+    * concurrency — the old `mode("append")` into the shared data root let
+    * two concurrent refreshers collide on the job committer's
+    * `_temporary` dir even with disjoint claimed gens; per-gen staging
+    * gives every writer a private output path, and `gen` itself is
+    * exclusive-create-claimed so the rename targets never collide. */
   private def writeGen(spark: SparkSession, root: String, state: DataFrame,
                        buckets: Seq[Int], gen: Long): Unit = {
     val fs = fileSystem(spark, root)
+    val stage = s"$root/data/_stage-gen-$gen"
+    fs.delete(new Path(stage), true)
+    state.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(stage)
     buckets.foreach { b =>
-      fs.delete(new Path(s"$root/data/bucket=$b/gen=$gen"), true)
+      val dst = new Path(s"$root/data/bucket=$b/gen=$gen")
+      fs.delete(dst, true) // defensive: gens are claim-unique, dst is ours
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(new Path(s"$stage/bucket=$b"), dst))
+        sys.error(s"writeGen: failed to publish $dst from staging")
     }
-    state.withColumn("gen", lit(gen))
-      .repartition(col("bucket"))
-      .write.mode("append").partitionBy("bucket", "gen").parquet(s"$root/data")
+    fs.delete(new Path(stage), true)
+    ()
   }
 
   // ------------------------------------------------------------ public API
@@ -220,7 +264,12 @@ object MaterializedAgg {
     val merged =
       if (touchedEntries.isEmpty) inc
       else combine(readState(spark, root, touchedEntries), inc, keys)
-    val newGen = entries.map(_.gen).maxOption.getOrElse(0L) + 1L
+    // exclusive-create claim: two concurrent refreshers get DISJOINT
+    // generation dirs (interleaved appends into a shared gen dir was the
+    // pre-CAS corruption window); the manifest CAS below then rejects the
+    // one whose read snapshot lost, and its claimed gens become orphans
+    val newGen = graft.sources.CommittedVersions.claimId(
+      spark, s"$root/data/_genclaims", entries.map(_.gen).maxOption.getOrElse(0L) + 1L)
     writeGen(spark, root, merged, touched, newGen)
     val mark = if (appliedBatch >= 0) appliedBatch
                else entries.headOption.map(_.applied_batch).getOrElse(-1L)

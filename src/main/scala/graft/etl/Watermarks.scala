@@ -62,16 +62,28 @@ object Watermarks {
     * commit, and (c) the table is one row per symbol × transformation —
     * metadata-sized at any corpus scale, so rewriting it whole is cheaper
     * than merge machinery. Old versions beyond `retain` are vacuumed.
-    * Returns the committed version number. */
+    * Returns the committed version number.
+    *
+    * Concurrency (round 13): the version flip is a check-and-fail CAS
+    * ([[graft.sources.CommittedVersions.publishVersion]] — stage, then
+    * atomic rename to `v=next`). The conflict rule: a writer commits the
+    * version AFTER the head it read; if a rival committed that number
+    * first, this writer's update was derived from a stale table and is
+    * REJECTED with a loud ConcurrentCommitException — re-read the new
+    * head, re-derive the update (updateWatermarks is a pure function of
+    * the state), retry. The reference got this for free from Postgres
+    * UPDATE transactionality (transformation_watermark_manager.py:272-325);
+    * the file store states the same rule explicitly. */
   def writeState(wm: DataFrame, root: String, retain: Int = 8): Long = {
     val spark = wm.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
     val next = latestVersion(spark, root).getOrElse(0L) + 1L
-    wm.write.mode("overwrite").parquet(s"$root/v=$next")
+    graft.sources.CommittedVersions.publishVersion(wm, root, next, "Watermarks.writeState")
     versions(spark, root).sorted.dropRight(retain).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$root/v=$v"), true)
     }
+    graft.sources.CommittedVersions.vacuumStaging(spark, root)
     next
   }
 

@@ -3,6 +3,13 @@ package graft.sources
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
+/** Loud loser of an optimistic-concurrency commit: the version the writer
+  * staged against was committed by a rival first, so its read snapshot is
+  * stale. The correct reaction is Delta/Iceberg's: re-read the new head,
+  * recompute the increment against it, and retry — never blind-retry the
+  * same staged bytes. */
+final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
+
 /** THE versioned-commit protocol, in one place: a `v=N` directory counts
   * as committed exactly when its `_SUCCESS` marker exists (Spark's job
   * committer writes it last), so a crashed mid-write version is invisible
@@ -12,11 +19,25 @@ import org.apache.spark.sql.SparkSession
   * ([[graft.etl.MaterializedAgg]]) and the table-maintenance generation
   * pointer ([[TableMaintenance]]) — because three hand-rolled copies of a
   * crash-consistency scanner is how one copy quietly diverges (round-12
-  * review finding). */
+  * review finding).
+  *
+  * Round 13 adds the WRITE half of the protocol: [[tryPublish]] makes the
+  * version flip a check-and-fail CAS (stage the complete version dir,
+  * atomically rename it to `v=expected`; the rename fails if a rival
+  * committed `expected` first), and [[claimId]] hands out collision-free
+  * generation ids by exclusive file create — together they turn the
+  * stores' former last-writer-wins overwrite into optimistic concurrency:
+  * exactly one writer wins each version, the loser gets a loud
+  * [[ConcurrentCommitException]] instead of silently orphaning the
+  * winner's work, and a crashed writer leaves only unreferenced staging /
+  * claim garbage (vacuumed later) — never a blocked version number. */
 object CommittedVersions {
 
+  private def fsOf(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   def list(spark: SparkSession, root: String): Seq[Long] = {
-    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, root)
     val p = new Path(root)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
@@ -27,4 +48,122 @@ object CommittedVersions {
 
   def latest(spark: SparkSession, root: String): Option[Long] =
     list(spark, root).maxOption
+
+  /** Atomic exclusive file create — true iff THIS caller created it. The
+    * one filesystem primitive every CAS here reduces to. On HDFS,
+    * create(overwrite=false) is atomic at the namenode; Hadoop's LOCAL
+    * filesystems however implement it as a non-atomic exists()-then-create
+    * (measured: 8 racing threads all "won"), so local paths route through
+    * java.nio's createFile — a real O_CREAT|O_EXCL. A generic IOException
+    * re-checks existence so an actual IO failure surfaces instead of
+    * silently reading as "lost the race". */
+  private[graft] def tryCreateExclusive(spark: SparkSession, file: String): Boolean = {
+    val p = new Path(file)
+    val fs = fsOf(spark, file)
+    fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        val local = java.nio.file.Paths.get(p.toUri.getPath)
+        Option(local.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        try { java.nio.file.Files.createFile(local); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      case _ =>
+        Option(p.getParent).foreach(fs.mkdirs(_))
+        try { fs.create(p, false).close(); true }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case e: java.io.IOException => if (fs.exists(p)) false else throw e
+        }
+    }
+  }
+
+  /** Allocate a fresh id ≥ `start` by exclusive create of
+    * `claimDir/claim-<id>` — collision-free under any number of concurrent
+    * writers, and a crashed claimer only wastes one number (ids are
+    * pointers, not semantics; nothing requires them contiguous). */
+  def claimId(spark: SparkSession, claimDir: String, start: Long): Long = {
+    var id = start
+    while (!tryCreateExclusive(spark, s"$claimDir/claim-$id")) {
+      id += 1
+      require(id - start < 100000,
+        s"claimId runaway under $claimDir — ${id - start} consecutive taken ids")
+    }
+    id
+  }
+
+  /** Drop claim files whose id can never be allocated again (allocation
+    * always starts above the live head, so claims at or below it are dead
+    * weight; higher claims may belong to an in-flight writer and stay). */
+  def vacuumClaims(spark: SparkSession, claimDir: String, maxDeadId: Long): Unit = {
+    val fs = fsOf(spark, claimDir)
+    val d = new Path(claimDir)
+    if (fs.exists(d)) {
+      fs.listStatus(d).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("claim-"))
+        .filter(_.getName.stripPrefix("claim-").toLongOption.exists(_ <= maxDeadId))
+        .foreach(fs.delete(_, false))
+    }
+  }
+
+  /** CAS half of the commit: atomically publish `staged` (a COMPLETE
+    * version directory, `_SUCCESS` already inside) as `root/v=expected`.
+    * Returns false — after cleaning up the staged dir — when a rival
+    * committed `expected` first: rename-to-existing fails atomically, so
+    * exactly one writer ever wins a version number. A crash before the
+    * rename leaves only an invisible `_staged-*` dir (the `v=` prefix
+    * filter in [[list]] never sees it); there is no claim to break and no
+    * wedged next version. */
+  def tryPublish(spark: SparkSession, root: String, expected: Long,
+                 staged: String): Boolean = {
+    val fs = fsOf(spark, root)
+    val dst = new Path(root, s"v=$expected")
+    // only a COMMITTED dst is a rival's win. An existing dst WITHOUT
+    // _SUCCESS is crash garbage from a pre-CAS direct write (a live CAS
+    // writer never exposes an incomplete v= dir — versions appear whole
+    // via rename), so it is cleared and the version re-claimed; the rename
+    // below stays the atomic arbiter if two writers clear it concurrently.
+    val won =
+      if (fs.exists(new Path(dst, "_SUCCESS"))) false
+      else {
+        if (fs.exists(dst)) fs.delete(dst, true)
+        try fs.rename(new Path(staged), dst)
+        catch { case _: java.io.IOException => false }
+      }
+    if (!won) fs.delete(new Path(staged), true)
+    won
+  }
+
+  /** Stage-and-CAS convenience for the common one-small-table version dir:
+    * writes `df` to a unique `_staged-*` sibling, then [[tryPublish]]es it
+    * as `v=expected`; throws the loud [[ConcurrentCommitException]] naming
+    * the store when a rival won. */
+  def publishVersion(df: org.apache.spark.sql.DataFrame, root: String,
+                     expected: Long, store: String): Unit = {
+    val spark = df.sparkSession
+    val staged = s"$root/_staged-${java.util.UUID.randomUUID}"
+    df.write.mode("overwrite").parquet(staged)
+    if (!tryPublish(spark, root, expected, staged))
+      throw new ConcurrentCommitException(
+        s"$store: version v=$expected under $root was committed by another " +
+          "writer — this writer's snapshot is stale; re-read the head and retry")
+  }
+
+  /** Remove leftover staging dirs of CRASHED writers. Age-gated: deleting
+    * a LIVE rival's staging dir mid-write kills its Spark job with a
+    * confusing FileNotFound instead of the clean CAS loss it would
+    * otherwise get (measured in ConcurrencySpec), so only dirs older than
+    * `maxAgeMs` — far beyond any real commit's stage-to-rename window —
+    * are treated as abandoned. Callers invoke it from their vacuum step. */
+  def vacuumStaging(spark: SparkSession, root: String,
+                    maxAgeMs: Long = 60L * 60 * 1000): Unit = {
+    val fs = fsOf(spark, root)
+    val p = new Path(root)
+    if (fs.exists(p)) {
+      val cutoff = System.currentTimeMillis() - maxAgeMs
+      fs.listStatus(p).toSeq
+        .filter(_.getPath.getName.startsWith("_staged-"))
+        .filter(_.getModificationTime < cutoff)
+        .foreach(s => fs.delete(s.getPath, true))
+    }
+  }
 }

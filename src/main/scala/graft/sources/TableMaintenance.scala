@@ -64,6 +64,14 @@ object TableMaintenance {
     * persist them beside it, and flip the pointer — the commit half shared
     * by [[initGen]] and [[maintain]]. Everything lands before the pointer
     * version's `_SUCCESS`, so the flip is all-or-nothing. */
+  /** Concurrency (round 13): the pointer flip is a check-and-fail CAS at
+    * `v = read-version + 1` (CommittedVersions.publishVersion — stage +
+    * atomic rename). Conflict rule: a maintainer commits the pointer
+    * version after the head it compacted FROM; if a rival flipped that
+    * version first, this maintainer rewrote a superseded generation and
+    * is REJECTED with a loud ConcurrentCommitException — its claimed gen
+    * dir is an unreferenced orphan the next maintain() vacuums. Re-read
+    * currentGen and re-run. */
   def commitGen(spark: SparkSession, root: String, gen: Long,
                 statsCols: Seq[String], bloomCols: Seq[String]): Unit = {
     import spark.implicits._
@@ -72,8 +80,9 @@ object TableMaintenance {
     BloomSkipIndex.build(spark, dataPath(root, gen), bloomCols)
       .coalesce(1).write.mode("overwrite").parquet(bloomPath(root, gen))
     val v = pointerVersions(spark, root).maxOption.getOrElse(0L) + 1L
-    Seq(gen).toDF("gen").coalesce(1)
-      .write.mode("overwrite").parquet(s"$root/_current/v=$v")
+    CommittedVersions.publishVersion(
+      Seq(gen).toDF("gen").coalesce(1), s"$root/_current", v,
+      "TableMaintenance pointer")
   }
 
   /** Initialize the store: the caller has written raw data under
@@ -93,18 +102,24 @@ object TableMaintenance {
                targetRowsPerFile: Long,
                statsCols: Seq[String], bloomCols: Seq[String]): Long = {
     val cur = currentGen(spark, root)
-    val next = cur + 1L
+    // exclusive-create claim: concurrent maintainers compact into DISJOINT
+    // generation dirs (both writing gen=cur+1 was the pre-CAS interleave
+    // window); the pointer CAS in commitGen then rejects the stale one
+    val next = CommittedVersions.claimId(spark, s"$root/_genclaims", cur + 1L)
     val df = spark.read.parquet(dataPath(root, cur))
     val nFiles = math.max(1L, math.ceil(
       df.count().toDouble / targetRowsPerFile).toLong)
-    // clear uncommitted leftovers of a crashed prior attempt at this gen
+    // clear uncommitted leftovers (defensive: the claim makes gen=next ours)
     fs(spark, root).delete(new Path(s"$root/gen=$next"), true)
     df.repartitionByRange(nFiles.toInt, col(sortCol))
       .write.option("maxRecordsPerFile", targetRowsPerFile)
       .parquet(dataPath(root, next))
     commitGen(spark, root, next, statsCols, bloomCols)
     // vacuum: committed pointer versions beyond retention, then every
-    // generation no retained pointer references
+    // generation no retained pointer references — but only BELOW the live
+    // head: a higher unreferenced gen may be a concurrent maintainer's
+    // claimed in-flight write (a CAS loser's orphan is cleaned by the
+    // next maintain, once the head passes it). Dead claims likewise.
     val f = fs(spark, root)
     val versions = pointerVersions(spark, root).sorted
     versions.dropRight(RetainGens + 1).foreach { v =>
@@ -112,11 +127,14 @@ object TableMaintenance {
     }
     val liveGens = pointerVersions(spark, root).map(v =>
       spark.read.parquet(s"$root/_current/v=$v").head().getLong(0)).toSet
+    val maxLive = liveGens.maxOption.getOrElse(0L)
     f.listStatus(new Path(root)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
       .map(_.getPath.getName.stripPrefix("gen=").toLong)
-      .filterNot(liveGens)
+      .filter(g => g < maxLive && !liveGens(g))
       .foreach(g => f.delete(new Path(s"$root/gen=$g"), true))
+    CommittedVersions.vacuumClaims(spark, s"$root/_genclaims", maxLive)
+    CommittedVersions.vacuumStaging(spark, s"$root/_current")
     next
   }
 

@@ -1,0 +1,188 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Optimistic concurrency on the versioned stores (round 13): exactly one
+  * writer wins each version, the loser fails LOUDLY with
+  * ConcurrentCommitException, no state is lost or orphaned-and-served, and
+  * a loser that retries from the new head succeeds. Each store's conflict
+  * rule is documented at its write path; this spec races real writers.
+  *
+  * Timing note: two racing threads may also serialize cleanly (both
+  * commit, at different versions) — that is a LEGAL outcome of optimistic
+  * concurrency, so the assertions check the invariants (unique versions,
+  * final state ≡ recompute over exactly the successful writes, losers
+  * loud) rather than demanding a conflict occurred; the CAS primitive
+  * itself is conflict-tested deterministically first. */
+class ConcurrencySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String) =
+    s"${sys.props("java.io.tmpdir")}/graft-conc-$name"
+
+  private def clear(root: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    ()
+  }
+
+  /** Run the thunks simultaneously (latch-released), return each outcome. */
+  private def race[T](thunks: Seq[() => T]): Seq[Either[Throwable, T]] = {
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, Either[Throwable, T]]()
+    val threads = thunks.zipWithIndex.map { case (t, i) =>
+      new Thread(() => {
+        latch.await()
+        results.put(i, try Right(t()) catch { case e: Throwable => Left(e) })
+        ()
+      })
+    }
+    threads.foreach(_.start())
+    latch.countDown()
+    threads.foreach(_.join())
+    thunks.indices.map(results.get(_))
+  }
+
+  private def isLoud(e: Throwable): Boolean = e match {
+    case _: ConcurrentCommitException => true
+    // Spark may wrap the commit-time throw when it crosses a write job
+    case other => Option(other.getCause).exists(isLoud)
+  }
+
+  test("CAS primitive: the second publish of a version loses, deterministically") {
+    val root = tmp("cas-prim"); clear(root)
+    CommittedVersions.publishVersion(Seq(1L).toDF("x"), root, 1L, "test")
+    val staged = s"$root/_staged-rival"
+    Seq(2L).toDF("x").write.mode("overwrite").parquet(staged)
+    assert(!CommittedVersions.tryPublish(spark, root, 1L, staged),
+      "rename onto a committed version must fail")
+    // the staged dir was cleaned up on loss
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(staged)))
+    // and the winner's bytes are untouched
+    assert(spark.read.parquet(s"$root/v=1").head().getLong(0) == 1L)
+    intercept[ConcurrentCommitException] {
+      CommittedVersions.publishVersion(Seq(3L).toDF("x"), root, 1L, "test")
+    }
+  }
+
+  test("CAS primitive: concurrent id claims never collide") {
+    val root = tmp("cas-claim"); clear(root)
+    val got = race((1 to 8).map(_ => () => CommittedVersions.claimId(spark, root, 5L)))
+    val ids = got.map(_.toOption.get)
+    assert(ids.distinct.size == 8, s"duplicate claimed ids: $ids")
+    assert(ids.min == 5L)
+  }
+
+  test("Watermarks: two concurrent writeState calls — one version each at most, loser loud, state never torn") {
+    val root = tmp("wm"); clear(root)
+    val wm = graft.etl.Watermarks.watermarkTable(spark, sf("sf0.001"))
+    graft.etl.Watermarks.writeState(wm, root) // v=1 head
+    val a = wm.withColumn("consecutive_failures", lit(0))
+    val b = wm.withColumn("consecutive_failures", lit(1))
+    val got = race(Seq(() => graft.etl.Watermarks.writeState(a, root),
+                       () => graft.etl.Watermarks.writeState(b, root)))
+    got.collect { case Left(e) => e }.foreach(e => assert(isLoud(e), s"loser not loud: $e"))
+    val wins = got.collect { case Right(v) => v }
+    assert(wins.nonEmpty && wins.distinct.size == wins.size,
+      s"winners must take distinct versions, got $wins")
+    // the head is exactly one writer's table, never an interleaving
+    val head = graft.etl.Watermarks.readState(spark, root)
+    val fails = head.select("consecutive_failures").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(fails == Set(0) || fails == Set(1), s"torn state: $fails")
+    assert(head.count() == wm.count())
+  }
+
+  test("MaterializedAgg: two concurrent refreshers — no lost updates, loser loud, retry from new head lands") {
+    val root = tmp("mv"); clear(root)
+    val keys = Seq("event_type")
+    val ev = graft.Tables.events(spark, sf("sf0.001"))
+      .withColumn("etag", col("event_id") % 3)
+    val base = ev.where(col("etag") === 0).drop("etag")
+    val incA = ev.where(col("etag") === 1).drop("etag")
+    val incB = ev.where(col("etag") === 2).drop("etag")
+    graft.etl.MaterializedAgg.writeInit(base, keys, "value", root)
+    val got = race(Seq(
+      () => graft.etl.MaterializedAgg.refresh(spark, root, incA, keys, "value"),
+      () => graft.etl.MaterializedAgg.refresh(spark, root, incB, keys, "value")))
+    got.collect { case Left(e) => e }.foreach(e => assert(isLoud(e), s"loser not loud: $e"))
+    // the view must equal the recompute over base + exactly the successes
+    val applied = Seq(incA, incB).zip(got).collect { case (inc, Right(_)) => inc }
+    assert(applied.nonEmpty, "both refreshers failed — the race lost both writers")
+    def recompute(dfs: Seq[org.apache.spark.sql.DataFrame]) =
+      graft.etl.MaterializedAgg
+        .partials(dfs.reduce(_ unionByName _), keys, "value")
+        .select("event_type", "n_rows").as[(String, Long)].collect().toMap
+    def view() = graft.etl.MaterializedAgg.read(spark, root, keys)
+      .select("event_type", "n_rows").as[(String, Long)].collect().toMap
+    assert(view() == recompute(base +: applied),
+      "view diverged from recompute over the successful refreshes")
+    // loser retries from the new head: everything lands exactly once
+    Seq(incA, incB).zip(got).collect { case (inc, Left(_)) => inc }.foreach { inc =>
+      graft.etl.MaterializedAgg.refresh(spark, root, inc, keys, "value")
+    }
+    assert(view() == recompute(Seq(base, incA, incB)))
+    // committed manifest versions are unique (one winner per version)
+    val vs = CommittedVersions.list(spark, s"$root/_manifest")
+    assert(vs.distinct.size == vs.size)
+  }
+
+  test("TableMaintenance: two concurrent maintainers — one pointer flip per version, data intact, loser loud") {
+    val root = tmp("tm"); clear(root)
+    val ev = graft.Tables.events(spark, sf("sf0.001"))
+      .select("event_id", "user_id", "event_type", "value")
+    ev.write.parquet(TableMaintenance.dataPath(root, 1L))
+    TableMaintenance.initGen(spark, root, Seq("value"), Seq("event_id"))
+    val n = ev.count()
+    def maintainOnce() = TableMaintenance.maintain(
+      spark, root, "value", targetRowsPerFile = 300L,
+      statsCols = Seq("value"), bloomCols = Seq("event_id"))
+    val got = race(Seq(() => maintainOnce(), () => maintainOnce()))
+    got.collect { case Left(e) => e }.foreach(e => assert(isLoud(e), s"loser not loud: $e"))
+    val wins = got.collect { case Right(g) => g }
+    assert(wins.nonEmpty && wins.distinct.size == wins.size,
+      s"winning maintainers must land distinct generations, got $wins")
+    // the committed head serves the exact same rows
+    val cur = TableMaintenance.currentGen(spark, root)
+    assert(wins.contains(cur))
+    assert(spark.read.parquet(TableMaintenance.dataPath(root, cur)).count() == n)
+    // pointer versions unique; a later maintain vacuums any CAS orphan
+    val hist = TableMaintenance.pointerHistory(spark, root)
+    assert(hist.map(_._1).distinct.size == hist.size)
+    maintainOnce()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val gens = fs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("gen="))
+      .map(_.stripPrefix("gen=").toLong)
+    val live = TableMaintenance.pointerHistory(spark, root).map(_._2).toSet
+    assert(gens.filter(_ < live.max).forall(live), s"unvacuumed orphan gens: $gens vs live $live")
+  }
+
+  test("ANN index store: concurrent mutators are mutually excluded, store never interleaves") {
+    val root = tmp("ivfpq"); clear(root)
+    val e = graft.Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val base = e.where(col("vec_id") % 10 =!= 7)
+    val incA = e.where(col("vec_id") % 20 === 7)
+    val incB = e.where(col("vec_id") % 20 === 17)
+    graft.ann.IvfPq.writeIndex(base, root, dim = 64, nCells = 8)
+    val got = race(Seq(
+      () => graft.ann.IvfPq.appendToIndex(spark, root, incA, incrementId = 1L),
+      () => graft.ann.IvfPq.appendToIndex(spark, root, incB, incrementId = 2L)))
+    got.collect { case Left(e) => e }.foreach(e => assert(isLoud(e), s"loser not loud: $e"))
+    assert(got.exists(_.isRight), "both appenders failed")
+    // whatever landed, the store is marked committed and has no duplicates
+    val ids = spark.read.parquet(s"$root/codes").select("vec_id")
+      .as[Long].collect().toSeq
+    assert(ids.distinct.size == ids.size, "interleaved append duplicated rows")
+    // the winner set is exactly base + successful increments
+    val want = (Seq(base) ++ Seq(incA, incB).zip(got).collect { case (i, Right(true)) => i })
+      .map(_.select("vec_id").as[Long].collect().toSet).reduce(_ union _)
+    assert(ids.toSet == want)
+  }
+}
