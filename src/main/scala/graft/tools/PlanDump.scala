@@ -73,7 +73,12 @@ object PlanDump {
       "retrieval_eval" -> "metrics over metadata-sized top-k lists: query-keyed joins + broadcast gain tables",
       "training_triplets" -> "in-list positive/negative picks: two windows over the memoized ANN top-k",
       "events_schema_evolution" -> "mergeSchema union read over mixed-generation files, null-accounted rollup",
-      "corpus_curriculum" -> "exact-quantile tier bounds as literals + md5 order keys, no single-partition sort")
+      "corpus_curriculum" -> "exact-quantile tier bounds as literals + md5 order keys, no single-partition sort",
+      "sketch_event_stats" -> "KMV bottom-k sketches: one ObjectHashAggregate pass (partial+final), no Expand, no exact-distinct shuffle",
+      "table_profile_approx" -> "single-scan profile with per-column KMV distinct sketches (vs the exact twin's second melt pass)",
+      "ann_index_health" -> "drift rollup: pruned code-table scan + broadcast codebooks/increment, 16-row output",
+      "stream_ann_ingest" -> "probe AFTER streamed foreachBatch appends: same pruned-cell shape as the batch-incremental store",
+      "sql_extensions_simhash" -> "plain-SQL text through the injected graft_simhash64 (extensions session): same codegen fingerprint plan as the Scala route")
     val sb = new StringBuilder
     sb.append("# Physical-plan audit (generated by graft.tools.PlanDump at sf0.001)\n\n")
     sb.append("Each section is `df.explain(\"formatted\")` output for a representative\n")
