@@ -32,7 +32,14 @@ object GraftExtensions {
     * sql_extensions_simhash query routes every Verify/Bench invocation
     * here; one extra sessionState per JVM, not per call). getOrCreate only
     * honors withExtensions when no default session claims the builder, so
-    * the default/active slots are cleared and restored around the build. */
+    * the default/active slots are cleared and restored around the build —
+    * a process-global mutation: another thread calling
+    * SparkSession.builder().getOrCreate() inside this (one-per-JVM,
+    * milliseconds-wide) window would mint a stray session. The library's
+    * own entry points (Verify/Bench/the registered queries) build sessions
+    * single-threaded before any query runs, which is the assumption this
+    * trades on; a host embedding graft in a multi-threaded session factory
+    * should call sessionFor once at startup. */
   def sessionFor(base: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
     synchronized {
       if (cached == null || cached.sparkContext != base.sparkContext) {

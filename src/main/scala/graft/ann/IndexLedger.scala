@@ -50,17 +50,26 @@ object IndexLedger {
 
   /** Recover from the one crash window the append protocol leaves: between
     * [[record]] and the commit-marker re-create. The ledger mark is written
-    * strictly AFTER the data append, so `applied >= incrementId` with the
-    * marker missing certifies a fully-landed, internally consistent append
-    * — recreate the marker and treat the retry as the replay no-op it is,
-    * instead of wedging the store into a full writeIndex rebuild. A marker
-    * missing WITHOUT the ledger advance still means a possibly half-written
-    * append and stays loud (the caller's requireCommitted throws). Returns
-    * true when it recovered (caller returns false = "already applied"). */
+    * strictly AFTER the data append, so a missing marker with the ledger
+    * head EQUAL to the replayed id certifies a fully-landed, internally
+    * consistent append — recreate the marker and treat the retry as the
+    * replay no-op it is, instead of wedging the store into a full
+    * writeIndex rebuild. The certificate is deliberately narrow (review
+    * finding — the old `incrementId <= applied` over-certified):
+    *   - only `incrementId == applied` qualifies: replaying an OLDER id
+    *     while the marker is down says a LATER append (id > applied, not
+    *     yet recorded) crashed mid-data — the store really is half-written
+    *     and must stay loud;
+    *   - only with the mutation lock FREE: a held lock means a live rival
+    *     is mid-append (it dropped the marker itself) — resurrecting the
+    *     marker under it would serve its half-written files as committed.
+    * Returns true when it recovered (caller returns false = "already
+    * applied"). */
   def recoverMarker(spark: SparkSession, path: String, incrementId: Long,
                     fsMarker: (org.apache.hadoop.fs.FileSystem, Path)): Boolean = {
     val (f, marker) = fsMarker
-    if (!f.exists(marker) && incrementId <= applied(spark, path)) {
+    if (!f.exists(marker) && !f.exists(lockPath(path)) &&
+        incrementId == applied(spark, path)) {
       f.create(marker, true).close()
       true
     } else false

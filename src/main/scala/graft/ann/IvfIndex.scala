@@ -336,7 +336,6 @@ object IvfIndex {
                     newVecs: DataFrame, incrementId: Long): Boolean = {
     if (IndexLedger.recoverMarker(spark, path, incrementId, commitMarker(spark, path)))
       return false
-    requireCommitted(spark, path)
     if (incrementId <= IndexLedger.applied(spark, path)) false
     else {
       // concurrent mutators are rejected loudly BEFORE any file lands —
@@ -344,8 +343,10 @@ object IvfIndex {
       // concurrency review's remaining corruption window
       IndexLedger.acquireMutationLock(spark, path, "IvfIndex.appendToIndex")
       try {
-        // re-check under the lock: a rival may have applied this id
-        // between the optimistic check above and the acquire
+        // marker + applied re-checked UNDER the lock: outside it, a rival
+        // mid-append has the marker legitimately down, and checking there
+        // would misreport a healthy store as needing a rebuild
+        requireCommitted(spark, path)
         if (incrementId <= IndexLedger.applied(spark, path)) return false
         // marker dropped for the append window: a crash after data landed
         // but before the ledger advanced must NOT let the retry silently

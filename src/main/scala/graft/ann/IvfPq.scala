@@ -149,7 +149,6 @@ object IvfPq {
                     newVecs: DataFrame, incrementId: Long): Boolean = {
     if (IndexLedger.recoverMarker(spark, path, incrementId, commitMarker(spark, path)))
       return false
-    val (coarse, cbs) = readMeta(spark, path)
     if (incrementId <= IndexLedger.applied(spark, path)) false
     else {
       // reject concurrent mutators loudly before any file lands (the
@@ -157,6 +156,10 @@ object IvfPq {
       // cell-dir appends were the remaining corruption window)
       IndexLedger.acquireMutationLock(spark, path, "IvfPq.appendToIndex")
       try {
+        // metadata read (which requires the commit marker) UNDER the lock:
+        // outside it, a rival mid-append has the marker legitimately down
+        // and readMeta would misreport a healthy store as needing a rebuild
+        val (coarse, cbs) = readMeta(spark, path)
         if (incrementId <= IndexLedger.applied(spark, path)) return false
         val (fs, marker) = commitMarker(spark, path)
         fs.delete(marker, false)

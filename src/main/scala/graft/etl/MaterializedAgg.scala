@@ -66,6 +66,16 @@ object MaterializedAgg {
     * retained manifest stay readable for lagging scans. */
   val RetainManifests = 3
 
+  /** Unreferenced generations / staging dirs younger than this survive
+    * vacuum: "unreferenced and below the head" alone cannot distinguish a
+    * CAS loser's dead orphan from a LIVE rival still writing its claimed
+    * gen (whose commit would then die mid-write with an opaque
+    * FileNotFound instead of its clean CAS loss) — Delta's VACUUM
+    * retention window exists for exactly this reason. Mutable as a test /
+    * operations hook (ConcurrencySpec reaps deterministically at 0 once
+    * no writer is in flight). */
+  private[graft] var OrphanAgeMs: Long = 60L * 60 * 1000
+
   /** Pinned on-disk type for the exact running sum. Spark widens decimal
     * precision on every sum() (25,10 → 35,10 → 38,10), so WITHOUT the pin
     * a refresh writes its touched buckets at a wider precision than the
@@ -134,23 +144,25 @@ object MaterializedAgg {
         .map(r => (r.bucket, r.gen))
     }.toSet
     val maxLive = live.map(_._2).maxOption.getOrElse(0L)
+    val cutoff = System.currentTimeMillis() - OrphanAgeMs
     val dataRoot = new Path(s"$root/data")
     if (fs.exists(dataRoot)) {
       fs.listStatus(dataRoot).toSeq.filter(_.getPath.getName.startsWith("bucket=")).foreach { bdir =>
         val b = bdir.getPath.getName.stripPrefix("bucket=").toInt
         fs.listStatus(bdir.getPath).toSeq.filter(_.getPath.getName.startsWith("gen=")).foreach { gdir =>
           val g = gdir.getPath.getName.stripPrefix("gen=").toLong
-          if (g < maxLive && !live.contains((b, g))) fs.delete(gdir.getPath, true)
+          if (g < maxLive && !live.contains((b, g)) && gdir.getModificationTime < cutoff)
+            fs.delete(gdir.getPath, true)
         }
       }
-      fs.listStatus(dataRoot).toSeq.map(_.getPath)
-        .filter(_.getName.startsWith("_stage-gen-"))
-        .filter(_.getName.stripPrefix("_stage-gen-").toLongOption.exists(_ < maxLive))
-        .foreach(fs.delete(_, true))
+      fs.listStatus(dataRoot).toSeq
+        .filter(s => s.getPath.getName.startsWith("_stage-gen-") &&
+          s.getModificationTime < cutoff)
+        .foreach(s => fs.delete(s.getPath, true))
     }
     graft.sources.CommittedVersions.vacuumClaims(
       spark, s"$root/data/_genclaims", maxLive)
-    graft.sources.CommittedVersions.vacuumStaging(spark, s"$root/_manifest")
+    graft.sources.CommittedVersions.vacuumStaging(spark, s"$root/_manifest", OrphanAgeMs)
   }
 
   // ------------------------------------------------------------ state algebra

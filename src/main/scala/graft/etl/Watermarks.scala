@@ -73,12 +73,18 @@ object Watermarks {
     * head, re-derive the update (updateWatermarks is a pure function of
     * the state), retry. The reference got this for free from Postgres
     * UPDATE transactionality (transformation_watermark_manager.py:272-325);
-    * the file store states the same rule explicitly. */
-  def writeState(wm: DataFrame, root: String, retain: Int = 8): Long = {
+    * the file store states the same rule explicitly. A read-modify-write
+    * cycle that derived `wm` from an EARLIER readState must pass that
+    * version as `basedOn` so the CAS checks against the snapshot actually
+    * read — the internal latest+1 default only guards simultaneous
+    * writers, not a rival commit landing between the read and this write. */
+  def writeState(wm: DataFrame, root: String, retain: Int = 8,
+                 basedOn: Long = -1L): Long = {
     val spark = wm.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
-    val next = latestVersion(spark, root).getOrElse(0L) + 1L
+    val next =
+      (if (basedOn >= 0L) basedOn else latestVersion(spark, root).getOrElse(0L)) + 1L
     graft.sources.CommittedVersions.publishVersion(wm, root, next, "Watermarks.writeState")
     versions(spark, root).sorted.dropRight(retain).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$root/v=$v"), true)

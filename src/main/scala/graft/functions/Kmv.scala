@@ -35,7 +35,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * hashes seen, if d < k the sketch holds ALL of them → exact d; else
   * estimate = (k−1) / U(k) where U(k) = kth smallest hash normalized to
   * (0,1]. Computed as (k−1)·2^52 div h_k — pure 64-bit integer math
-  * ((k−1)·2^52 < 2^62 for k ≤ 1024), truncating division in both engines,
+  * ((k−1)·2^52 < 2^63 for k ≤ 2048), truncating division in both engines,
   * so the estimate is bit-identical by construction, not within-rsd.
   *
   * Sample variant: bottom-k by hash over DISTINCT (hash, value) pairs is a
@@ -81,20 +81,20 @@ object Kmv {
     else ((k - 1).toLong * Scale) / math.max(kth, 1L)
 
   // ------------------------------------------------------------ Column API
-  private val registered = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
 
-  /** Register the KMV aggregates in the session registry (idempotent). */
-  def register(spark: SparkSession): Unit =
-    if (registered.add(spark.sessionState.toString)) {
-      val reg = spark.sessionState.functionRegistry
-      reg.createOrReplaceTempFunction("graft_kmv_distinct",
-        exprs => KmvDistinct(exprs(0),
-          exprs(1).eval().asInstanceOf[Int]), "built-in")
-      reg.createOrReplaceTempFunction("graft_kmv_sample",
-        exprs => KmvSample(exprs(0), exprs(1),
-          exprs(2).eval().asInstanceOf[Int]), "built-in")
-    }
+  /** Register the KMV aggregates in the session registry. Unconditional:
+    * createOrReplaceTempFunction is already idempotent and a memo keyed on
+    * session identity can collide across GC'd sessions (review finding) —
+    * skipping registration for a session that never had the functions. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_kmv_distinct",
+      exprs => KmvDistinct(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("graft_kmv_sample",
+      exprs => KmvSample(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Int]), "built-in")
+  }
 
   /** Deterministic distinct-count estimate of a canonical STRING column.
     * Exact below k distinct values, (k−1)·2^52 div h_k above. */
@@ -140,7 +140,7 @@ object Kmv {
 }
 
 /** Bottom-k distinct-hash sketch → BIGINT distinct estimate. State is a
-  * TreeSet of ≤k longs (8 KB at k=1024); update is one md5 + an O(log k)
+  * TreeSet of ≤k longs (16 KB at k=2048); update is one md5 + an O(log k)
   * insert; merge is bottom-k of the union — a TypedImperativeAggregate,
   * the same physical shape (ObjectHashAggregate, partial + final) Spark
   * plans for its own HLL++. */

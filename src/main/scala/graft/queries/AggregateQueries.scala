@@ -329,9 +329,12 @@ object AggregateQueries {
          |    ${graft.functions.Kmv.quantileSql("0.95")} AS p95_value
          |  FROM ranked GROUP BY event_type),
          |c AS (SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type)
-         |SELECT c.event_type, c.n_events, kd.kmv_users, q.p50_value, q.p95_value
-         |FROM c JOIN kd USING (event_type) JOIN q USING (event_type)
-         |ORDER BY event_type""".stripMargin
+         |SELECT c.event_type, c.n_events, COALESCE(kd.kmv_users, 0) AS kmv_users,
+         |       q.p50_value, q.p95_value
+         |FROM c
+         |LEFT JOIN kd ON c.event_type IS NOT DISTINCT FROM kd.event_type
+         |LEFT JOIN q ON c.event_type IS NOT DISTINCT FROM q.event_type
+         |ORDER BY c.event_type""".stripMargin
     })
 
   /** Exact companion to the sketch query: the same grouping with the

@@ -262,7 +262,11 @@ object StreamingBatchQueries {
       sys.props("java.io.tmpdir"), s"graft-bucketcap-ok-${sourceFingerprint(s, d)}")
     if (!java.nio.file.Files.exists(capOk)) {
       graft.streaming.StreamNearDup.assertNoSaturatedBucket(Tables.documents(s, d))
-      java.nio.file.Files.createFile(capOk)
+      // two queries can race the exists() check; losing that race just
+      // means BOTH ran the assertion — not a failure
+      try java.nio.file.Files.createFile(capOk)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      ()
     }
     val qname = s"${dirTag.replace('-', '_')}_${memSinkId.incrementAndGet()}"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")

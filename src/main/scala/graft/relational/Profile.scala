@@ -14,15 +14,15 @@ import org.apache.spark.sql.types._
   * Distinct counts: `exact = true` is AUDIT-ONLY — it full-shuffles every
   * cell of the table as strings and exists to anchor the approx twin's
   * error bound at test SF; at 100 TB run `exact = false`
-  * (`table_profile_approx`), the single-scan HLL++ path. The audit mode
+  * (`table_profile_approx`), the single-scan KMV sketch path. The audit mode
   * melts the table into (column, canonical value) pairs — an injective string encoding, so distinct-pair count =
   * COUNT(DISTINCT col) — and counts distinct pairs per column: map-side
   * partial dedup means the shuffle carries only distinct pairs, never the
   * N-aggregate Expand blow-up Spark plans for multi-column COUNT(DISTINCT)
   * (measured 6× slower than this shape at sf0.1). Exact mode therefore
   * costs two columnar scans (stats + melt); `exact = false` keeps one scan
-  * with a KMV bottom-k sketch per column (graft.functions.Kmv, k=1024,
-  * rsd ≈ 3.1%) — same one-pass mergeable posture as the HLL++ it replaced,
+  * with a KMV bottom-k sketch per column (graft.functions.Kmv, k=2048,
+  * rsd ≈ 2.2%) — same one-pass mergeable posture as the HLL++ it replaced,
   * but deterministic md5 arithmetic, so the whole approx profile is
   * hash-checked against a DuckDB replay ([[kmvDistinctSql]]) instead of
   * bounds-checked; ProfileSpec still bounds the deviation vs exact within

@@ -113,21 +113,56 @@ object CommittedVersions {
     * rename leaves only an invisible `_staged-*` dir (the `v=` prefix
     * filter in [[list]] never sees it); there is no claim to break and no
     * wedged next version. */
+  /** Atomic no-overwrite rename — false iff dst already exists (or the
+    * rename raced and lost). FileSystem.rename is NOT this primitive: its
+    * contract moves src INTO an existing dst directory, mv-style (measured:
+    * a blind rename onto a committed version "succeeded" by nesting the
+    * staged dir inside it). Local paths use java.nio Files.move without
+    * REPLACE_EXISTING (rename(2): ENOTEMPTY on a non-empty dst — committed
+    * version dirs are never empty); remote filesystems go through
+    * FileContext.rename with the default Options.Rename.NONE, atomic at
+    * the namenode. */
+  private def tryAtomicRename(spark: SparkSession, src: Path, dst: Path): Boolean =
+    fsOf(spark, dst.toString) match {
+      case _: org.apache.hadoop.fs.LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        try {
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(src.toUri.getPath),
+            java.nio.file.Paths.get(dst.toUri.getPath))
+          true
+        } catch { case _: java.io.IOException => false }
+      case _ =>
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          dst.toUri, spark.sparkContext.hadoopConfiguration)
+        try { fc.rename(src, dst); true }
+        catch { case _: java.io.IOException => false }
+    }
+
   def tryPublish(spark: SparkSession, root: String, expected: Long,
                  staged: String): Boolean = {
     val fs = fsOf(spark, root)
     val dst = new Path(root, s"v=$expected")
-    // only a COMMITTED dst is a rival's win. An existing dst WITHOUT
-    // _SUCCESS is crash garbage from a pre-CAS direct write (a live CAS
-    // writer never exposes an incomplete v= dir — versions appear whole
-    // via rename), so it is cleared and the version re-claimed; the rename
-    // below stays the atomic arbiter if two writers clear it concurrently.
+    def attempt(): Boolean = tryAtomicRename(spark, new Path(staged), dst)
+    // rename FIRST — it is the atomic arbiter (rename onto an existing
+    // non-empty dir fails). Only on failure do we look at why:
+    //   - dst has _SUCCESS: a rival committed `expected` → lose.
+    //   - dst exists without _SUCCESS: crash garbage from a pre-CAS direct
+    //     write (a CAS writer never exposes an incomplete v= dir — versions
+    //     appear whole via rename). Reclaiming it must not race a rival's
+    //     commit, so the DELETE runs under an exclusive-create gate
+    //     (`_reclaim-v=N`, one winner ever): while the garbage exists no
+    //     rename can succeed, and after the gate-winner clears it the
+    //     retried rename is again the single arbiter. A check-then-delete
+    //     without the gate could recursively delete a version a rival
+    //     committed between the check and the delete (review finding).
     val won =
-      if (fs.exists(new Path(dst, "_SUCCESS"))) false
-      else {
-        if (fs.exists(dst)) fs.delete(dst, true)
-        try fs.rename(new Path(staged), dst)
-        catch { case _: java.io.IOException => false }
+      attempt() || {
+        if (fs.exists(new Path(dst, "_SUCCESS"))) false
+        else if (fs.exists(dst) &&
+                 tryCreateExclusive(spark, s"$root/_reclaim-v=$expected")) {
+          fs.delete(dst, true)
+          attempt()
+        } else false
       }
     if (!won) fs.delete(new Path(staged), true)
     won

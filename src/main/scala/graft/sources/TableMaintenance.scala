@@ -43,6 +43,12 @@ object TableMaintenance {
   /** Generations kept beyond the current one (lagging-reader grace). */
   val RetainGens = 1
 
+  /** Unreferenced generations younger than this survive vacuum — a fresh
+    * below-head orphan may be a LIVE rival's claimed in-flight compaction
+    * (MaterializedAgg.OrphanAgeMs documents the full rationale; Delta's
+    * VACUUM retention window is the same idea). Test/ops hook. */
+  private[graft] var OrphanAgeMs: Long = 60L * 60 * 1000
+
   def dataPath(root: String, gen: Long): String = s"$root/gen=$gen/data"
   private def statsPath(root: String, gen: Long) = s"$root/gen=$gen/_stats"
   private def bloomPath(root: String, gen: Long) = s"$root/gen=$gen/_bloom"
@@ -65,31 +71,36 @@ object TableMaintenance {
     * by [[initGen]] and [[maintain]]. Everything lands before the pointer
     * version's `_SUCCESS`, so the flip is all-or-nothing. */
   /** Concurrency (round 13): the pointer flip is a check-and-fail CAS at
-    * `v = read-version + 1` (CommittedVersions.publishVersion — stage +
-    * atomic rename). Conflict rule: a maintainer commits the pointer
-    * version after the head it compacted FROM; if a rival flipped that
-    * version first, this maintainer rewrote a superseded generation and
-    * is REJECTED with a loud ConcurrentCommitException — its claimed gen
-    * dir is an unreferenced orphan the next maintain() vacuums. Re-read
-    * currentGen and re-run. */
+    * `v = basedOnVersion + 1`, where `basedOnVersion` is the pointer
+    * version the caller READ AT THE START of its cycle — not re-read at
+    * commit time, which would let a maintainer that compacted a
+    * superseded generation slide in at head+1 and flip the table
+    * BACKWARD with no conflict ever raised (review finding). Conflict
+    * rule: if a rival committed basedOnVersion+1 first, this maintainer's
+    * input generation is stale and it is REJECTED with a loud
+    * ConcurrentCommitException — its claimed gen dir is an unreferenced
+    * orphan a later maintain() vacuums. Re-read currentGen and re-run. */
   def commitGen(spark: SparkSession, root: String, gen: Long,
-                statsCols: Seq[String], bloomCols: Seq[String]): Unit = {
+                statsCols: Seq[String], bloomCols: Seq[String],
+                basedOnVersion: Long): Unit = {
     import spark.implicits._
     StatsManifest.build(spark, dataPath(root, gen), statsCols)
       .coalesce(1).write.mode("overwrite").parquet(statsPath(root, gen))
     BloomSkipIndex.build(spark, dataPath(root, gen), bloomCols)
       .coalesce(1).write.mode("overwrite").parquet(bloomPath(root, gen))
-    val v = pointerVersions(spark, root).maxOption.getOrElse(0L) + 1L
     CommittedVersions.publishVersion(
-      Seq(gen).toDF("gen").coalesce(1), s"$root/_current", v,
+      Seq(gen).toDF("gen").coalesce(1), s"$root/_current", basedOnVersion + 1L,
       "TableMaintenance pointer")
   }
 
   /** Initialize the store: the caller has written raw data under
-    * `dataPath(root, 1)`; this harvests its indexes and commits gen 1. */
+    * `dataPath(root, 1)`; this harvests its indexes and commits gen 1
+    * (based on the empty pointer — two concurrent initializers CAS-race
+    * v=1 like any other flip). */
   def initGen(spark: SparkSession, root: String,
               statsCols: Seq[String], bloomCols: Seq[String]): Unit =
-    commitGen(spark, root, 1L, statsCols, bloomCols)
+    commitGen(spark, root, 1L, statsCols, bloomCols,
+      basedOnVersion = pointerVersions(spark, root).maxOption.getOrElse(0L))
 
   /** The maintenance transaction: bin-pack the current generation's files
     * clustered on `sortCol` (range partitioning keeps each output file's
@@ -101,7 +112,12 @@ object TableMaintenance {
   def maintain(spark: SparkSession, root: String, sortCol: String,
                targetRowsPerFile: Long,
                statsCols: Seq[String], bloomCols: Seq[String]): Long = {
-    val cur = currentGen(spark, root)
+    // the head (version AND generation) is read ONCE at cycle start; the
+    // pointer CAS commits at curV+1, so any rival flip during the
+    // compaction rejects this cycle as stale
+    val curV = pointerVersions(spark, root).maxOption.getOrElse(
+      sys.error(s"no committed generation pointer under $root"))
+    val cur = spark.read.parquet(s"$root/_current/v=$curV").head().getLong(0)
     // exclusive-create claim: concurrent maintainers compact into DISJOINT
     // generation dirs (both writing gen=cur+1 was the pre-CAS interleave
     // window); the pointer CAS in commitGen then rejects the stale one
@@ -114,7 +130,7 @@ object TableMaintenance {
     df.repartitionByRange(nFiles.toInt, col(sortCol))
       .write.option("maxRecordsPerFile", targetRowsPerFile)
       .parquet(dataPath(root, next))
-    commitGen(spark, root, next, statsCols, bloomCols)
+    commitGen(spark, root, next, statsCols, bloomCols, basedOnVersion = curV)
     // vacuum: committed pointer versions beyond retention, then every
     // generation no retained pointer references — but only BELOW the live
     // head: a higher unreferenced gen may be a concurrent maintainer's
@@ -128,13 +144,15 @@ object TableMaintenance {
     val liveGens = pointerVersions(spark, root).map(v =>
       spark.read.parquet(s"$root/_current/v=$v").head().getLong(0)).toSet
     val maxLive = liveGens.maxOption.getOrElse(0L)
+    val cutoff = System.currentTimeMillis() - OrphanAgeMs
     f.listStatus(new Path(root)).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen=") &&
+        s.getModificationTime < cutoff)
       .map(_.getPath.getName.stripPrefix("gen=").toLong)
       .filter(g => g < maxLive && !liveGens(g))
       .foreach(g => f.delete(new Path(s"$root/gen=$g"), true))
     CommittedVersions.vacuumClaims(spark, s"$root/_genclaims", maxLive)
-    CommittedVersions.vacuumStaging(spark, s"$root/_current")
+    CommittedVersions.vacuumStaging(spark, s"$root/_current", OrphanAgeMs)
     next
   }
 

@@ -151,9 +151,13 @@ class ConcurrencySpec extends SparkSpec {
     assert(wins.contains(cur))
     assert(spark.read.parquet(TableMaintenance.dataPath(root, cur)).count() == n)
     // pointer versions unique; a later maintain vacuums any CAS orphan
+    // (orphan reaping is age-gated against live rivals — none are in
+    // flight by this point, so the test reaps deterministically at 0)
     val hist = TableMaintenance.pointerHistory(spark, root)
     assert(hist.map(_._1).distinct.size == hist.size)
-    maintainOnce()
+    val prevAge = TableMaintenance.OrphanAgeMs
+    TableMaintenance.OrphanAgeMs = 0L
+    try maintainOnce() finally TableMaintenance.OrphanAgeMs = prevAge
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
     val gens = fs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
