@@ -87,9 +87,11 @@ object Bench {
     val errs = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
 
-    // Per-query regression gate vs the committed baseline (round-9 sf0.1
-    // min-of-3, BASELINE_QUERIES.json — BASELINE.json itself publishes no
-    // numbers, only the "within 2×" criterion). A query is flagged only
+    // Per-query regression gate vs the committed baseline (round-13 sf0.1
+    // min-of-3, BASELINE_QUERIES.json — covers ALL registered queries; the
+    // round-9 115-query file is kept as BASELINE_QUERIES_r9.json for
+    // history. BASELINE.json itself publishes no numbers, only the
+    // "within 2×" criterion). A query is flagged only
     // when BOTH >2× its baseline AND >0.25 s absolute over it: sub-second
     // queries jitter well past 2× on scheduling noise alone, and the
     // absolute slack keeps the gate about real regressions. Flags are
