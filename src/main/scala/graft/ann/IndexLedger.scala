@@ -68,11 +68,53 @@ object IndexLedger {
   def recoverMarker(spark: SparkSession, path: String, incrementId: Long,
                     fsMarker: (org.apache.hadoop.fs.FileSystem, Path)): Boolean = {
     val (f, marker) = fsMarker
-    if (!f.exists(marker) && !f.exists(lockPath(path)) &&
-        incrementId == applied(spark, path)) {
-      f.create(marker, true).close()
-      true
+    if (!f.exists(marker) && incrementId == applied(spark, path)) {
+      val lock = lockPath(path)
+      // lock absent: the holder crashed on the exception path (finally
+      // released) — recover. Lock present but STALE: the holder was
+      // kill-9'd between record and marker re-create (the finally never
+      // ran — the common crash this recovery exists for); a live append
+      // finishes in seconds, so an hour-old lock certifies death — break
+      // it and recover. Lock present and fresh: assume a live rival
+      // mid-append of a later id — do NOT resurrect the marker under it;
+      // "already applied" (false) is accurate, and the store self-heals
+      // when the rival finishes (or this path fires once the lock ages).
+      val fresh = f.exists(lock) &&
+        f.getFileStatus(lock).getModificationTime >
+          System.currentTimeMillis() - LockStaleMs
+      if (!fresh) {
+        if (f.exists(lock)) f.delete(lock, false)
+        f.create(marker, true).close()
+        true
+      } else false
     } else false
+  }
+
+  /** Mutation-lock staleness horizon for [[recoverMarker]]'s self-heal and
+    * [[requireNoCrashedMutation]]'s loudness: real appends hold the lock
+    * for seconds. Test/ops hook. */
+  private[graft] var LockStaleMs: Long = 60L * 60 * 1000
+
+  /** Loud gate for the replay paths (review finding — the pre-lock
+    * requireCommitted used to provide this): a missing commit marker with
+    * NO live mutation in flight (lock absent, or present but stale) means
+    * a crashed half-append — a replayed OLDER id must fail loudly here,
+    * not return a silent "already applied" on a store every probe will
+    * refuse. A fresh lock means a rival is legitimately mid-append; the
+    * ledger check that follows stays accurate. */
+  def requireNoCrashedMutation(spark: SparkSession, path: String,
+                               fsMarker: (org.apache.hadoop.fs.FileSystem, Path)): Unit = {
+    val (f, marker) = fsMarker
+    if (!f.exists(marker)) {
+      val lock = lockPath(path)
+      val fresh = f.exists(lock) &&
+        f.getFileStatus(lock).getModificationTime >
+          System.currentTimeMillis() - LockStaleMs
+      require(fresh,
+        s"$path has no _index_commit marker and no live mutation holds the " +
+          "lock: a previous append crashed half-written — rebuild with " +
+          "writeIndex (breakMutationLock first if the stale lock remains)")
+    }
   }
 
   /** A full rebuild starts a fresh increment history — writeIndex calls

@@ -336,6 +336,7 @@ object IvfIndex {
                     newVecs: DataFrame, incrementId: Long): Boolean = {
     if (IndexLedger.recoverMarker(spark, path, incrementId, commitMarker(spark, path)))
       return false
+    IndexLedger.requireNoCrashedMutation(spark, path, commitMarker(spark, path))
     if (incrementId <= IndexLedger.applied(spark, path)) false
     else {
       // concurrent mutators are rejected loudly BEFORE any file lands —

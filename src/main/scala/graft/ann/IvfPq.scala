@@ -149,6 +149,7 @@ object IvfPq {
                     newVecs: DataFrame, incrementId: Long): Boolean = {
     if (IndexLedger.recoverMarker(spark, path, incrementId, commitMarker(spark, path)))
       return false
+    IndexLedger.requireNoCrashedMutation(spark, path, commitMarker(spark, path))
     if (incrementId <= IndexLedger.applied(spark, path)) false
     else {
       // reject concurrent mutators loudly before any file lands (the

@@ -155,13 +155,27 @@ object MaterializedAgg {
             fs.delete(gdir.getPath, true)
         }
       }
+      // superseded AND old — an age gate alone would reap a LIVE
+      // refresher's staging mid-write once its job outlives the window
       fs.listStatus(dataRoot).toSeq
-        .filter(s => s.getPath.getName.startsWith("_stage-gen-") &&
-          s.getModificationTime < cutoff)
+        .filter { s =>
+          val n = s.getPath.getName
+          n.startsWith("_stage-gen-") &&
+            n.stripPrefix("_stage-gen-").toLongOption.exists(_ < maxLive) &&
+            s.getModificationTime < cutoff
+        }
         .foreach(s => fs.delete(s.getPath, true))
     }
+    // dead claims = at or below the OLDEST retained manifest's head (any
+    // retained writer claims from its read manifest's max gen + 1); the
+    // newer heads' claims must survive or a stale rival could re-claim a
+    // generation that is still live
+    val oldestRetainedHead = versions.takeRight(RetainManifests).headOption.map { v =>
+      spark.read.parquet(s"$root/_manifest/v=$v").as[MvManifestRow].collect()
+        .map(_.gen).maxOption.getOrElse(0L)
+    }.getOrElse(0L)
     graft.sources.CommittedVersions.vacuumClaims(
-      spark, s"$root/data/_genclaims", maxLive)
+      spark, s"$root/data/_genclaims", oldestRetainedHead)
     graft.sources.CommittedVersions.vacuumStaging(spark, s"$root/_manifest", OrphanAgeMs)
   }
 

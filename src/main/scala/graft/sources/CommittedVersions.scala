@@ -91,9 +91,15 @@ object CommittedVersions {
     id
   }
 
-  /** Drop claim files whose id can never be allocated again (allocation
-    * always starts above the live head, so claims at or below it are dead
-    * weight; higher claims may belong to an in-flight writer and stay). */
+  /** Drop claim files whose id can never be allocated again. `maxDeadId`
+    * must be UNREACHABLE by any writer still inside the retention window:
+    * a writer claims from `readHead + 1`, and the oldest head a retained
+    * reader/writer can have read is the oldest RETAINED version's — so
+    * callers pass (oldest retained head's gen), never the current head's
+    * (deleting the live head's claim would let a stale rival re-claim a
+    * LIVE generation and destroy it — review finding). Writers staler
+    * than the retention window are outside the protocol's protection,
+    * the same boundary Delta's VACUUM retention draws. */
   def vacuumClaims(spark: SparkSession, claimDir: String, maxDeadId: Long): Unit = {
     val fs = fsOf(spark, claimDir)
     val d = new Path(claimDir)
@@ -158,10 +164,21 @@ object CommittedVersions {
     val won =
       attempt() || {
         if (fs.exists(new Path(dst, "_SUCCESS"))) false
-        else if (fs.exists(dst) &&
-                 tryCreateExclusive(spark, s"$root/_reclaim-v=$expected")) {
-          fs.delete(dst, true)
-          attempt()
+        else if (fs.exists(dst)) {
+          // a crashed gate-winner must not wedge this version forever: a
+          // reclaim gate older than the staging window is breakable (its
+          // holder is dead — a live one finishes in seconds), and the gate
+          // is released in finally so the success path leaves nothing
+          val gate = new Path(s"$root/_reclaim-v=$expected")
+          if (fs.exists(gate) && fs.getFileStatus(gate).getModificationTime <
+                System.currentTimeMillis() - 60L * 60 * 1000)
+            fs.delete(gate, false)
+          if (tryCreateExclusive(spark, gate.toString)) {
+            try {
+              fs.delete(dst, true)
+              attempt()
+            } finally fs.delete(gate, false)
+          } else false
         } else false
       }
     if (!won) fs.delete(new Path(staged), true)

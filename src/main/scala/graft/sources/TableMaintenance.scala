@@ -59,12 +59,17 @@ object TableMaintenance {
   private def pointerVersions(spark: SparkSession, root: String): Seq[Long] =
     CommittedVersions.list(spark, s"$root/_current")
 
-  /** The committed current generation. */
-  def currentGen(spark: SparkSession, root: String): Long = {
+  /** (pointer version, generation) at the committed head — the single
+    * resolution shared by [[currentGen]] and [[maintain]] (which needs the
+    * VERSION too, to CAS its commit against the head it read). */
+  def head(spark: SparkSession, root: String): (Long, Long) = {
     val v = pointerVersions(spark, root).maxOption.getOrElse(
       sys.error(s"no committed generation pointer under $root"))
-    spark.read.parquet(s"$root/_current/v=$v").head().getLong(0)
+    (v, spark.read.parquet(s"$root/_current/v=$v").head().getLong(0))
   }
+
+  /** The committed current generation. */
+  def currentGen(spark: SparkSession, root: String): Long = head(spark, root)._2
 
   /** Harvest BOTH skipping indexes over generation `gen`'s data dir,
     * persist them beside it, and flip the pointer — the commit half shared
@@ -115,9 +120,7 @@ object TableMaintenance {
     // the head (version AND generation) is read ONCE at cycle start; the
     // pointer CAS commits at curV+1, so any rival flip during the
     // compaction rejects this cycle as stale
-    val curV = pointerVersions(spark, root).maxOption.getOrElse(
-      sys.error(s"no committed generation pointer under $root"))
-    val cur = spark.read.parquet(s"$root/_current/v=$curV").head().getLong(0)
+    val (curV, cur) = head(spark, root)
     // exclusive-create claim: concurrent maintainers compact into DISJOINT
     // generation dirs (both writing gen=cur+1 was the pre-CAS interleave
     // window); the pointer CAS in commitGen then rejects the stale one
@@ -151,7 +154,11 @@ object TableMaintenance {
       .map(_.getPath.getName.stripPrefix("gen=").toLong)
       .filter(g => g < maxLive && !liveGens(g))
       .foreach(g => f.delete(new Path(s"$root/gen=$g"), true))
-    CommittedVersions.vacuumClaims(spark, s"$root/_genclaims", maxLive)
+    // dead claims = at or below the OLDEST retained head (any retained
+    // writer claims from readGen+1 > that); the live head's own claim must
+    // survive or a stale rival could re-claim the live generation
+    CommittedVersions.vacuumClaims(spark, s"$root/_genclaims",
+      liveGens.minOption.getOrElse(0L))
     CommittedVersions.vacuumStaging(spark, s"$root/_current", OrphanAgeMs)
     next
   }

@@ -167,6 +167,40 @@ class ConcurrencySpec extends SparkSpec {
     assert(gens.filter(_ < live.max).forall(live), s"unvacuumed orphan gens: $gens vs live $live")
   }
 
+  test("ANN index store: crash recovery is loud where it must be, self-healing where the ledger certifies") {
+    import graft.ann.{IndexLedger, IvfPq}
+    val root = tmp("ivfpq-crash"); clear(root)
+    val e = graft.Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    IvfPq.writeIndex(e.where(col("vec_id") % 10 =!= 7), root, dim = 64, nCells = 8)
+    assert(IvfPq.appendToIndex(spark, root, e.where(col("vec_id") % 20 === 7), 1L))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$root/_index_commit")
+    val lock = new org.apache.hadoop.fs.Path(s"$root/_mutating")
+
+    // kill -9 between record and marker re-create: lock left on disk,
+    // marker down, ledger head == replayed id. A STALE lock certifies the
+    // holder's death -> the replay self-heals (marker restored, no-op).
+    fs.delete(marker, false); fs.create(lock, true).close()
+    val prevStale = IndexLedger.LockStaleMs
+    IndexLedger.LockStaleMs = 0L
+    try assert(!IvfPq.appendToIndex(spark, root, e.where(col("vec_id") % 20 === 7), 1L))
+    finally IndexLedger.LockStaleMs = prevStale
+    assert(fs.exists(marker), "ledger-certified replay must restore the marker")
+    assert(!fs.exists(lock), "the certified-dead holder's lock must be broken")
+
+    // crash MID-DATA of a later append (marker down, no lock, ledger NOT
+    // advanced past it): replaying an OLDER id must fail loudly, never
+    // report a silent 'already applied' on a half-written store.
+    fs.delete(marker, false)
+    val ex = intercept[IllegalArgumentException] {
+      IvfPq.appendToIndex(spark, root, e.where(col("vec_id") % 20 === 17), 0L)
+    }
+    assert(ex.getMessage.contains("crashed half-written"))
+    fs.create(marker, true).close() // restore for any later suite
+  }
+
   test("ANN index store: concurrent mutators are mutually excluded, store never interleaves") {
     val root = tmp("ivfpq"); clear(root)
     val e = graft.Tables.embeddings(spark, sf("sf0.001"))
