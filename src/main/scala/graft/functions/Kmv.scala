@@ -69,6 +69,16 @@ object Kmv {
   /** DuckDB mirror of [[hash52]]: unsigned value of the first 13 md5 hex chars. */
   def hashSql(s: String): String = s"CAST(('0x' || substr(md5($s), 1, 13)) AS BIGINT)"
 
+  /** Column form of the codegen'd [[Hash52]] — callers precompute the
+    * hash in a PROJECTION before the aggregate, so the canonical-string
+    * build and the md5 run inside whole-stage codegen (inside the
+    * imperative aggregate they are interpreted per row — measured ~1.9×
+    * on the 11-column approx profile). */
+  def hash52Col(spark: SparkSession, canonical: Column): Column = {
+    register(spark)
+    call_function("graft_hash52", canonical)
+  }
+
   /** The estimator as SQL, over a ranked bottom-k CTE exposing `rn`
     * (hash rank ascending), `nd` (distinct-hash count) and `hv`. */
   def estimateSql(k: Int = K): String =
@@ -88,6 +98,8 @@ object Kmv {
     * skipping registration for a session that never had the functions. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_hash52",
+      exprs => Hash52(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_kmv_distinct",
       exprs => KmvDistinct(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "built-in")
@@ -139,11 +151,31 @@ object Kmv {
   }
 }
 
+/** Codegen'd 52-bit md5 hash of a canonical string — the per-row half of
+  * the KMV sketches, kept OUT of the imperative aggregates so it runs in
+  * whole-stage codegen (one static call, no boxing) while the aggregate
+  * update degrades to a bounded-set insert. */
+case class Hash52(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hash52"
+  override def nullSafeEval(s: Any): Any = Kmv.hash52(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kmv.hash52($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Bottom-k distinct-hash sketch → BIGINT distinct estimate. State is a
   * TreeSet of ≤k longs (16 KB at k=2048); update is one md5 + an O(log k)
-  * insert; merge is bottom-k of the union — a TypedImperativeAggregate,
-  * the same physical shape (ObjectHashAggregate, partial + final) Spark
-  * plans for its own HLL++. */
+  * insert (or just the insert when the child is an already-[[Hash52]]ed
+  * LONG — the codegen-friendly split [[Kmv.hash52Col]] documents); merge
+  * is bottom-k of the union — a TypedImperativeAggregate, the same
+  * physical shape (ObjectHashAggregate, partial + final) Spark plans for
+  * its own HLL++. */
 case class KmvDistinct(
     child: Expression,
     k: Int,
@@ -161,12 +193,15 @@ case class KmvDistinct(
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()
 
+  private val prehashed = child.dataType == LongType
+
   override def update(
       buf: java.util.TreeSet[java.lang.Long],
       input: InternalRow): java.util.TreeSet[java.lang.Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = Kmv.hash52(v.asInstanceOf[UTF8String])
+      val h = if (prehashed) v.asInstanceOf[Long]
+              else Kmv.hash52(v.asInstanceOf[UTF8String])
       if (buf.size < k) { buf.add(h); () }
       else if (h < buf.last) { if (buf.add(h)) { buf.pollLast(); () } }
     }
@@ -233,13 +268,17 @@ case class KmvSample(
   override def createAggregationBuffer(): java.util.TreeSet[(Long, Double)] =
     new java.util.TreeSet[(Long, Double)](ord)
 
+  private val prehashed = key.dataType == LongType
+
   override def update(
       buf: java.util.TreeSet[(Long, Double)],
       input: InternalRow): java.util.TreeSet[(Long, Double)] = {
     val kv = key.eval(input)
     val vv = value.eval(input)
     if (kv != null && vv != null) {
-      val p = (Kmv.hash52(kv.asInstanceOf[UTF8String]), vv.asInstanceOf[Double])
+      val h = if (prehashed) kv.asInstanceOf[Long]
+              else Kmv.hash52(kv.asInstanceOf[UTF8String])
+      val p = (h, vv.asInstanceOf[Double])
       if (buf.size < k) { buf.add(p); () }
       else if (ord.lt(p, buf.last)) { if (buf.add(p)) { buf.pollLast(); () } }
     }

@@ -285,12 +285,15 @@ object AggregateQueries {
     (s, d) => {
       val k = graft.functions.Kmv.K
       graft.Tables.events(s, d)
+        // hashes precomputed in a codegen'd projection (Kmv.hash52Col);
+        // the aggregate updates are then pure bounded-set inserts
+        .select(col("event_type"), col("value"),
+          graft.functions.Kmv.hash52Col(s, col("user_id").cast("string")).as("uh"),
+          graft.functions.Kmv.hash52Col(s, col("event_id").cast("string")).as("eh"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
-          graft.functions.Kmv.distinctCount(s, col("user_id").cast("string"), k)
-            .as("kmv_users"),
-          graft.functions.Kmv.sample(s, col("event_id").cast("string"), col("value"), k)
-            .as("samp"))
+          graft.functions.Kmv.distinctCount(s, col("uh"), k).as("kmv_users"),
+          graft.functions.Kmv.sample(s, col("eh"), col("value"), k).as("samp"))
         .select(col("event_type"), col("n_events"), col("kmv_users"),
           graft.functions.Kmv.quantileFromSorted(col("samp"), 0.5).as("p50_value"),
           graft.functions.Kmv.quantileFromSorted(col("samp"), 0.95).as("p95_value"))

@@ -73,6 +73,25 @@ object Profile {
 
   def table(df: DataFrame, tableName: String, exact: Boolean = true): DataFrame = {
     val fields = df.schema.fields.toSeq
+    // approx mode: the canonical-string build + md5 run as a codegen'd
+    // PROJECTION (graft_hash52) feeding the aggregate — and that pass is
+    // CPU-bound (11 md5s per row), so when the scan yields fewer splits
+    // than cores (a single test-SF parquet file ⇒ the whole sketch pass
+    // serializes on one task — measured 2.1 s of md5 on one core at
+    // sf0.1) it is repartitioned first. Conditional on purpose: at
+    // production scale the input splits already exceed the cores and the
+    // shuffle would be a pure pessimization.
+    val src =
+      if (exact) df
+      else {
+        val cores = df.sparkSession.sparkContext.defaultParallelism
+        val splits = df.queryExecution.toRdd.getNumPartitions
+        val wide = if (splits < cores) df.repartition(cores) else df
+        wide.select(col("*") +: fields.map { f =>
+          graft.functions.Kmv.hash52Col(df.sparkSession,
+            canonical(col(f.name), f.dataType)).as(s"__h52_${f.name}")
+        }: _*)
+      }
     // exact: melt → distinct (column, value) pairs → count per column;
     // 11 longs collected driver-side (metadata, independent of table size)
     val exactDistinct: Map[String, Long] =
@@ -97,7 +116,7 @@ object Profile {
       val base = Seq(count(c).as(s"${f.name}__nonnull")) ++
         (if (exact) Nil
          else Seq(graft.functions.Kmv.distinctCount(
-           df.sparkSession, canonical(c, f.dataType)).as(s"${f.name}__distinct")))
+           df.sparkSession, col(s"__h52_${f.name}")).as(s"${f.name}__distinct")))
       val typed = f.dataType match {
         case _: NumericType => Seq(
           min(c).cast("double").as(s"${f.name}__min_num"),
@@ -115,7 +134,7 @@ object Profile {
     }
     // the 1-row stats result is checkpointed so the per-column selects
     // below re-read a materialized row instead of re-running the aggregate
-    val row = df.agg(statCols.head, statCols.tail: _*).localCheckpoint()
+    val row = src.agg(statCols.head, statCols.tail: _*).localCheckpoint()
 
     val nullD = lit(null).cast("double")
     val nullS = lit(null).cast("string")

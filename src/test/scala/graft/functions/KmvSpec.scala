@@ -63,6 +63,20 @@ class KmvSpec extends SparkSpec {
     assert(got.getDouble(1) === exact.getDouble(1))
   }
 
+  test("prehashed LONG children (hash52Col projection) produce the identical sketch as string children") {
+    import spark.implicits._
+    val rows = ids(5000).map(s => (s, s.length.toDouble))
+    val df = rows.toDF("s", "v").repartition(8)
+    val direct = df.agg(
+      Kmv.distinctCount(spark, col("s"), 512).as("d"),
+      Kmv.sample(spark, col("s"), col("v"), 512).as("samp")).head()
+    val pre = df.select(col("v"), Kmv.hash52Col(spark, col("s")).as("h"))
+      .agg(Kmv.distinctCount(spark, col("h"), 512).as("d"),
+        Kmv.sample(spark, col("h"), col("v"), 512).as("samp")).head()
+    assert(direct.getLong(0) === pre.getLong(0))
+    assert(direct.getSeq[Double](1) === pre.getSeq[Double](1))
+  }
+
   test("empty input: distinct estimate 0, sample quantile NULL") {
     import spark.implicits._
     val df = Seq.empty[(String, Double)].toDF("s", "v")
