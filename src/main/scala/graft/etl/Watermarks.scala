@@ -104,6 +104,27 @@ object Watermarks {
   def latestVersion(spark: SparkSession, root: String): Option[Long] =
     versions(spark, root).maxOption
 
+  /** Transactional read-modify-write — the loop the CAS conflict rule
+    * implies, packaged (the reference's `UPDATE ... WHERE` got this from
+    * Postgres for free): read the head state AT a pinned version, apply
+    * `f` (a pure function of the state, e.g. [[updateWatermarks]]),
+    * commit based on that version; when a rival committed first, re-read
+    * the NEW head and re-derive — never blind-retry stale bytes. Returns
+    * the committed version. Bounded attempts keep a livelock loud. */
+  def updateWithRetry(spark: SparkSession, root: String, attempts: Int = 8)
+                     (f: DataFrame => DataFrame): Long = {
+    var i = 0
+    while (i < attempts) {
+      val v = latestVersion(spark, root).getOrElse(
+        sys.error(s"no committed watermark state under $root"))
+      val cur = spark.read.parquet(s"$root/v=$v")
+      try return writeState(f(cur), root, basedOn = v)
+      catch { case _: graft.sources.ConcurrentCommitException => i += 1 }
+    }
+    throw new graft.sources.ConcurrentCommitException(
+      s"Watermarks.updateWithRetry: lost the commit race $attempts times at $root")
+  }
+
   /** Read the last committed watermark state — what a restarted pipeline
     * (or any second session) starts from. */
   def readState(spark: SparkSession, root: String): DataFrame = {

@@ -97,6 +97,32 @@ class ConcurrencySpec extends SparkSpec {
     assert(head.count() == wm.count())
   }
 
+  test("Watermarks.updateWithRetry: four racing read-modify-write cycles ALL land (no lost update)") {
+    val root = tmp("wm-rmw"); clear(root)
+    val wm = graft.etl.Watermarks.watermarkTable(spark, sf("sf0.001"))
+    graft.etl.Watermarks.writeState(
+      wm.withColumn("consecutive_failures", lit(0)), root)
+    // each updater increments the counter for ITS disjoint symbol slice;
+    // a lost update would leave some slice at 0
+    val got = race((0 until 4).map { slice => () =>
+      graft.etl.Watermarks.updateWithRetry(spark, root) { cur =>
+        cur.withColumn("consecutive_failures",
+          when(col("symbol_id") % 4 === slice,
+            col("consecutive_failures") + 1)
+            .otherwise(col("consecutive_failures")))
+      }
+    })
+    assert(got.forall(_.isRight), s"an updater exhausted its retries: $got")
+    val head = graft.etl.Watermarks.readState(spark, root)
+    val counts = head.groupBy(col("symbol_id") % 4).agg(
+      min(col("consecutive_failures")), max(col("consecutive_failures")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(counts.forall { case (_, mn, mx) => mn == 1 && mx == 1 },
+      s"lost or doubled update: $counts")
+    // serialized commits: 4 distinct new versions past the init
+    assert(got.collect { case Right(v) => v }.distinct.size == 4)
+  }
+
   test("MaterializedAgg: two concurrent refreshers — no lost updates, loser loud, retry from new head lands") {
     val root = tmp("mv"); clear(root)
     val keys = Seq("event_type")
