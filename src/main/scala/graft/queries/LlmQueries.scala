@@ -330,12 +330,13 @@ object LlmQueries {
     * over the difference vector. Produces `e(vec_id, emb)`, `c$iters`
     * (final centroids) and `asg(vec_id, emb, cell)`. */
   private def ivfFitCtes(k: Int, iters: Int, dim: Int, seed: Long, maxTrain: Int,
-                         fitWhere: String = "TRUE"): String = {
+                         fitWhere: String = "TRUE",
+                         embExpr: String = "embedding::DOUBLE[]"): String = {
     def d2(vec: String, cent: String): String =
       s"""list_dot_product(list_transform(generate_series(1, $dim), i -> $vec[i] - $cent[i]),
          |                          list_transform(generate_series(1, $dim), i -> $vec[i] - $cent[i]))""".stripMargin
     val head =
-      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      s"""e AS (SELECT vec_id, $embExpr AS emb FROM embeddings),
          |ef AS (SELECT * FROM e WHERE $fitWhere),
          |st AS (SELECT CAST((COUNT(*) + ${maxTrain - 1}) // $maxTrain AS BIGINT) AS stride FROM ef),
          |samp AS (
@@ -788,6 +789,49 @@ object LlmQueries {
          |       ELSE ${r4("se_inc / CAST(n_increment AS DOUBLE)")} END AS mse_increment
          |FROM pc CROSS JOIN tot
          |ORDER BY cell""".stripMargin
+    })
+
+  /** Auto-refit — the maintenance loop CLOSED (graft.ann.IvfPq
+    * .refitIfDrifted): the health monitor's thresholds pull the documented
+    * refit lever instead of feeding a dashboard. The staged scenario
+    * guarantees drift deterministically: the increment's vectors are
+    * shifted +2.0 per coordinate (a pure element transform both engines
+    * compute identically), so the base-fitted codebooks have no resolution
+    * where the increment lives, the mse trigger trips, and the store is
+    * rebuilt over the full drifted corpus. The registered output is the
+    * probe over the REFIT store; the oracle replays the full-corpus
+    * two-fit (ivfFitCtes embExpr carries the same shift) + probe — i.e.
+    * it verifies the refit actually ran AND re-fit on the union: a
+    * silently skipped refit would hash-mismatch against the full-fit
+    * replay. */
+  private val annIndexAutorefit = Q(
+    (s, d) => {
+      val shifted = corpusEmb(s, d).withColumn("emb",
+        when(col("vec_id") % 10 === 7,
+          transform(col("emb"), x => x + lit(2.0))).otherwise(col("emb")))
+      val inc = shifted.where(col("vec_id") % 10 === 7)
+      val q = shifted.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+      val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-refit-${Integer.toHexString(d.hashCode)}"
+      graft.ann.IvfPq.writeIndex(shifted.where(col("vec_id") % 10 =!= 7), path, dim = 64)
+      graft.ann.IvfPq.appendToIndex(s, path, inc, incrementId = 1L)
+      val refit = graft.ann.IvfPq.refitIfDrifted(
+        s, path, shifted, inc.select("vec_id"), dim = 64)
+      require(refit, "the staged +2.0 shift must trip the drift triggers")
+      graft.ann.IvfPq.approxTopKStored(s, path, shifted, q, k = 10, dim = 64)
+        .orderBy("query_id", "rank")
+    }, {
+      val shiftExpr =
+        """CASE WHEN vec_id % 10 = 7
+          |     THEN list_transform(embedding::DOUBLE[], x -> x + 2.0)
+          |     ELSE embedding::DOUBLE[] END""".stripMargin
+      s"""WITH ${ivfFitCtes(k = 16, iters = 5, dim = 64, seed = 42L, maxTrain = 65536,
+                            embExpr = shiftExpr)},
+         |${pqFitCtes(m = graft.ann.Pq.SubSpaces, sd = 64 / graft.ann.Pq.SubSpaces,
+                      codes = graft.ann.Pq.Codes, iters = graft.ann.Pq.Iters,
+                      seed = 42L, maxTrain = 65536, includeHead = false)},
+         |${pqAdcSql(m = graft.ann.Pq.SubSpaces, sd = 64 / graft.ann.Pq.SubSpaces,
+                     rerank = graft.ann.Pq.Rerank, k = 10, probed = Some(("c5", 8)))}""".stripMargin
     })
 
   /** SemDeDup: k-means-cell-restricted semantic dedup at the embedding
@@ -1705,6 +1749,7 @@ object LlmQueries {
     "ann_ivfpq" -> annIvfPq,
     "ann_ivfpq_incremental" -> annIvfPqIncremental,
     "ann_index_health" -> annIndexHealth,
+    "ann_index_autorefit" -> annIndexAutorefit,
     "stream_ann_ingest" -> streamAnnIngest,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,

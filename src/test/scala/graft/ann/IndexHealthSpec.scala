@@ -61,4 +61,42 @@ class IndexHealthSpec extends SparkSpec {
     assert(topCellShare >= 0.5,
       s"a point-mass shift should concentrate in few cells: top share $topCellShare")
   }
+
+  test("refitIfDrifted: pulls the rebuild lever on drift, leaves a healthy store untouched") {
+    val base = vecs(2000, seed = 7, shift = 0.0, idBase = 0L)
+    val healthy = vecs(200, seed = 11, shift = 0.0, idBase = 100000L)
+    val drifted = vecs(200, seed = 13, shift = 8.0, idBase = 200000L)
+    def codes(path: String) = spark.read.parquet(s"$path/codes")
+      .collect().map(_.toSeq.map { case s: Seq[_] => s.toList; case v => v }).toSet
+
+    val okPath = s"${sys.props("java.io.tmpdir")}/graft-refit-ok"
+    IvfPq.writeIndex(base, okPath, dim = dim, nCells = 8)
+    IvfPq.appendToIndex(spark, okPath, healthy, incrementId = 1L)
+    val before = codes(okPath)
+    assert(!IvfPq.refitIfDrifted(spark, okPath, base.unionByName(healthy),
+      healthy.select("vec_id"), dim, nCells = 8))
+    assert(codes(okPath) == before, "a healthy store must not be rebuilt")
+    // the ledger still guards the ingest stream: the applied id stays a no-op
+    assert(!IvfPq.appendToIndex(spark, okPath, healthy, incrementId = 1L))
+
+    val drPath = s"${sys.props("java.io.tmpdir")}/graft-refit-drift"
+    IvfPq.writeIndex(base, drPath, dim = dim, nCells = 8)
+    IvfPq.appendToIndex(spark, drPath, drifted, incrementId = 1L)
+    val corpus = base.unionByName(drifted)
+    val ratioBefore = weightedRatio(healthOf(drPath, corpus, drifted))
+    assert(IvfPq.refitIfDrifted(spark, drPath, corpus, drifted.select("vec_id"), dim, nCells = 8))
+    // the refit store IS the fresh full build (same fit, same codes)...
+    val fullPath = s"${sys.props("java.io.tmpdir")}/graft-refit-full"
+    IvfPq.writeIndex(corpus, fullPath, dim = dim, nCells = 8)
+    assert(codes(drPath) == codes(fullPath), "refit must equal a clean full rebuild")
+    // ...with a reset ledger: the new increment stream starts from id 1
+    assert(IndexLedger.applied(spark, drPath) == -1L)
+    // and the refit codebooks now RESOLVE the drifted region: the
+    // increment's relative reconstruction error drops sharply (a 9%
+    // far-away cluster still quantizes coarser than the bulk, so
+    // "fully healthy" is not the contract — "much better" is)
+    val ratioAfter = weightedRatio(healthOf(drPath, corpus, drifted))
+    assert(ratioAfter < ratioBefore / 2,
+      s"refit should halve the drift ratio: $ratioBefore -> $ratioAfter")
+  }
 }
