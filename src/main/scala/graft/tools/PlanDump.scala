@@ -77,6 +77,7 @@ object PlanDump {
       "sketch_event_stats" -> "KMV bottom-k sketches: one ObjectHashAggregate pass (partial+final), no Expand, no exact-distinct shuffle",
       "table_profile_approx" -> "single-scan profile with per-column KMV distinct sketches (vs the exact twin's second melt pass)",
       "ann_index_health" -> "drift rollup: pruned code-table scan + broadcast codebooks/increment, 16-row output",
+      "ann_index_autorefit" -> "probe over the auto-REFIT store (thresholds pulled the rebuild lever): full-corpus-fit cell partitions, pruned scan",
       "stream_ann_ingest" -> "probe AFTER streamed foreachBatch appends: same pruned-cell shape as the batch-incremental store",
       "sql_extensions_simhash" -> "plain-SQL text through the injected graft_simhash64 (extensions session): same codegen fingerprint plan as the Scala route")
     val sb = new StringBuilder
