@@ -353,39 +353,6 @@ object IvfPq {
     * from the STORED codes, so the report doubles as an integrity check:
     * any stored code that is not the argmin of its subspace would show up
     * as an inflated cell mse vs the oracle's min-distance replay. */
-  /** The CLOSED maintenance loop: measure drift ([[indexHealth]]) and pull
-    * the documented refit lever when a trigger trips — the job a scheduler
-    * runs after each ingest instead of a human reading dashboards. Returns
-    * true iff a refit ran. Triggers (the scaladoc thresholds, now
-    * executable): the increment's mean reconstruction error at
-    * `mseRatioTrigger`× the base's (codebooks have no resolution where the
-    * new data lives), or any cell at `imbalanceTrigger`× the mean fill
-    * (probes over-read the hot cell). The refit is a full [[writeIndex]]
-    * over `corpus` (base ∪ all ingested increments — the caller's raw
-    * table IS that set), which re-fits both quantizers on the drifted
-    * distribution and resets the ledger for the new increment stream.
-    * Decision inputs are the 16-row health rollup — metadata, no second
-    * corpus scan beyond the one indexHealth already does. */
-  def refitIfDrifted(spark: org.apache.spark.sql.SparkSession, path: String,
-                     corpus: DataFrame, increment: DataFrame, dim: Int,
-                     mseRatioTrigger: Double = 2.0,
-                     imbalanceTrigger: Double = 4.0,
-                     nCells: Int = 16): Boolean = {
-    val h = indexHealth(spark, path, corpus, increment, dim).collect()
-    val nInc = h.map(_.getLong(2)).sum
-    val nBase = h.map(r => r.getLong(1) - r.getLong(2)).sum
-    def wsum(mseIdx: Int, weight: org.apache.spark.sql.Row => Long): Double =
-      h.collect { case r if !r.isNullAt(mseIdx) && weight(r) > 0 =>
-        weight(r) * r.getDouble(mseIdx) }.sum
-    val mseRatio =
-      if (nInc == 0 || nBase == 0) 1.0
-      else (wsum(6, r => r.getLong(2)) / nInc) / (wsum(5, r => r.getLong(1) - r.getLong(2)) / nBase)
-    val imbalance = h.headOption.map(_.getDouble(4)).getOrElse(1.0)
-    val drifted = mseRatio >= mseRatioTrigger || imbalance >= imbalanceTrigger
-    if (drifted) writeIndex(corpus, path, dim, nCells = nCells)
-    drifted
-  }
-
   def indexHealth(spark: org.apache.spark.sql.SparkSession, path: String,
                   vecs: DataFrame, increment: DataFrame, dim: Int): DataFrame = {
     val (fs, marker) = commitMarker(spark, path)
@@ -429,5 +396,56 @@ object IvfPq {
           col("se_inc") / col("n_increment").cast("double")))
         .as("mse_increment"))
       .orderBy("cell")
+  }
+
+  /** The CLOSED maintenance loop: measure drift ([[indexHealth]]) and pull
+    * the documented refit lever when a trigger trips — the job a scheduler
+    * runs after each ingest instead of a human reading dashboards. Returns
+    * true iff a refit ran. Triggers (the scaladoc thresholds, now
+    * executable): the increment's mean reconstruction error at
+    * `mseRatioTrigger`× the base's (codebooks have no resolution where the
+    * new data lives), or any cell at `imbalanceTrigger`× the mean fill
+    * (probes over-read the hot cell).
+    *
+    * The refit is a full [[writeIndex]] over `corpus` (base ∪ all ingested
+    * increments — the caller's raw table IS that set), PRESERVING the
+    * stored geometry: nCells, m and the code count are derived from the
+    * store's own metadata, never re-defaulted (a scheduler doesn't
+    * remember build parameters — review finding). The ledger's high-water
+    * mark is RE-RECORDED into the fresh history: the refit corpus already
+    * contains every increment through that mark, so a Structured-
+    * Streaming-replayed last batch stays the no-op it was — a bare reset
+    * would re-append it onto rows the rebuild already indexed (the √2 ADC
+    * inflation the ledger exists to prevent). Decision inputs are the
+    * 16-row health rollup — metadata, no second corpus scan beyond the one
+    * indexHealth already does. */
+  def refitIfDrifted(spark: org.apache.spark.sql.SparkSession, path: String,
+                     corpus: DataFrame, increment: DataFrame, dim: Int,
+                     mseRatioTrigger: Double = 2.0,
+                     imbalanceTrigger: Double = 4.0,
+                     seed: Long = 42L, maxTrain: Int = 65536): Boolean = {
+    val h = indexHealth(spark, path, corpus, increment, dim).collect()
+    val nInc = h.map(_.getLong(2)).sum
+    val nBase = h.map(r => r.getLong(1) - r.getLong(2)).sum
+    def wsum(mseIdx: Int, weight: org.apache.spark.sql.Row => Long): Double =
+      h.collect { case r if !r.isNullAt(mseIdx) && weight(r) > 0 =>
+        weight(r) * r.getDouble(mseIdx) }.sum
+    val mseRatio =
+      if (nInc == 0 || nBase == 0) 1.0
+      else (wsum(6, r => r.getLong(2)) / nInc) / (wsum(5, r => r.getLong(1) - r.getLong(2)) / nBase)
+    val imbalance = h.headOption.map(_.getDouble(4)).getOrElse(1.0)
+    val drifted = mseRatio >= mseRatioTrigger || imbalance >= imbalanceTrigger
+    if (drifted) {
+      // geometry from the stored index, not parameter defaults
+      val nCells = spark.read.parquet(s"$path/centroids").count().toInt
+      val cb = spark.read.parquet(s"$path/codebooks")
+      val m = cb.agg(max(col("j"))).head().getInt(0) + 1
+      val codes = cb.agg(max(col("code"))).head().getInt(0) + 1
+      val appliedBefore = IndexLedger.applied(spark, path)
+      writeIndex(corpus, path, dim, nCells = nCells, m = m, codes = codes,
+        seed = seed, maxTrain = maxTrain)
+      if (appliedBefore >= 0L) IndexLedger.record(spark, path, appliedBefore)
+    }
+    drifted
   }
 }

@@ -111,14 +111,19 @@ object Watermarks {
     * commit based on that version; when a rival committed first, re-read
     * the NEW head and re-derive — never blind-retry stale bytes. Returns
     * the committed version. Bounded attempts keep a livelock loud. */
-  def updateWithRetry(spark: SparkSession, root: String, attempts: Int = 8)
+  def updateWithRetry(spark: SparkSession, root: String, attempts: Int = 8,
+                      retain: Int = 8)
                      (f: DataFrame => DataFrame): Long = {
     var i = 0
     while (i < attempts) {
       val v = latestVersion(spark, root).getOrElse(
         sys.error(s"no committed watermark state under $root"))
-      val cur = spark.read.parquet(s"$root/v=$v")
-      try return writeState(f(cur), root, basedOn = v)
+      // materialize the snapshot EAGERLY (metadata-sized table): the
+      // staged write otherwise re-reads v=$v lazily, and under sustained
+      // contention rivals' vacuums can delete it mid-job — surfacing as a
+      // FileNotFound the CCE-only retry below would not catch
+      val cur = spark.read.parquet(s"$root/v=$v").localCheckpoint()
+      try return writeState(f(cur), root, retain = retain, basedOn = v)
       catch { case _: graft.sources.ConcurrentCommitException => i += 1 }
     }
     throw new graft.sources.ConcurrentCommitException(

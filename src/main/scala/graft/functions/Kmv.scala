@@ -100,12 +100,19 @@ object Kmv {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_hash52",
       exprs => Hash52(exprs(0)), "built-in")
+    // the optional third/fourth arg DECLARES a prehashed (Hash52) LONG key;
+    // without the declaration a long child is an analysis error, never a
+    // silently-garbage estimate (review finding)
     reg.createOrReplaceTempFunction("graft_kmv_distinct",
       exprs => KmvDistinct(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]), "built-in")
+        exprs(1).eval().asInstanceOf[Int],
+        prehashed = exprs.length > 2 && exprs(2).eval().asInstanceOf[Boolean]),
+      "built-in")
     reg.createOrReplaceTempFunction("graft_kmv_sample",
       exprs => KmvSample(exprs(0), exprs(1),
-        exprs(2).eval().asInstanceOf[Int]), "built-in")
+        exprs(2).eval().asInstanceOf[Int],
+        prehashed = exprs.length > 3 && exprs(3).eval().asInstanceOf[Boolean]),
+      "built-in")
   }
 
   /** Deterministic distinct-count estimate of a canonical STRING column.
@@ -115,12 +122,28 @@ object Kmv {
     call_function("graft_kmv_distinct", canonical, lit(k))
   }
 
+  /** [[distinctCount]] over an already-[[hash52Col]]ed LONG column — the
+    * codegen-friendly split (hash in a projection, insert in the
+    * aggregate). The flag is explicit: raw longs into the string form are
+    * an analysis error, not a silently wrong estimate. */
+  def distinctCountHashed(spark: SparkSession, hashed: Column, k: Int = K): Column = {
+    register(spark)
+    call_function("graft_kmv_distinct", hashed, lit(k), lit(true))
+  }
+
   /** Bottom-k-by-hash uniform sample of `value`, keyed by a canonical
     * STRING identity column; returns the sampled values sorted ascending,
     * ready for [[quantileFromSorted]]. */
   def sample(spark: SparkSession, key: Column, value: Column, k: Int = K): Column = {
     register(spark)
     call_function("graft_kmv_sample", key, value, lit(k))
+  }
+
+  /** [[sample]] with an already-[[hash52Col]]ed LONG key. */
+  def sampleHashed(spark: SparkSession, hashedKey: Column, value: Column,
+                   k: Int = K): Column = {
+    register(spark)
+    call_function("graft_kmv_sample", hashedKey, value, lit(k), lit(true))
   }
 
   /** numpy-default linear interpolation over a SORTED sample array — the
@@ -157,6 +180,11 @@ object Kmv {
   * update degrades to a bounded-set insert. */
 case class Hash52(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_hash52 requires a STRING argument, got ${child.dataType.simpleString}")
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_hash52"
   override def nullSafeEval(s: Any): Any = Kmv.hash52(s.asInstanceOf[UTF8String])
@@ -179,12 +207,25 @@ case class Hash52(child: Expression)
 case class KmvDistinct(
     child: Expression,
     k: Int,
+    prehashed: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
 
   require(k > 1, s"KMV sketch needs k > 1, got $k")
 
+  // the prehashed flag must be DECLARED, never inferred from the child
+  // type: a raw bigint key is an analysis error here, not a silently
+  // garbage estimate (review finding)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val want = if (prehashed) LongType else org.apache.spark.sql.types.StringType
+    if (child.dataType == want)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_kmv_distinct(prehashed=$prehashed) requires a ${want.simpleString} key " +
+        s"(string form md5-hashes; the hashed form takes graft_hash52 output), " +
+        s"got ${child.dataType.simpleString}")
+  }
   override def prettyName: String = "graft_kmv_distinct"
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
@@ -192,8 +233,6 @@ case class KmvDistinct(
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()
-
-  private val prehashed = child.dataType == LongType
 
   override def update(
       buf: java.util.TreeSet[java.lang.Long],
@@ -251,12 +290,21 @@ case class KmvSample(
     key: Expression,
     value: Expression,
     k: Int,
+    prehashed: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[java.util.TreeSet[(Long, Double)]] {
 
   require(k > 1, s"KMV sample needs k > 1, got $k")
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val want = if (prehashed) LongType else org.apache.spark.sql.types.StringType
+    if (key.dataType == want && value.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_kmv_sample(prehashed=$prehashed) requires (${want.simpleString}, double), " +
+        s"got (${key.dataType.simpleString}, ${value.dataType.simpleString})")
+  }
   override def prettyName: String = "graft_kmv_sample"
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = false
@@ -267,8 +315,6 @@ case class KmvSample(
 
   override def createAggregationBuffer(): java.util.TreeSet[(Long, Double)] =
     new java.util.TreeSet[(Long, Double)](ord)
-
-  private val prehashed = key.dataType == LongType
 
   override def update(
       buf: java.util.TreeSet[(Long, Double)],

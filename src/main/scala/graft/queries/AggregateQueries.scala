@@ -292,8 +292,8 @@ object AggregateQueries {
           graft.functions.Kmv.hash52Col(s, col("event_id").cast("string")).as("eh"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
-          graft.functions.Kmv.distinctCount(s, col("uh"), k).as("kmv_users"),
-          graft.functions.Kmv.sample(s, col("eh"), col("value"), k).as("samp"))
+          graft.functions.Kmv.distinctCountHashed(s, col("uh"), k).as("kmv_users"),
+          graft.functions.Kmv.sampleHashed(s, col("eh"), col("value"), k).as("samp"))
         .select(col("event_type"), col("n_events"), col("kmv_users"),
           graft.functions.Kmv.quantileFromSorted(col("samp"), 0.5).as("p50_value"),
           graft.functions.Kmv.quantileFromSorted(col("samp"), 0.95).as("p95_value"))

@@ -115,7 +115,7 @@ object Profile {
       val c = col(f.name)
       val base = Seq(count(c).as(s"${f.name}__nonnull")) ++
         (if (exact) Nil
-         else Seq(graft.functions.Kmv.distinctCount(
+         else Seq(graft.functions.Kmv.distinctCountHashed(
            df.sparkSession, col(s"__h52_${f.name}")).as(s"${f.name}__distinct")))
       val typed = f.dataType match {
         case _: NumericType => Seq(

@@ -74,7 +74,7 @@ class IndexHealthSpec extends SparkSpec {
     IvfPq.appendToIndex(spark, okPath, healthy, incrementId = 1L)
     val before = codes(okPath)
     assert(!IvfPq.refitIfDrifted(spark, okPath, base.unionByName(healthy),
-      healthy.select("vec_id"), dim, nCells = 8))
+      healthy.select("vec_id"), dim))
     assert(codes(okPath) == before, "a healthy store must not be rebuilt")
     // the ledger still guards the ingest stream: the applied id stays a no-op
     assert(!IvfPq.appendToIndex(spark, okPath, healthy, incrementId = 1L))
@@ -84,13 +84,16 @@ class IndexHealthSpec extends SparkSpec {
     IvfPq.appendToIndex(spark, drPath, drifted, incrementId = 1L)
     val corpus = base.unionByName(drifted)
     val ratioBefore = weightedRatio(healthOf(drPath, corpus, drifted))
-    assert(IvfPq.refitIfDrifted(spark, drPath, corpus, drifted.select("vec_id"), dim, nCells = 8))
+    assert(IvfPq.refitIfDrifted(spark, drPath, corpus, drifted.select("vec_id"), dim))
     // the refit store IS the fresh full build (same fit, same codes)...
     val fullPath = s"${sys.props("java.io.tmpdir")}/graft-refit-full"
     IvfPq.writeIndex(corpus, fullPath, dim = dim, nCells = 8)
     assert(codes(drPath) == codes(fullPath), "refit must equal a clean full rebuild")
-    // ...with a reset ledger: the new increment stream starts from id 1
-    assert(IndexLedger.applied(spark, drPath) == -1L)
+    // ...with the high-water mark CARRIED OVER: the refit corpus already
+    // contains increment 1, so its streaming replay stays a no-op instead
+    // of double-appending onto the rebuilt store
+    assert(IndexLedger.applied(spark, drPath) == 1L)
+    assert(!IvfPq.appendToIndex(spark, drPath, drifted, incrementId = 1L))
     // and the refit codebooks now RESOLVE the drifted region: the
     // increment's relative reconstruction error drops sharply (a 9%
     // far-away cluster still quantizes coarser than the bulk, so

@@ -71,10 +71,19 @@ class KmvSpec extends SparkSpec {
       Kmv.distinctCount(spark, col("s"), 512).as("d"),
       Kmv.sample(spark, col("s"), col("v"), 512).as("samp")).head()
     val pre = df.select(col("v"), Kmv.hash52Col(spark, col("s")).as("h"))
-      .agg(Kmv.distinctCount(spark, col("h"), 512).as("d"),
-        Kmv.sample(spark, col("h"), col("v"), 512).as("samp")).head()
+      .agg(Kmv.distinctCountHashed(spark, col("h"), 512).as("d"),
+        Kmv.sampleHashed(spark, col("h"), col("v"), 512).as("samp")).head()
     assert(direct.getLong(0) === pre.getLong(0))
     assert(direct.getSeq[Double](1) === pre.getSeq[Double](1))
+  }
+
+  test("a raw LONG column into the string form is a loud analysis error, never a garbage estimate") {
+    import spark.implicits._
+    val df = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(Kmv.distinctCount(spark, col("id"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("graft_kmv_distinct"))
   }
 
   test("empty input: distinct estimate 0, sample quantile NULL") {
