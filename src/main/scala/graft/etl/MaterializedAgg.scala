@@ -223,8 +223,18 @@ object MaterializedAgg {
       val dst = new Path(s"$root/data/bucket=$b/gen=$gen")
       fs.delete(dst, true) // defensive: gens are claim-unique, dst is ours
       fs.mkdirs(dst.getParent)
-      if (!fs.rename(new Path(s"$stage/bucket=$b"), dst))
-        sys.error(s"writeGen: failed to publish $dst from staging")
+      val src = new Path(s"$stage/bucket=$b")
+      if (fs.exists(src)) {
+        if (!fs.rename(src, dst))
+          sys.error(s"writeGen: failed to publish $dst from staging")
+      } else {
+        // a touched bucket whose state EMPTIED (retract removed its last
+        // group): partitionBy stages nothing for it, but the manifest
+        // still flips the bucket to this generation, so it needs a
+        // readable zero-row file carrying the state schema
+        state.drop("bucket").where(lit(false))
+          .coalesce(1).write.mode("overwrite").parquet(dst.toString)
+      }
     }
     fs.delete(new Path(stage), true)
     ()
@@ -304,6 +314,97 @@ object MaterializedAgg {
     writeManifest(spark, root, v + 1L, next)
     vacuum(spark, root)
     touched
+  }
+
+  /** Delete RETRACTION — the other half of MV maintenance ([[refresh]]
+    * folds inserts in; this folds deletes out), with the split every
+    * incremental-view engine draws: the INVERTIBLE aggregates (count,
+    * exact decimal sum — a group, i.e. an abelian one) subtract the
+    * delete-set's partials algebraically, while MIN/MAX — a monoid with
+    * no inverse — are recomputed, but ONLY for the boundary groups whose
+    * deleted rows touched the stored extreme (deleted min = stored min or
+    * deleted max = stored max; anything interior cannot move them). The
+    * recompute reads `remaining` (the base table post-delete) semi-joined
+    * to those boundary keys — delete-request-sized key set pruning a base
+    * scan, the same shape Materialize/DBSP give MIN/MAX under deletions.
+    *
+    * Groups whose row count reaches zero leave the state entirely.
+    * Contract: `deletes` must be rows the view actually folded in —
+    * a subtraction that would drive any count negative aborts loudly
+    * BEFORE anything is written (the state is never poisoned by a bad
+    * delete batch). Commit/concurrency discipline is [[refresh]]'s
+    * verbatim: claimed generation dirs for the touched buckets only,
+    * manifest CAS at read-version + 1, loud [[graft.sources
+    * .ConcurrentCommitException]] loser. Returns the touched buckets. */
+  def retract(spark: SparkSession, root: String, deletes: DataFrame,
+              remaining: DataFrame, keys: Seq[String], valueCol: String): Seq[Int] = {
+    val del = partials(deletes, keys, valueCol)
+      .select((keys.map(col) :+ col("bucket") :+
+        col("n_rows").as("d_rows") :+ col("n_vals").as("d_vals") :+
+        col("sum_dec").as("d_sum") :+ col("vmin").as("d_min") :+
+        col("vmax").as("d_max")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = del.select("bucket").distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      if (touched.isEmpty) return touched
+      val (v, entries) = readManifest(spark, root)
+      val touchedSet = touched.toSet
+      val (touchedEntries, untouched) = entries.partition(e => touchedSet(e.bucket))
+      val state = readState(spark, root, touchedEntries)
+      val joined = state.join(del.drop("bucket"), keys, "left")
+      // subtraction operands narrowed to (37,10): Spark sizes a decimal
+      // difference at max(p-s)+s+1 digits, so (38,10)-(38,10) would spill
+      // past 38 and get its SCALE cut to 9 — a silent half-ulp rounding
+      // that breaks retract ≡ recompute (caught by the spec). (37,10)
+      // keeps 27 integer digits of headroom and a (38,10) exact result.
+      val narrow = org.apache.spark.sql.types.DecimalType(37, 10)
+      val updated = joined.select(
+        (keys.map(col) :+ col("bucket") :+
+          (col("n_rows") - coalesce(col("d_rows"), lit(0L))).as("n_rows") :+
+          (col("n_vals") - coalesce(col("d_vals"), lit(0L))).as("n_vals") :+
+          (col("sum_dec").cast(narrow) -
+            coalesce(col("d_sum"), lit(0).cast(SumType)).cast(narrow))
+            .cast(SumType).as("sum_dec") :+
+          col("vmin") :+ col("vmax") :+
+          (col("d_rows").isNotNull &&
+            (col("d_min") <= col("vmin") || col("d_max") >= col("vmax")))
+            .as("dirty")): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val bad = updated.where(col("n_rows") < 0 || col("n_vals") < 0)
+          .limit(1).collect()
+        require(bad.isEmpty,
+          s"retract: delete batch subtracts more rows than the view holds for " +
+            s"group ${bad.headOption.map(_.toString).getOrElse("")} — deletes must " +
+            "be rows the view folded in; nothing was written")
+        // orphaned deletes (a group the state never had) are the same
+        // contract breach — they'd vanish silently through the left join
+        val orphan = del.join(state, keys, "left_anti").limit(1).collect()
+        require(orphan.isEmpty,
+          s"retract: delete batch names a group the view does not hold " +
+            s"(${orphan.headOption.map(_.toString).getOrElse("")})")
+        val survivors = updated.where(col("n_rows") > 0)
+        val dirtyKeys = survivors.where(col("dirty")).select(keys.map(col): _*)
+        val recomputed = remaining.join(dirtyKeys, keys, "left_semi")
+          .groupBy(keys.map(col): _*)
+          .agg(min(col(valueCol)).as("r_min"), max(col(valueCol)).as("r_max"))
+        val merged = survivors.join(recomputed, keys, "left")
+          .select((keys.map(col) :+ col("bucket") :+ col("n_rows") :+
+            col("n_vals") :+ col("sum_dec") :+
+            when(col("dirty"), col("r_min")).otherwise(col("vmin")).as("vmin") :+
+            when(col("dirty"), col("r_max")).otherwise(col("vmax")).as("vmax")): _*)
+        val newGen = graft.sources.CommittedVersions.claimId(
+          spark, s"$root/data/_genclaims", entries.map(_.gen).maxOption.getOrElse(0L) + 1L)
+        writeGen(spark, root, merged, touched, newGen)
+        val mark = entries.headOption.map(_.applied_batch).getOrElse(-1L)
+        val next = (untouched.map(e => MvManifestRow(e.bucket, e.gen, mark)) ++
+          touched.map(MvManifestRow(_, newGen, mark))).sortBy(_.bucket)
+        writeManifest(spark, root, v + 1L, next)
+        vacuum(spark, root)
+        touched
+      } finally { updated.unpersist(false); () }
+    } finally { del.unpersist(false); () }
   }
 
   /** [[refresh]] with exactly-once semantics under micro-batch REPLAY —

@@ -457,6 +457,91 @@ object EtlQueries {
       |WHERE user_id BETWEEN um // 5 AND um // 2 AND day BETWEEN dm // 5 AND dm // 2
       |GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** Row-level forget ("right to be forgotten") on the maintained events
+    * store (graft.sources.TableMaintenance.forget) — the deletion-vector
+    * two-phase shape a 100 TB table needs for takedown/GDPR requests:
+    * the forget request (every event of users user_id % 17 = 3) lands as
+    * an O(delete-set) committed tombstone version touching NO data file;
+    * every current-version read masks it immediately via a broadcast
+    * anti-join; the next maintain() purges it physically and re-harvests
+    * both skipping indexes, so the forgotten keys' Bloom probes prune
+    * every file. The registered output is the same per-type rollup read
+    * BOTH ways — 'masked' (tombstone-masked scan, pre-purge) and 'purged'
+    * (post-maintenance physical read) — which must be identical: logical
+    * erasure and physical erasure answer queries the same. Oracle = the
+    * rollup over raw events minus the forgotten users, cross-joined with
+    * the two stage labels. TombstoneSpec pins what the rollup can't show:
+    * forget touches no bytes, purge empties the Bloom probe, readAsOf
+    * keeps as-of semantics, and the second cycle completes physical
+    * erasure (the vacuumed-generation timeline). */
+  private val eventsForget = Q(
+    (s, d) => {
+      import graft.sqlx.Exact
+      val tag = Integer.toHexString(d.hashCode)
+      val root = s"${sys.props("java.io.tmpdir")}/graft-events-forget-$tag"
+      new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      val ev = graft.Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      ev.repartition(4)
+        .write.parquet(graft.sources.TableMaintenance.dataPath(root, 1L))
+      graft.sources.TableMaintenance.initGen(s, root, Seq("user_id"), Seq("user_id"))
+      graft.sources.TableMaintenance.forget(s, root, "user_id",
+        ev.where(col("user_id") % 17 === 3).select("user_id"))
+      def rollup(df: org.apache.spark.sql.DataFrame, stage: String) =
+        df.groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"), Exact.decSumAgg(col("value")).as("value_sum"))
+          .withColumn("stage", lit(stage))
+      val masked = rollup(graft.sources.TableMaintenance.readCurrent(s, root), "masked")
+      graft.sources.TableMaintenance.maintain(
+        s, root, "user_id", 50000L, Seq("user_id"), Seq("user_id"))
+      val purged = rollup(graft.sources.TableMaintenance.readCurrent(s, root), "purged")
+      masked.unionByName(purged)
+        .select("stage", "event_type", "n_rows", "value_sum")
+        .orderBy("stage", "event_type")
+    },
+    """WITH st AS (SELECT 'masked' AS stage UNION ALL SELECT 'purged')
+      |SELECT st.stage, event_type, COUNT(*) AS n_rows,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS value_sum
+      |FROM events CROSS JOIN st
+      |WHERE user_id % 17 <> 3
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
+  /** MV maintenance under DELETES (graft.etl.MaterializedAgg.retract) —
+    * the retraction half of incremental view maintenance: the invertible
+    * aggregates (count, exact decimal sum) subtract the delete-set's
+    * partials algebraically; MIN/MAX, which have no inverse, are
+    * recomputed only for the BOUNDARY groups whose deleted rows touched
+    * the stored extreme, via a semi-join-pruned pass over the remaining
+    * base. The registered output is the finalized view after retracting
+    * every event of users user_id % 17 = 3 from the initialized full
+    * rollup; oracle = the plain GROUP BY over events minus those users —
+    * retraction ≡ recompute bit-for-bit, the same MV contract as the
+    * insert path. MaterializedAggSpec adds the boundary-recompute,
+    * group-disappears and bad-batch-aborts properties. */
+  private val mvDeleteRefresh = Q(
+    (s, d) => {
+      val keys = Seq("event_type", "date")
+      val tag = Integer.toHexString(d.hashCode)
+      val root = s"${sys.props("java.io.tmpdir")}/graft-mv-retract-$tag"
+      val ev = graft.Tables.events(s, d).withColumn("date", col("ts").cast("date"))
+      graft.etl.MaterializedAgg.writeInit(ev, keys, "value", root)
+      val gone = col("user_id") % 17 === 3
+      graft.etl.MaterializedAgg.retract(
+        s, root, ev.where(gone), ev.where(!gone), keys, "value")
+      graft.etl.MaterializedAgg.read(s, root, keys).orderBy("event_type", "date")
+    },
+    s"""SELECT event_type, CAST(ts AS DATE) AS date,
+       |  COUNT(*) AS n_rows,
+       |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS value_sum,
+       |  ${rnd("CAST(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) / COUNT(value)", 4)} AS value_avg,
+       |  MIN(value) AS value_min,
+       |  MAX(value) AS value_max
+       |FROM events
+       |WHERE user_id % 17 <> 3
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
   /** Schema evolution on a mixed-generation parquet store — the contract
     * every long-lived 100 TB table hits the week ingest adds a column:
     * old files lack it, new files carry it, and the store must stay
@@ -674,6 +759,8 @@ object EtlQueries {
     "events_day_scan" -> eventsDayScan,
     "events_compaction" -> eventsCompaction,
     "events_maintenance_cycle" -> eventsMaintenanceCycle,
+    "events_forget" -> eventsForget,
+    "mv_delete_refresh" -> mvDeleteRefresh,
     "pipeline_daily_run" -> pipelineDailyRun,
     "events_schema_evolution" -> eventsSchemaEvolution,
     "mv_incremental_refresh" -> mvIncrementalRefresh,

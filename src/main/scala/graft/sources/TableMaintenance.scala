@@ -63,9 +63,19 @@ object TableMaintenance {
     * resolution shared by [[currentGen]] and [[maintain]] (which needs the
     * VERSION too, to CAS its commit against the head it read). */
   def head(spark: SparkSession, root: String): (Long, Long) = {
+    val (v, gen, _) = headState(spark, root)
+    (v, gen)
+  }
+
+  /** Full head state: (pointer version, generation, purged_through) —
+    * `purged_through` is the highest tombstone version PHYSICALLY applied
+    * to that generation's files; tombstones above it are still pending
+    * (masked at read, purged by the next [[maintain]]). */
+  def headState(spark: SparkSession, root: String): (Long, Long, Long) = {
     val v = pointerVersions(spark, root).maxOption.getOrElse(
       sys.error(s"no committed generation pointer under $root"))
-    (v, spark.read.parquet(s"$root/_current/v=$v").head().getLong(0))
+    val r = spark.read.parquet(s"$root/_current/v=$v").head()
+    (v, r.getLong(r.fieldIndex("gen")), r.getLong(r.fieldIndex("purged_through")))
   }
 
   /** The committed current generation. */
@@ -87,14 +97,15 @@ object TableMaintenance {
     * orphan a later maintain() vacuums. Re-read currentGen and re-run. */
   def commitGen(spark: SparkSession, root: String, gen: Long,
                 statsCols: Seq[String], bloomCols: Seq[String],
-                basedOnVersion: Long): Unit = {
+                basedOnVersion: Long, purgedThrough: Long = 0L): Unit = {
     import spark.implicits._
     StatsManifest.build(spark, dataPath(root, gen), statsCols)
       .coalesce(1).write.mode("overwrite").parquet(statsPath(root, gen))
     BloomSkipIndex.build(spark, dataPath(root, gen), bloomCols)
       .coalesce(1).write.mode("overwrite").parquet(bloomPath(root, gen))
     CommittedVersions.publishVersion(
-      Seq(gen).toDF("gen").coalesce(1), s"$root/_current", basedOnVersion + 1L,
+      Seq((gen, purgedThrough)).toDF("gen", "purged_through").coalesce(1),
+      s"$root/_current", basedOnVersion + 1L,
       "TableMaintenance pointer")
   }
 
@@ -120,12 +131,18 @@ object TableMaintenance {
     // the head (version AND generation) is read ONCE at cycle start; the
     // pointer CAS commits at curV+1, so any rival flip during the
     // compaction rejects this cycle as stale
-    val (curV, cur) = head(spark, root)
+    val (curV, cur, purgedOld) = headState(spark, root)
+    // tombstone horizon read BEFORE the data: a forget that commits after
+    // this point gets a version > maxDel, stays pending on the new
+    // generation (its purged_through records exactly what was applied),
+    // and is purged by the next cycle — no lost delete, no lock
+    val maxDel = CommittedVersions.latest(spark, deletesDir(root)).getOrElse(0L)
     // exclusive-create claim: concurrent maintainers compact into DISJOINT
     // generation dirs (both writing gen=cur+1 was the pre-CAS interleave
     // window); the pointer CAS in commitGen then rejects the stale one
     val next = CommittedVersions.claimId(spark, s"$root/_genclaims", cur + 1L)
-    val df = spark.read.parquet(dataPath(root, cur))
+    val df = applyTombstones(spark, root,
+      spark.read.parquet(dataPath(root, cur)), purgedOld, maxDel)
     val nFiles = math.max(1L, math.ceil(
       df.count().toDouble / targetRowsPerFile).toLong)
     // clear uncommitted leftovers (defensive: the claim makes gen=next ours)
@@ -133,7 +150,8 @@ object TableMaintenance {
     df.repartitionByRange(nFiles.toInt, col(sortCol))
       .write.option("maxRecordsPerFile", targetRowsPerFile)
       .parquet(dataPath(root, next))
-    commitGen(spark, root, next, statsCols, bloomCols, basedOnVersion = curV)
+    commitGen(spark, root, next, statsCols, bloomCols, basedOnVersion = curV,
+      purgedThrough = maxDel)
     // vacuum: committed pointer versions beyond retention, then every
     // generation no retained pointer references — but only BELOW the live
     // head: a higher unreferenced gen may be a concurrent maintainer's
@@ -160,7 +178,115 @@ object TableMaintenance {
     CommittedVersions.vacuumClaims(spark, s"$root/_genclaims",
       liveGens.minOption.getOrElse(0L))
     CommittedVersions.vacuumStaging(spark, s"$root/_current", OrphanAgeMs)
+    // tombstone versions every RETAINED generation has physically applied
+    // are dead: no current read masks with them, and as-of reads of
+    // retained generations deliberately show the pre-delete state (the
+    // documented erasure timeline). Pending ones (> any retained
+    // purged_through) must survive for masking. The NEWEST dead version
+    // is kept as a fence: forget() allocates `latest + 1`, so dropping
+    // ALL dead versions would let a later forget REUSE a vacuumed number
+    // at or below purged_through — a new delete-set that every read then
+    // treats as already applied (a silently lost delete).
+    val minPurged = pointerVersions(spark, root).map { v =>
+      val r = spark.read.parquet(s"$root/_current/v=$v").head()
+      r.getLong(r.fieldIndex("purged_through"))
+    }.minOption.getOrElse(0L)
+    val ddir = deletesDir(root)
+    val dead = CommittedVersions.list(spark, ddir).filter(_ <= minPurged).sorted
+    dead.dropRight(1).foreach { v =>
+      f.delete(new Path(s"$ddir/v=$v"), true)
+    }
+    CommittedVersions.vacuumStaging(spark, ddir, OrphanAgeMs)
     next
+  }
+
+  // ------------------------------------------------------ row-level forget
+
+  /** Row-level delete ("right to be forgotten") as DELETION VECTORS — the
+    * Delta/Iceberg two-phase shape. [[forget]] records the keys in an
+    * O(delete-set) committed tombstone version under `root/_deletes/v=K`
+    * (no data file is touched), every read path masks pending tombstones
+    * immediately, and the next [[maintain]] purges them physically: the
+    * compaction rewrite filters the tombstoned keys out, the skipping
+    * indexes are re-harvested over the purged files (a forgotten key's
+    * Bloom probe then prunes EVERY file), and the new generation's
+    * `purged_through` marks those versions applied.
+    *
+    * Erasure timeline (the GDPR caveat, stated not implied): logical
+    * erasure is immediate — no read of the CURRENT version surfaces a
+    * tombstoned row. PHYSICAL erasure completes when the last retained
+    * generation holding the bytes leaves the [[RetainGens]] window: one
+    * maintain() purges the live files, the one after vacuums the
+    * superseded generation. [[readAsOf]] on a retained pre-delete version
+    * deliberately shows the pre-delete state (as-of semantics — Delta
+    * time travel behaves identically); compliance-complete forget =
+    * two maintenance cycles. TombstoneSpec pins the whole timeline.
+    *
+    * Concurrency: tombstone sets are UNION semantics — order-free and
+    * content-independent of the version number they land at — so unlike
+    * the pointer CAS, losing the `v=K` race is retried internally
+    * (each retry re-reads the head version and publishes the same keys).
+    * The maintain() interleave is handled by the purge horizon: maintain
+    * reads `maxDel` BEFORE its data scan and records it as the new
+    * generation's `purged_through`, so a forget landing mid-compaction
+    * stays pending (masked) on the new generation rather than lost.
+    */
+  private def deletesDir(root: String) = s"$root/_deletes"
+
+  /** Record a delete-set: `keys` (deduplicated values of `column`) become
+    * tombstone version K. O(delete-set) metadata write. Returns K. */
+  def forget(spark: SparkSession, root: String, column: String,
+             keys: DataFrame, maxRetries: Int = 20): Long = {
+    val dedup = keys.select(col(column)).distinct().coalesce(1)
+    var attempt = 0
+    while (true) {
+      val v = CommittedVersions.latest(spark, deletesDir(root)).getOrElse(0L) + 1L
+      try {
+        CommittedVersions.publishVersion(
+          dedup, deletesDir(root), v, "TableMaintenance tombstones")
+        return v
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Tombstone versions in (lo, hi], unioned and deduplicated — None when
+    * nothing is pending in that window. Delete-request-sized. */
+  private def tombstonesBetween(spark: SparkSession, root: String,
+                                lo: Long, hi: Long): Option[DataFrame] = {
+    val vs = CommittedVersions.list(spark, deletesDir(root))
+      .filter(v => v > lo && v <= hi)
+    if (vs.isEmpty) None
+    else Some(spark.read.parquet(vs.map(v => s"${deletesDir(root)}/v=$v"): _*)
+      .distinct())
+  }
+
+  /** Tombstones the current generation has NOT physically purged — the
+    * set every current-version read must mask. */
+  def pendingTombstones(spark: SparkSession, root: String): Option[DataFrame] = {
+    val (_, _, purged) = headState(spark, root)
+    tombstonesBetween(spark, root, purged, Long.MaxValue)
+  }
+
+  private def applyTombstones(spark: SparkSession, root: String, df: DataFrame,
+                              lo: Long, hi: Long): DataFrame =
+    tombstonesBetween(spark, root, lo, hi) match {
+      case None => df
+      case Some(t) =>
+        df.join(broadcast(t), Seq(t.columns.head), "left_anti")
+    }
+
+  /** Current-generation read with pending tombstones masked — the plain
+    * full-scan twin of [[readCurrentPruned]]. When nothing is pending the
+    * plan is the bare scan (no anti-join is ever added). */
+  def readCurrent(spark: SparkSession, root: String): DataFrame = {
+    val (_, gen, purged) = headState(spark, root)
+    applyTombstones(spark, root,
+      spark.read.parquet(dataPath(root, gen)), purged, Long.MaxValue)
   }
 
   /** Committed pointer history: (version, generation) pairs within the
@@ -194,16 +320,20 @@ object TableMaintenance {
   def readCurrentPruned(spark: SparkSession, root: String,
                         ranges: Seq[(String, Double, Double)],
                         residual: Column): DataFrame = {
-    val g = currentGen(spark, root)
-    StatsManifest.readPruned(spark, dataPath(root, g),
-      statsManifest(spark, root, g), ranges, residual)
+    val (_, g, purged) = headState(spark, root)
+    applyTombstones(spark, root,
+      StatsManifest.readPruned(spark, dataPath(root, g),
+        statsManifest(spark, root, g), ranges, residual),
+      purged, Long.MaxValue)
   }
 
   /** Bloom-pruned point lookup on the current generation. */
   def pointLookupCurrent(spark: SparkSession, root: String,
                          column: String, value: Column): DataFrame = {
-    val g = currentGen(spark, root)
-    BloomSkipIndex.readPruned(spark, dataPath(root, g),
-      bloomIndex(spark, root, g), column, value)
+    val (_, g, purged) = headState(spark, root)
+    applyTombstones(spark, root,
+      BloomSkipIndex.readPruned(spark, dataPath(root, g),
+        bloomIndex(spark, root, g), column, value),
+      purged, Long.MaxValue)
   }
 }

@@ -155,4 +155,70 @@ class MaterializedAggSpec extends SparkSpec {
       data.where(col("row_id") > 3000), keys, "value")
     assert(rows(MaterializedAgg.read(spark, root, keys)) == rows(finalize(data)))
   }
+
+  test("retract == recompute of the remaining rows (boundary min/max and null deletes included)") {
+    for (mod <- Seq(3, 10)) {
+      val root = s"${sys.props("java.io.tmpdir")}/graft-mv-spec-retract-$mod"
+      MaterializedAgg.writeInit(data, keys, "value", root)
+      // row_id % mod = 0 deletes hit ~every group, including rows holding
+      // group minima/maxima (boundary recompute) and null-valued rows
+      val gone = col("row_id") % mod === 0
+      val touched = MaterializedAgg.retract(
+        spark, root, data.where(gone), data.where(!gone), keys, "value")
+      assert(touched.nonEmpty)
+      assert(rows(MaterializedAgg.read(spark, root, keys)) ==
+        rows(finalize(data.where(!gone))), s"mod=$mod retraction != recompute")
+      // retraction composes with a later insert refresh
+      MaterializedAgg.refresh(spark, root, data.where(gone), keys, "value")
+      assert(rows(MaterializedAgg.read(spark, root, keys)) == rows(finalize(data)))
+    }
+  }
+
+  test("retracting a group's last row removes the group from the view") {
+    val root = s"${sys.props("java.io.tmpdir")}/graft-mv-spec-retract-all"
+    MaterializedAgg.writeInit(data, keys, "value", root)
+    val gone = col("grp") === "g5"
+    MaterializedAgg.retract(spark, root, data.where(gone), data.where(!gone), keys, "value")
+    val view = MaterializedAgg.read(spark, root, keys)
+    assert(view.where(col("grp") === "g5").count() == 0, "emptied groups must vanish")
+    assert(rows(view) == rows(finalize(data.where(!gone))))
+  }
+
+  test("retract rewrites only the touched bucket partitions") {
+    val root = s"${sys.props("java.io.tmpdir")}/graft-mv-spec-retract-touch"
+    MaterializedAgg.writeInit(data, keys, "value", root)
+    val before = bucketFiles(root)
+    // a delete confined to ONE group -> exactly one bucket
+    val gone = col("grp") === "g3" && col("sub") === 1
+    val rid = data.where(gone).agg(min("row_id")).head().getLong(0)
+    val touched = MaterializedAgg.retract(
+      spark, root, data.where(col("row_id") === rid),
+      data.where(col("row_id") =!= rid), keys, "value")
+    assert(touched.size == 1)
+    val after = bucketFiles(root)
+    val touchedDir = s"bucket=${touched.head}"
+    assert(after(touchedDir) != before(touchedDir), "touched bucket must be rewritten")
+    (before.keySet - touchedDir).foreach { dir =>
+      assert(after(dir) == before(dir), s"untouched $dir was rewritten by a retract")
+    }
+  }
+
+  test("a bad delete batch aborts loudly BEFORE anything is written") {
+    val root = s"${sys.props("java.io.tmpdir")}/graft-mv-spec-retract-bad"
+    MaterializedAgg.writeInit(data, keys, "value", root)
+    val before = rows(MaterializedAgg.read(spark, root, keys))
+    val filesBefore = bucketFiles(root)
+    // over-delete: the same rows twice -> would drive counts negative
+    val doubled = data.where(col("grp") === "g2").unionByName(data.where(col("grp") === "g2"))
+    intercept[IllegalArgumentException] {
+      MaterializedAgg.retract(spark, root, doubled, data, keys, "value")
+    }
+    // orphan group: a delete for a key the view never held
+    val orphan = Seq(("nope", 9, 1L, Some(1.0))).toDF("grp", "sub", "row_id", "value")
+    intercept[IllegalArgumentException] {
+      MaterializedAgg.retract(spark, root, orphan, data, keys, "value")
+    }
+    assert(rows(MaterializedAgg.read(spark, root, keys)) == before, "state must be unpoisoned")
+    assert(bucketFiles(root) == filesBefore, "no generation may land for a rejected batch")
+  }
 }
