@@ -173,6 +173,74 @@ object IvfPq {
     }
   }
 
+  /** Row-level forget on the SERVING index — the delete half of index
+    * maintenance ([[appendToIndex]] is the insert half): a takedown /
+    * GDPR request arrives as vec_ids only, so affected cells are located
+    * by a column-pruned semi-join over the stored code table's
+    * (vec_id, cell) — never by re-embedding — and ONLY those cell
+    * partitions are rewritten (anti-join survivors, staged, swapped in);
+    * every other cell's files are untouched. A cell whose last vector is
+    * deleted simply leaves the partition layout (probing it yields no
+    * candidates). Quantizer metadata is untouched by construction — raw
+    * PQ codes are per-row functions of the codebooks, so delete ≡
+    * rebuilding on the survivors WITH THE SAME fit sample (the fitted
+    * quantizer keeps its training history; FAISS `remove_ids` behaves
+    * identically, and [[refitIfDrifted]] is the lever when enough of the
+    * corpus departs that the old fit stops representing it).
+    *
+    * Same exactly-once / crash discipline as the append: `incrementId`
+    * checks the [[IndexLedger]] high-water mark (an orchestrator-retried
+    * delete is a no-op), the `_index_commit` marker is down for the
+    * duration (a crash mid-swap leaves the store loudly unreadable,
+    * recovery = rebuild), and concurrent mutators are rejected by the
+    * mutation lock. */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      ids: DataFrame, incrementId: Long): Boolean = {
+    if (IndexLedger.recoverMarker(spark, path, incrementId, commitMarker(spark, path)))
+      return false
+    IndexLedger.requireNoCrashedMutation(spark, path, commitMarker(spark, path))
+    if (incrementId <= IndexLedger.applied(spark, path)) false
+    else {
+      IndexLedger.acquireMutationLock(spark, path, "IvfPq.deleteFromIndex")
+      try {
+        if (incrementId <= IndexLedger.applied(spark, path)) return false
+        val (fs, marker) = commitMarker(spark, path)
+        require(fs.exists(marker),
+          s"$path has no _index_commit marker: the store is mid-mutation or crashed")
+        val codes = spark.read.option("basePath", s"$path/codes")
+          .parquet(s"$path/codes")
+        // delete requests are request-sized: broadcast them to both the
+        // cell-locating semi-join and the survivor anti-join
+        val keys = broadcast(ids.select("vec_id").distinct())
+        val affected = codes.join(keys, Seq("vec_id"), "left_semi")
+          .select("cell").distinct().collect().map(_.getInt(0)).toSeq.sorted
+        if (affected.isEmpty) {
+          // nothing stored for these ids — the ledger still advances so a
+          // replay of THIS delete is a no-op (marker never dropped)
+          IndexLedger.record(spark, path, incrementId)
+          return true
+        }
+        fs.delete(marker, false)
+        val stage = s"$path/_codes_stage_forget"
+        fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+        codes.where(col("cell").isin(affected: _*))
+          .join(keys, Seq("vec_id"), "left_anti")
+          .write.mode("overwrite").partitionBy("cell").parquet(stage)
+        affected.foreach { c =>
+          val dst = new org.apache.hadoop.fs.Path(s"$path/codes/cell=$c")
+          fs.delete(dst, true)
+          val src = new org.apache.hadoop.fs.Path(s"$stage/cell=$c")
+          if (fs.exists(src) && !fs.rename(src, dst))
+            sys.error(s"deleteFromIndex: failed to publish $dst from staging")
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+        IndexLedger.record(spark, path, incrementId)
+        fs.create(marker, true).close()
+        true
+      } finally IndexLedger.releaseMutationLock(spark, path)
+    }
+  }
+
   /** Probe a stored index: centroids/codebooks are metadata reads, the
     * probed cells are pushed as a literal IN over the partition column
     * (planning-time pruning, like [[IvfIndex.approxTopKStored]]), ADC

@@ -589,7 +589,57 @@ object CorpusOpsQueries {
          |ORDER BY tier, order_key, doc_id""".stripMargin
     })
 
+  /** Corpus release diff (graft.operators.DatasetDiff): version N vs a
+    * deterministically simulated N+1 — doc_id % 19 = 5 withdrawn
+    * (takedowns), doc_id % 7 = 2 revised (text + ' rev2'), doc_id % 13 = 1
+    * re-released as new ids past the old max. Each side reduces to
+    * (key, md5 fingerprint, length) at the scan, so the aligning
+    * full-outer join moves 16-byte hashes, never documents — the
+    * governance primitive behind "what changed between training-data
+    * releases". Oracle replays the simulation and the diff with DuckDB's
+    * own md5 (statuses compare within one engine, so the hash only has
+    * to be a deterministic fingerprint on both sides). */
+  private val corpusVersionDiff = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val mx = docs.agg(max("doc_id").as("m"))
+      val removed = col("doc_id") % 19 === 5
+      val revised = col("doc_id") % 7 === 2
+      val next = docs.where(!removed)
+        .withColumn("text",
+          when(revised, concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+        .unionByName(
+          docs.where(col("doc_id") % 13 === 1).crossJoin(broadcast(mx))
+            .withColumn("doc_id", col("doc_id") + col("m") + 1).drop("m"))
+      graft.operators.DatasetDiff.summary(docs, next, "doc_id", Seq("text"))
+        .orderBy("status")
+    },
+    """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+      |a AS (SELECT doc_id, text FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 7 = 2 THEN text || ' rev2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 19 <> 5
+      |  UNION ALL
+      |  SELECT doc_id + mx.m + 1, text FROM documents, mx WHERE doc_id % 13 = 1
+      |),
+      |j AS (
+      |  SELECT a.text AS atext, b.text AS btext
+      |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+      |),
+      |st AS (
+      |  SELECT CASE WHEN atext IS NULL THEN 'added'
+      |              WHEN btext IS NULL THEN 'removed'
+      |              WHEN md5(atext) <> md5(btext) THEN 'changed'
+      |              ELSE 'unchanged' END AS status,
+      |         COALESCE(LENGTH(btext), LENGTH(atext)) AS n_chars
+      |  FROM j
+      |)
+      |SELECT status, COUNT(*) AS n_docs, SUM(n_chars) AS chars_sum
+      |FROM st GROUP BY 1 ORDER BY 1""".stripMargin)
+
   val all: Map[String, Q] = Map(
+    "corpus_version_diff" -> corpusVersionDiff,
     "corpus_curriculum" -> corpusCurriculum,
     "dedup_clusters" -> dedupClusters,
     "dedup_canonical" -> dedupCanonical,

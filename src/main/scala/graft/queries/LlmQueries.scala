@@ -518,7 +518,8 @@ object LlmQueries {
     * re-scored exactly and ranked. See the Pq scaladoc for why every
     * stage is cross-engine deterministic. */
   private def pqAdcSql(m: Int, sd: Int, rerank: Int, k: Int,
-                       probed: Option[(String, Int)] = None): String = {
+                       probed: Option[(String, Int)] = None,
+                       candWhere: String => String = _ => "TRUE"): String = {
     def q10(x: String): String =
       s"CAST(ROUND(CAST(CAST($x AS VARCHAR) AS DECIMAL(38,20)), 10) AS DOUBLE)"
     def d2(vec: String, cent: String): String =
@@ -536,7 +537,7 @@ object LlmQueries {
            |         CAST(CAST(SUM(CAST(l.pdot AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS adot,
            |         CAST(CAST(SUM(CAST(l.cn2 AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS rec2
            |  FROM cd JOIN lut l ON l.j = cd.j AND l.code = cd.code
-           |  WHERE cd.vec_id <> l.query_id
+           |  WHERE cd.vec_id <> l.query_id AND ${candWhere("cd")}
            |  GROUP BY 1, 2
            |)""".stripMargin
       case Some((cellsCte, nProbe)) =>
@@ -554,6 +555,7 @@ object LlmQueries {
            |         CAST(CAST(SUM(CAST(l.cn2 AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS rec2
            |  FROM probed p
            |  JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.query_id
+           |               AND ${candWhere("a")}
            |  JOIN cd ON cd.vec_id = a.vec_id
            |  JOIN lut l ON l.query_id = p.query_id AND l.j = cd.j AND l.code = cd.code
            |  GROUP BY 1, 2
@@ -833,6 +835,38 @@ object LlmQueries {
          |${pqAdcSql(m = graft.ann.Pq.SubSpaces, sd = 64 / graft.ann.Pq.SubSpaces,
                      rerank = graft.ann.Pq.Rerank, k = 10, probed = Some(("c5", 8)))}""".stripMargin
     })
+
+  /** Index-level forget (graft.ann.IvfPq.deleteFromIndex): a takedown
+    * request (vec_id % 10 = 3) is removed from the SERVING index without
+    * touching the quantizer — affected cells located by a column-pruned
+    * semi-join over the stored codes, only those cell partitions
+    * rewritten, ledger-guarded exactly-once like the append path. The
+    * registered output is the probe over the post-delete store; the
+    * oracle replays the FULL-corpus two-fit (the fitted quantizer keeps
+    * its training history — FAISS remove_ids semantics) with the deleted
+    * ids excluded from the ADC candidate set, so a delete that silently
+    * left rows behind — or dropped a survivor — hash-mismatches.
+    * IvfPqForgetSpec pins the file-level contract (unaffected cells
+    * byte-identical, emptied cells leave the layout, replay no-op). */
+  private val annForget = Q(
+    (s, d) => {
+      val e = corpusEmb(s, d)
+      val q = e.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+      val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-forget-${Integer.toHexString(d.hashCode)}"
+      graft.ann.IvfPq.writeIndex(e, path, dim = 64)
+      graft.ann.IvfPq.deleteFromIndex(
+        s, path, e.where(col("vec_id") % 10 === 3).select("vec_id"), incrementId = 1L)
+      graft.ann.IvfPq.approxTopKStored(s, path, e, q, k = 10, dim = 64)
+        .orderBy("query_id", "rank")
+    },
+    s"""WITH ${ivfFitCtes(k = 16, iters = 5, dim = 64, seed = 42L, maxTrain = 65536)},
+       |${pqFitCtes(m = graft.ann.Pq.SubSpaces, sd = 64 / graft.ann.Pq.SubSpaces,
+                    codes = graft.ann.Pq.Codes, iters = graft.ann.Pq.Iters,
+                    seed = 42L, maxTrain = 65536, includeHead = false)},
+       |${pqAdcSql(m = graft.ann.Pq.SubSpaces, sd = 64 / graft.ann.Pq.SubSpaces,
+                   rerank = graft.ann.Pq.Rerank, k = 10, probed = Some(("c5", 8)),
+                   candWhere = a => s"$a.vec_id % 10 <> 3")}""".stripMargin)
 
   /** SemDeDup: k-means-cell-restricted semantic dedup at the embedding
     * near-dup threshold — O(Σ cell²) instead of corpus². Oracle-green: the
@@ -1750,6 +1784,7 @@ object LlmQueries {
     "ann_ivfpq_incremental" -> annIvfPqIncremental,
     "ann_index_health" -> annIndexHealth,
     "ann_index_autorefit" -> annIndexAutorefit,
+    "ann_forget" -> annForget,
     "stream_ann_ingest" -> streamAnnIngest,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,

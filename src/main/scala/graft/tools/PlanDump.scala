@@ -79,7 +79,11 @@ object PlanDump {
       "ann_index_health" -> "drift rollup: pruned code-table scan + broadcast codebooks/increment, 16-row output",
       "ann_index_autorefit" -> "probe over the auto-REFIT store (thresholds pulled the rebuild lever): full-corpus-fit cell partitions, pruned scan",
       "stream_ann_ingest" -> "probe AFTER streamed foreachBatch appends: same pruned-cell shape as the batch-incremental store",
-      "sql_extensions_simhash" -> "plain-SQL text through the injected graft_simhash64 (extensions session): same codegen fingerprint plan as the Scala route")
+      "sql_extensions_simhash" -> "plain-SQL text through the injected graft_simhash64 (extensions session): same codegen fingerprint plan as the Scala route",
+      "events_forget" -> "tombstone-masked read (broadcast anti-join) unioned with the post-purge physical read — masking never shuffles the data side",
+      "mv_delete_refresh" -> "MV read-back after retraction: algebraic subtraction + boundary-only min/max recompute, untouched buckets unread",
+      "ann_forget" -> "probe AFTER index-level deletes: survivors-only cell partitions, pruned scan, quantizer untouched",
+      "corpus_version_diff" -> "release diff: per-side fingerprint at the scan, full-outer join moves 16-byte hashes not documents")
     val sb = new StringBuilder
     sb.append("# Physical-plan audit (generated by graft.tools.PlanDump at sf0.001)\n\n")
     sb.append("Each section is `df.explain(\"formatted\")` output for a representative\n")
