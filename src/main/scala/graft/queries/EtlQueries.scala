@@ -542,6 +542,61 @@ object EtlQueries {
        |WHERE user_id % 17 <> 3
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
+  /** ONE takedown request driving EVERY derived store — the lifecycle a
+    * real compliance delete runs, composed from the proven halves: the
+    * same delete set (users user_id % 23 = 7) lands as tombstones on the
+    * maintained base store (forget → maintain purge) AND as a retraction
+    * on the materialized rollup (MaterializedAgg.retract), and the
+    * registered output reads the SAME (event_type, date) audit from BOTH
+    * surfaces — base-store scan and MV state — which must agree with each
+    * other and with the oracle's raw-minus-forgotten recompute. Both
+    * surfaces produce the exact decimal sum of the same surviving rows,
+    * so their doubles are bit-identical by construction; a store the
+    * request missed, or a retraction that drifted, breaks the hash. */
+  private val forgetCascade = Q(
+    (s, d) => {
+      import graft.sqlx.Exact
+      val tag = Integer.toHexString(d.hashCode)
+      val root = s"${sys.props("java.io.tmpdir")}/graft-forget-cascade-$tag"
+      val rootMv = s"$root-mv"
+      val fsys = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+      val keys = Seq("event_type", "date")
+      val ev = graft.Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          col("ts").cast("date").as("date"))
+      ev.repartition(4)
+        .write.parquet(graft.sources.TableMaintenance.dataPath(root, 1L))
+      graft.sources.TableMaintenance.initGen(s, root, Seq("user_id"), Seq("user_id"))
+      graft.etl.MaterializedAgg.writeInit(ev, keys, "value", rootMv)
+      // the request
+      val gone = col("user_id") % 23 === 7
+      graft.sources.TableMaintenance.forget(s, root, "user_id",
+        ev.where(gone).select("user_id"))
+      graft.sources.TableMaintenance.maintain(
+        s, root, "user_id", 50000L, Seq("user_id"), Seq("user_id"))
+      graft.etl.MaterializedAgg.retract(
+        s, rootMv, ev.where(gone), ev.where(!gone), keys, "value")
+      val fromStore = graft.sources.TableMaintenance.readCurrent(s, root)
+        .groupBy("event_type", "date")
+        .agg(count(lit(1)).as("n_rows"), Exact.decSumAgg(col("value")).as("value_sum"))
+        .withColumn("surface", lit("store"))
+      val fromMv = graft.etl.MaterializedAgg.read(s, rootMv, keys)
+        .select(col("event_type"), col("date"), col("n_rows"), col("value_sum"))
+        .withColumn("surface", lit("view"))
+      fromStore.unionByName(fromMv)
+        .select("surface", "event_type", "date", "n_rows", "value_sum")
+        .orderBy("surface", "event_type", "date")
+    },
+    """WITH su AS (SELECT 'store' AS surface UNION ALL SELECT 'view')
+      |SELECT su.surface, event_type, CAST(ts AS DATE) AS date,
+      |  COUNT(*) AS n_rows,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS value_sum
+      |FROM events CROSS JOIN su
+      |WHERE user_id % 23 <> 7
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
+
   /** Schema evolution on a mixed-generation parquet store — the contract
     * every long-lived 100 TB table hits the week ingest adds a column:
     * old files lack it, new files carry it, and the store must stay
@@ -761,6 +816,7 @@ object EtlQueries {
     "events_maintenance_cycle" -> eventsMaintenanceCycle,
     "events_forget" -> eventsForget,
     "mv_delete_refresh" -> mvDeleteRefresh,
+    "forget_cascade" -> forgetCascade,
     "pipeline_daily_run" -> pipelineDailyRun,
     "events_schema_evolution" -> eventsSchemaEvolution,
     "mv_incremental_refresh" -> mvIncrementalRefresh,

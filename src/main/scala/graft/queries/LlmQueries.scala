@@ -1240,6 +1240,49 @@ object LlmQueries {
     * substring dedup stats): per doc, how many of its w-token windows occur
     * in at least one other document. */
   private val DupSpanW = 8
+
+  /** Duplicated-span REWRITE (graft.text.Corpus.dupSpanRewrite — the
+    * removal half of exact-substring dedup, Lee et al. 2022 / RefinedWeb):
+    * non-canonical occurrences of any cross- or intra-doc repeated
+    * w-token window are cut and the documents reassembled from surviving
+    * tokens. Oracle replays occurrence ranking (row_number over gram →
+    * doc_id, pos), position coverage, the anti-join and the ordered
+    * string_agg — the CLEANED TEXT itself is hash-compared, not just the
+    * removal counts. */
+  private val textDupSpanRewrite = Q(
+    (s, d) => graft.text.Corpus.dupSpanRewrite(s, d, DupSpanW).orderBy("doc_id"),
+    s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
+       |occ AS (
+       |  SELECT doc_id, i AS pos, array_to_string(tk[i:i+${DupSpanW - 1}], ' ') AS gram
+       |  FROM toks, UNNEST(range(1, len(tk) - ${DupSpanW - 2})) AS r(i)
+       |  WHERE len(tk) >= $DupSpanW
+       |),
+       |dup AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos,
+       |           row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk
+       |    FROM occ) WHERE rk >= 2
+       |),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, p
+       |  FROM dup, UNNEST(range(pos, pos + $DupSpanW)) AS u(p)
+       |),
+       |tokpos AS (
+       |  SELECT doc_id, i AS p, tk[i] AS token
+       |  FROM toks, UNNEST(range(1, len(tk) + 1)) AS u(i)
+       |),
+       |kept AS (
+       |  SELECT t.doc_id, COUNT(*) AS n_kept,
+       |         string_agg(t.token, ' ' ORDER BY t.p) AS text_clean
+       |  FROM tokpos t ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+       |  GROUP BY t.doc_id
+       |)
+       |SELECT b.doc_id, CAST(len(b.tk) AS INTEGER) AS n_tokens,
+       |  CAST(len(b.tk) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+       |  COALESCE(k.text_clean, '') AS text_clean
+       |FROM toks b LEFT JOIN kept k USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin)
+
   private val textDupSpans = Q(
     (s, d) => Corpus.dupSpans(s, d, DupSpanW).orderBy("doc_id"),
     s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
@@ -1797,6 +1840,7 @@ object LlmQueries {
     "dedup_semantic" -> dedupSemantic,
     "text_repetition" -> textRepetition,
     "text_dup_spans" -> textDupSpans,
+    "text_dup_span_rewrite" -> textDupSpanRewrite,
     "text_keywords" -> textKeywords,
     "text_bm25" -> textBm25,
     "retrieval_rrf" -> retrievalRrf,

@@ -183,6 +183,58 @@ object Corpus {
         (coalesce(col("n_shared_windows"), lit(0L)) > 0).as("has_cross_dup"))
   }
 
+  /** Duplicated-span REWRITE — the removal half of exact-substring dedup
+    * ([[dupSpans]] reports; this rewrites): every occurrence of a w-token
+    * window that appears elsewhere in the corpus is REMOVED except the
+    * canonical first occurrence (smallest (doc_id, position)), and each
+    * document is reassembled from its surviving tokens — Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better") /
+    * RefinedWeb exact-substring removal, re-expressed as one gram-keyed
+    * window pass: occurrence rank = row_number over (gram → doc_id, pos),
+    * rank ≥ 2 marks pos..pos+w-1 covered, and an anti-join on (doc, token
+    * position) drops covered tokens. Overlapping duplicated windows union
+    * naturally through the position-level distinct.
+    *
+    * Scale shape: the ONLY corpus-wide shuffle keys on the gram (finest
+    * grain, same posture as [[dupSpans]]); coverage explode is ≤ w rows
+    * per duplicated window; reassembly groups by doc_id with an in-group
+    * sort (array_sort over (pos, token) structs — bounded by document
+    * length, never corpus-wide). At 100 TB the gram would be a 64-bit
+    * rolling hash; the string keeps the oracle byte-comparable. */
+  def dupSpanRewrite(spark: SparkSession, dir: String, w: Int = 8): DataFrame =
+    rewriteSpans(Tables.documents(spark, dir), w)
+
+  /** [[dupSpanRewrite]] over any (doc_id, text) frame — the spec fixture
+    * entry. */
+  def rewriteSpans(docs: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .withColumn("n_tokens", size(col("tk")))
+    val occ = base.where(col("n_tokens") >= w)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(tk) - $w + 1), i -> array_join(slice(tk, i, $w), ' '))")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
+    val dup = occ.withColumn("rk",
+        row_number().over(Window.partitionBy("gram").orderBy("doc_id", "pos")))
+      .where(col("rk") >= 2)
+    val covered = dup
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("p"))
+      .distinct()
+    val tokpos = base.select(col("doc_id"), posexplode(col("tk")))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("token"))
+    val kept = tokpos.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("p"), col("token")))),
+          x => x.getField("token")), " ").as("text_clean"))
+    base.select("doc_id", "n_tokens")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Per-document keyword extraction by tf-idf: top-k tokens per doc ranked
     * by cnt·ln(N/df) with a deterministic token tie-break. The corpus-size
     * scalar N rides a broadcast 1-row cross join (never a collect); tf and

@@ -83,7 +83,9 @@ object PlanDump {
       "events_forget" -> "tombstone-masked read (broadcast anti-join) unioned with the post-purge physical read — masking never shuffles the data side",
       "mv_delete_refresh" -> "MV read-back after retraction: algebraic subtraction + boundary-only min/max recompute, untouched buckets unread",
       "ann_forget" -> "probe AFTER index-level deletes: survivors-only cell partitions, pruned scan, quantizer untouched",
-      "corpus_version_diff" -> "release diff: per-side fingerprint at the scan, full-outer join moves 16-byte hashes not documents")
+      "corpus_version_diff" -> "release diff: per-side fingerprint at the scan, full-outer join moves 16-byte hashes not documents",
+      "forget_cascade" -> "one takedown request audited on BOTH surfaces: purged base-store scan unioned with the retracted MV state read",
+      "text_dup_span_rewrite" -> "exact-substring removal: one gram-keyed rank shuffle, position anti-join, per-doc bounded reassembly sort")
     val sb = new StringBuilder
     sb.append("# Physical-plan audit (generated by graft.tools.PlanDump at sf0.001)\n\n")
     sb.append("Each section is `df.explain(\"formatted\")` output for a representative\n")
