@@ -337,7 +337,8 @@ object MaterializedAgg {
     * manifest CAS at read-version + 1, loud [[graft.sources
     * .ConcurrentCommitException]] loser. Returns the touched buckets. */
   def retract(spark: SparkSession, root: String, deletes: DataFrame,
-              remaining: DataFrame, keys: Seq[String], valueCol: String): Seq[Int] = {
+              remaining: DataFrame, keys: Seq[String], valueCol: String,
+              appliedBatch: Long = -1L): Seq[Int] = {
     val del = partials(deletes, keys, valueCol)
       .select((keys.map(col) :+ col("bucket") :+
         col("n_rows").as("d_rows") :+ col("n_vals").as("d_vals") :+
@@ -347,10 +348,27 @@ object MaterializedAgg {
     try {
       val touched = del.select("bucket").distinct()
         .collect().map(_.getInt(0)).toSeq.sorted
-      if (touched.isEmpty) return touched
+      if (touched.isEmpty) {
+        // empty delete batch: mark-only manifest flip, same contract as
+        // refresh's empty-increment case — the replay mark never lags
+        // what retractOnce reports applied
+        if (appliedBatch >= 0) {
+          val (v, entries) = readManifest(spark, root)
+          writeManifest(spark, root, v + 1L,
+            entries.map(e => MvManifestRow(e.bucket, e.gen, appliedBatch)))
+          vacuum(spark, root)
+        }
+        return touched
+      }
       val (v, entries) = readManifest(spark, root)
       val touchedSet = touched.toSet
       val (touchedEntries, untouched) = entries.partition(e => touchedSet(e.bucket))
+      // a delete aimed ONLY at buckets the manifest has never held is the
+      // orphan-group contract breach — raise it here rather than letting
+      // the zero-path state read fail with an opaque parquet error
+      require(touchedEntries.nonEmpty,
+        s"retract: delete batch touches only buckets ($touched) the view has no " +
+          "state for — deletes must be rows the view folded in")
       val state = readState(spark, root, touchedEntries)
       val joined = state.join(del.drop("bucket"), keys, "left")
       // subtraction operands narrowed to (37,10): Spark sizes a decimal
@@ -397,7 +415,8 @@ object MaterializedAgg {
         val newGen = graft.sources.CommittedVersions.claimId(
           spark, s"$root/data/_genclaims", entries.map(_.gen).maxOption.getOrElse(0L) + 1L)
         writeGen(spark, root, merged, touched, newGen)
-        val mark = entries.headOption.map(_.applied_batch).getOrElse(-1L)
+        val mark = if (appliedBatch >= 0) appliedBatch
+                   else entries.headOption.map(_.applied_batch).getOrElse(-1L)
         val next = (untouched.map(e => MvManifestRow(e.bucket, e.gen, mark)) ++
           touched.map(MvManifestRow(_, newGen, mark))).sortBy(_.bucket)
         writeManifest(spark, root, v + 1L, next)
@@ -405,6 +424,35 @@ object MaterializedAgg {
         touched
       } finally { updated.unpersist(false); () }
     } finally { del.unpersist(false); () }
+  }
+
+  /** [[retract]] with exactly-once semantics under micro-batch REPLAY —
+    * [[refreshOnce]]'s twin for a CDC DELETE stream: batch ids from one
+    * stream are monotone, only the last batch replays, and the
+    * applied-batch mark rides in the manifest, so the retraction and its
+    * mark commit atomically (a replayed delete batch would otherwise
+    * subtract twice — the exact dual of the insert double-count).
+    *
+    * `remaining` semantics under a multi-batch stream: pass the base
+    * table WITH ALL DELETES APPLIED (in production CDC the base commits
+    * before the view catches up, so the maintainer's base read is
+    * naturally "ahead"). Counts and sums are exact per batch regardless;
+    * a boundary min/max recomputed from the ahead base can be tighter
+    * than the true intermediate state, but per group the LAST batch that
+    * touches it recomputes from that group's true final rows (rows
+    * achieving the final extreme survive every batch, so any later
+    * deletion of a value tying the stored extreme re-triggers the dirty
+    * recompute) — the view converges to the exact final state, which is
+    * the contract the oracle checks. */
+  def retractOnce(spark: SparkSession, root: String, batchId: Long, deletes: DataFrame,
+                  remaining: DataFrame, keys: Seq[String], valueCol: String): Boolean = {
+    val (_, entries) = readManifest(spark, root)
+    val applied = entries.headOption.map(_.applied_batch).getOrElse(-1L)
+    if (batchId <= applied) false
+    else {
+      retract(spark, root, deletes, remaining, keys, valueCol, appliedBatch = batchId)
+      true
+    }
   }
 
   /** [[refresh]] with exactly-once semantics under micro-batch REPLAY —

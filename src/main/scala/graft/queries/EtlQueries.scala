@@ -520,6 +520,21 @@ object EtlQueries {
     * retraction ≡ recompute bit-for-bit, the same MV contract as the
     * insert path. MaterializedAggSpec adds the boundary-recompute,
     * group-disappears and bad-batch-aborts properties. */
+  /** The finalized rollup minus the forgotten users — the oracle for BOTH
+    * retraction paths (batch [[mvDeleteRefresh]] and the streaming twin
+    * in StreamingBatchQueries): one retraction or n delete micro-batches,
+    * the view must equal this recompute. */
+  private[queries] val mvEventsRollupMinusForgottenSql: String =
+    s"""SELECT event_type, CAST(ts AS DATE) AS date,
+       |  COUNT(*) AS n_rows,
+       |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS value_sum,
+       |  ${rnd("CAST(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) / COUNT(value)", 4)} AS value_avg,
+       |  MIN(value) AS value_min,
+       |  MAX(value) AS value_max
+       |FROM events
+       |WHERE user_id % 17 <> 3
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private val mvDeleteRefresh = Q(
     (s, d) => {
       val keys = Seq("event_type", "date")
@@ -532,15 +547,7 @@ object EtlQueries {
         s, root, ev.where(gone), ev.where(!gone), keys, "value")
       graft.etl.MaterializedAgg.read(s, root, keys).orderBy("event_type", "date")
     },
-    s"""SELECT event_type, CAST(ts AS DATE) AS date,
-       |  COUNT(*) AS n_rows,
-       |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) AS value_sum,
-       |  ${rnd("CAST(CAST(SUM(CAST(value AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE) / COUNT(value)", 4)} AS value_avg,
-       |  MIN(value) AS value_min,
-       |  MAX(value) AS value_max
-       |FROM events
-       |WHERE user_id % 17 <> 3
-       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    mvEventsRollupMinusForgottenSql)
 
   /** ONE takedown request driving EVERY derived store — the lifecycle a
     * real compliance delete runs, composed from the proven halves: the
@@ -732,6 +739,67 @@ object EtlQueries {
       |WHERE user_id BETWEEN um // 5 AND um // 2 AND day BETWEEN dm // 5 AND dm // 2
       |GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** Metadata-only COUNT pushdown (graft.sources.StatsManifest.countPruned
+    * — Snowflake/Iceberg's answer-it-from-the-manifest aggregation): on
+    * the z-ordered layout a box predicate's INTERIOR files (box fully
+    * inside the range, definite zero nulls) are counted from footer row
+    * counts with zero data IO; only the boundary sliver is scanned with
+    * the exact predicate. Three boxes of increasing width demonstrate the
+    * split; the oracle is the plain filtered COUNT per box — pruning and
+    * metadata counting are IO-only, never semantics. MetadataCountSpec
+    * pins what the count can't show: the interior is genuinely nonempty
+    * on this layout, boundary-only IO, and null-bearing predicate columns
+    * disqualify metadata counting. */
+  private val eventsMetadataCount = Q(
+    (s, d) => {
+      import s.implicits._
+      val tag = Integer.toHexString(d.hashCode)
+      val root = s"${sys.props("java.io.tmpdir")}/graft-events-metacount-$tag"
+      val ev = graft.Tables.events(s, d).select(
+        col("event_id"), col("user_id"), col("value"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("day"))
+      val mx = ev.agg(max("user_id").as("um"), max("day").as("dm"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("zval", graft.operators.ZOrder.zValue(
+          expr("CAST(user_id * 32 div (um + 1) AS INT)"),
+          expr("CAST(day * 32 div (dm + 1) AS INT)"), 5))
+        .drop("um", "dm")
+        .repartitionByRange(16, col("zval"))
+        .write.mode("overwrite").parquet(root)
+      val Array(um, dm) = mx.collect().head match {
+        case r => Array(r.getLong(0), r.getInt(1).toLong)
+      }
+      val mf = graft.sources.StatsManifest.build(s, root, Seq("user_id", "day"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def boxCount(label: String, u0: Long, u1: Long, d0: Long, d1: Long): (String, Long) = {
+        val (n, _, _) = graft.sources.StatsManifest.countPruned(s, root, mf,
+          Seq(("user_id", u0.toDouble, u1.toDouble), ("day", d0.toDouble, d1.toDouble)),
+          col("user_id").between(u0, u1) && col("day").between(d0, d1))
+        (label, n)
+      }
+      val out = Seq(
+        boxCount("narrow", um / 5, um / 4, dm / 5, dm / 4),
+        boxCount("mid", um / 5, um / 2, dm / 5, dm / 2),
+        boxCount("wide", 0, 4 * um / 5, 0, 4 * dm / 5))
+      mf.unpersist(false)
+      out.toDF("box", "n_rows").orderBy("box")
+    },
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS INTEGER) AS day
+      |  FROM events
+      |),
+      |mx AS (SELECT MAX(user_id) AS um, MAX(day) AS dm FROM ev)
+      |SELECT 'narrow' AS box, COUNT(*) AS n_rows FROM ev CROSS JOIN mx
+      |  WHERE user_id BETWEEN um // 5 AND um // 4 AND day BETWEEN dm // 5 AND dm // 4
+      |UNION ALL
+      |SELECT 'mid', COUNT(*) FROM ev CROSS JOIN mx
+      |  WHERE user_id BETWEEN um // 5 AND um // 2 AND day BETWEEN dm // 5 AND dm // 2
+      |UNION ALL
+      |SELECT 'wide', COUNT(*) FROM ev CROSS JOIN mx
+      |  WHERE user_id BETWEEN 0 AND 4 * um // 5 AND day BETWEEN 0 AND 4 * dm // 5
+      |ORDER BY box""".stripMargin)
+
   /** Equality file-skipping via the per-file Bloom index
     * (graft.sources.BloomSkipIndex): the events table is written
     * hash-partitioned on event_id — the layout where every file spans the
@@ -821,6 +889,7 @@ object EtlQueries {
     "events_schema_evolution" -> eventsSchemaEvolution,
     "mv_incremental_refresh" -> mvIncrementalRefresh,
     "events_skipping_scan" -> eventsSkippingScan,
+    "events_metadata_count" -> eventsMetadataCount,
     "events_point_lookup" -> eventsPointLookup,
     "cdc_apply_snapshot" -> cdcApplySnapshot,
     "cdc_scd2_history" -> cdcScd2History)

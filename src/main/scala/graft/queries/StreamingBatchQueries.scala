@@ -429,9 +429,52 @@ object StreamingBatchQueries {
     },
     EtlQueries.mvEventsRollupSql)
 
+  /** Streaming MV RETRACTION (graft.etl.MaterializedAgg.retractOnce —
+    * stream_mv_refresh's dual for a CDC DELETE stream): the view is
+    * initialized over the FULL table, the takedown's rows arrive as two
+    * staged files ⇒ two genuine delete micro-batches, and foreachBatch
+    * folds each OUT of the state exactly-once (the applied-batch mark
+    * rides in the manifest, so a replayed delete batch can never subtract
+    * twice). `remaining` is the base with all deletes applied — the
+    * natural CDC read, since base commits before the view catches up;
+    * retractOnce's scaladoc carries the convergence argument. Oracle =
+    * the rollup minus the forgotten users, shared verbatim with the
+    * one-shot batch retraction: n micro-batches or one retract, same
+    * final state. */
+  private val streamMvRetraction = Q(
+    (s, d) => {
+      val keys = Seq("event_type", "date")
+      val tag = Integer.toHexString(d.hashCode)
+      val root = s"${sys.props("java.io.tmpdir")}/graft-mv-stream-retract-$tag"
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft-mv-retract-src-$tag-${sourceFingerprint(s, d, "events")}")
+      val ev = Tables.events(s, d)
+      val gone = col("user_id") % 17 === 3
+      if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
+        ev.where(gone).repartition(2)
+          .write.mode("overwrite").parquet(dir.toString)
+      }
+      graft.etl.MaterializedAgg.writeInit(
+        ev.withColumn("date", col("ts").cast("date")), keys, "value", root)
+      val remaining = ev.where(!gone).withColumn("date", col("ts").cast("date"))
+      val q = Tables.eventsStream(s, dir.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          graft.etl.MaterializedAgg.retractOnce(batch.sparkSession, root, id,
+            batch.withColumn("date", col("ts").cast("date")), remaining, keys, "value")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.etl.MaterializedAgg.read(s, root, keys).orderBy("event_type", "date")
+    },
+    EtlQueries.mvEventsRollupMinusForgottenSql)
+
   val all: Map[String, Q] = Map(
     "stream_window_agg" -> streamWindowAgg,
     "stream_mv_refresh" -> streamMvRefresh,
+    "stream_mv_retraction" -> streamMvRetraction,
     "stream_file_source" -> streamFileSource,
     "stream_neardup" -> streamNearDup,
     "stream_neardup_incremental" -> streamNearDupIncremental,

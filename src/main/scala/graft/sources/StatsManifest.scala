@@ -133,4 +133,58 @@ object StatsManifest {
     if (files.isEmpty) spark.read.parquet(dir).where(lit(false))
     else spark.read.parquet(files: _*).where(residual)
   }
+
+  /** Metadata-only COUNT pushdown (Snowflake/Iceberg's "answer it from the
+    * manifest" aggregation): a box predicate splits the file universe
+    * three ways —
+    *   - OUTSIDE (some column's box disjoint from its range): 0 matches;
+    *   - INTERIOR (EVERY predicate column's box lies fully inside its
+    *     range AND the column has a definite zero null count — a null
+    *     never satisfies a range predicate, so an unknown or non-zero
+    *     null count disqualifies metadata counting);
+    *   - BOUNDARY: everything else.
+    * Interior files contribute their footer row counts with ZERO data IO;
+    * only boundary files are scanned with the exact predicate. On a
+    * clustered layout (z-order / range-partitioned) the interior is the
+    * bulk of the intersecting set, so a 100 TB filtered COUNT reads a
+    * sliver of data. Files absent from the manifest are boundary
+    * (conservative, like [[prunedFiles]]). Returns (count, interior
+    * files, boundary files) — pruning is IO-only: the count is
+    * bit-identical to the full scan by construction. */
+  def countPruned(spark: SparkSession, dir: String, manifest: DataFrame,
+                  ranges: Seq[(String, Double, Double)],
+                  residual: Column): (Long, Seq[String], Seq[String]) = {
+    val all = listFiles(spark, dir)
+    val cols = ranges.map(_._1)
+    // metadata-sized collect: one row per (file, predicate column)
+    val stats: Map[(String, String), (Long, Option[Double], Option[Double], Option[Long])] =
+      manifest.where(col("column").isin(cols: _*))
+        .select("file", "column", "n_rows", "vmin", "vmax", "n_nulls")
+        .collect().map { r =>
+          (r.getString(0), r.getString(1)) ->
+            ((r.getLong(2),
+              if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+              if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+              if (r.isNullAt(5)) None else Some(r.getLong(5))))
+        }.toMap
+    def classify(f: String): Int = { // 0 outside, 1 interior, 2 boundary
+      val per = ranges.map { case (c, lo, hi) => (stats.get((f, c)), lo, hi) }
+      if (per.exists { case (s, lo, hi) =>
+            s.exists { case (_, mn, mx, _) =>
+              mn.isDefined && mx.isDefined && (mx.get < lo || mn.get > hi) } }) 0
+      else if (per.forall { case (s, lo, hi) =>
+            s.exists { case (_, mn, mx, nn) =>
+              mn.isDefined && mx.isDefined && nn.contains(0L) &&
+                mn.get >= lo && mx.get <= hi } }) 1
+      else 2
+    }
+    val byClass = all.groupBy(classify)
+    val interior = byClass.getOrElse(1, Seq.empty).sorted
+    val boundary = byClass.getOrElse(2, Seq.empty).sorted
+    val metaCount = interior.map(f => stats((f, cols.head))._1).sum
+    val scanned =
+      if (boundary.isEmpty) 0L
+      else spark.read.parquet(boundary.map(f => s"$dir/$f"): _*).where(residual).count()
+    (metaCount + scanned, interior, boundary)
+  }
 }

@@ -182,18 +182,18 @@ object TableMaintenance {
     // are dead: no current read masks with them, and as-of reads of
     // retained generations deliberately show the pre-delete state (the
     // documented erasure timeline). Pending ones (> any retained
-    // purged_through) must survive for masking. The NEWEST dead version
-    // is kept as a fence: forget() allocates `latest + 1`, so dropping
-    // ALL dead versions would let a later forget REUSE a vacuumed number
-    // at or below purged_through — a new delete-set that every read then
-    // treats as already applied (a silently lost delete).
+    // purged_through) must survive for masking. ALL dead versions go —
+    // including their key lists, which is part of the erasure story (a
+    // tombstone that outlives its purpose retains exactly the identifiers
+    // the request asked to forget). Version-number reuse is prevented by
+    // [[forget]] allocating above the pointer's own purged_through
+    // watermark, which survives any tombstone vacuum.
     val minPurged = pointerVersions(spark, root).map { v =>
       val r = spark.read.parquet(s"$root/_current/v=$v").head()
       r.getLong(r.fieldIndex("purged_through"))
     }.minOption.getOrElse(0L)
     val ddir = deletesDir(root)
-    val dead = CommittedVersions.list(spark, ddir).filter(_ <= minPurged).sorted
-    dead.dropRight(1).foreach { v =>
+    CommittedVersions.list(spark, ddir).filter(_ <= minPurged).foreach { v =>
       f.delete(new Path(s"$ddir/v=$v"), true)
     }
     CommittedVersions.vacuumStaging(spark, ddir, OrphanAgeMs)
@@ -237,10 +237,28 @@ object TableMaintenance {
     * tombstone version K. O(delete-set) metadata write. Returns K. */
   def forget(spark: SparkSession, root: String, column: String,
              keys: DataFrame, maxRetries: Int = 20): Long = {
+    // one tombstone column per store: a second forget on a DIFFERENT
+    // column would write versions whose parquet schema diverges, and the
+    // multi-version union then reads the missing column as NULL — an
+    // anti-join that silently matches nothing, i.e. a lost delete. Fail
+    // loudly instead.
+    CommittedVersions.latest(spark, deletesDir(root)).foreach { v =>
+      val existing = spark.read.parquet(s"${deletesDir(root)}/v=$v").columns.head
+      require(existing == column,
+        s"forget: store $root tombstones key column '$existing'; a delete-set " +
+          s"on '$column' would be silently unreadable alongside it")
+    }
     val dedup = keys.select(col(column)).distinct().coalesce(1)
     var attempt = 0
     while (true) {
-      val v = CommittedVersions.latest(spark, deletesDir(root)).getOrElse(0L) + 1L
+      // allocation floor: the pointer's purged_through as well as the
+      // latest live tombstone — vacuum deletes every fully-applied
+      // version (keys included), and allocating from the watermark keeps
+      // a post-vacuum forget from REUSING a dead number at or below
+      // purged_through, which every read would treat as already applied
+      val (_, _, purged) = headState(spark, root)
+      val v = math.max(
+        CommittedVersions.latest(spark, deletesDir(root)).getOrElse(0L), purged) + 1L
       try {
         CommittedVersions.publishVersion(
           dedup, deletesDir(root), v, "TableMaintenance tombstones")

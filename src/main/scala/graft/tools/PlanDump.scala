@@ -85,7 +85,9 @@ object PlanDump {
       "ann_forget" -> "probe AFTER index-level deletes: survivors-only cell partitions, pruned scan, quantizer untouched",
       "corpus_version_diff" -> "release diff: per-side fingerprint at the scan, full-outer join moves 16-byte hashes not documents",
       "forget_cascade" -> "one takedown request audited on BOTH surfaces: purged base-store scan unioned with the retracted MV state read",
-      "text_dup_span_rewrite" -> "exact-substring removal: one gram-keyed rank shuffle, position anti-join, per-doc bounded reassembly sort")
+      "text_dup_span_rewrite" -> "exact-substring removal: one gram-keyed rank shuffle, position anti-join, per-doc bounded reassembly sort",
+      "stream_mv_retraction" -> "MV read-back after a streamed CDC delete: per-batch exactly-once retraction, touched buckets only",
+      "events_metadata_count" -> "metadata-only COUNT: interior files answered from footer row counts, boundary sliver scanned with the exact predicate")
     val sb = new StringBuilder
     sb.append("# Physical-plan audit (generated by graft.tools.PlanDump at sf0.001)\n\n")
     sb.append("Each section is `df.explain(\"formatted\")` output for a representative\n")

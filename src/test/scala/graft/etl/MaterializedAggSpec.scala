@@ -203,6 +203,29 @@ class MaterializedAggSpec extends SparkSpec {
     }
   }
 
+  test("retractOnce: delete micro-batches apply exactly once and converge across splits") {
+    val root = s"${sys.props("java.io.tmpdir")}/graft-mv-spec-retract-once"
+    MaterializedAgg.writeInit(data, keys, "value", root)
+    val gone = col("row_id") % 5 === 0
+    val remaining = data.where(!gone)
+    // the delete set arrives as two batches; `remaining` is the base with
+    // ALL deletes applied (the CDC shape — base commits before the view)
+    val b0 = data.where(gone && col("row_id") % 2 === 0)
+    val b1 = data.where(gone && col("row_id") % 2 === 1)
+    assert(MaterializedAgg.retractOnce(spark, root, 0L, b0, remaining, keys, "value"))
+    // a replayed batch is a no-op: state unchanged, returns false
+    val afterB0 = rows(MaterializedAgg.read(spark, root, keys))
+    assert(!MaterializedAgg.retractOnce(spark, root, 0L, b0, remaining, keys, "value"))
+    assert(rows(MaterializedAgg.read(spark, root, keys)) == afterB0,
+      "a replayed delete batch must never subtract twice")
+    assert(MaterializedAgg.retractOnce(spark, root, 1L, b1, remaining, keys, "value"))
+    assert(rows(MaterializedAgg.read(spark, root, keys)) == rows(finalize(remaining)),
+      "n delete micro-batches must converge to the one-shot recompute")
+    // an EMPTY delete batch still advances the mark (mark-only flip)
+    assert(MaterializedAgg.retractOnce(spark, root, 2L, data.where(lit(false)), remaining, keys, "value"))
+    assert(!MaterializedAgg.retractOnce(spark, root, 2L, data.where(lit(false)), remaining, keys, "value"))
+  }
+
   test("a bad delete batch aborts loudly BEFORE anything is written") {
     val root = s"${sys.props("java.io.tmpdir")}/graft-mv-spec-retract-bad"
     MaterializedAgg.writeInit(data, keys, "value", root)

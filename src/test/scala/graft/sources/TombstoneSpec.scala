@@ -117,19 +117,30 @@ class TombstoneSpec extends SparkSpec {
     // physically gone from all of them, and its tombstone version was
     // vacuumed as dead
     assert(asOf.where(forgetPred).count() == 0)
-    // v=1 is applied in the NEWEST retained generation but gen 2
-    // (purged_through=1) is still retained — both tombstones must survive
-    assert(CommittedVersions.list(spark, s"$root/_deletes").sorted == Seq(1L, 2L))
+    // v=1 is applied in EVERY retained generation — vacuumed (keys and
+    // all: a tombstone outliving its purpose would retain exactly the
+    // identifiers the request asked to forget); v=2 is still pending in
+    // retained gen 2 and must survive
+    assert(CommittedVersions.list(spark, s"$root/_deletes").sorted == Seq(2L))
     // one more cycle pushes gen 2 out of retention: physical erasure of
     // the v2 bytes completes (no generation on disk holds them)
     val old = TableMaintenance.OrphanAgeMs
     TableMaintenance.OrphanAgeMs = 0L
     try TableMaintenance.maintain(spark, root, "k", 5000L, Seq("k"), Seq("k"))
     finally TableMaintenance.OrphanAgeMs = old
-    // now every retained generation applied both tombstones: v=1 is
-    // vacuumed, v=2 stays as the version fence (number reuse would turn a
-    // future forget into a silently pre-applied delete)
-    assert(CommittedVersions.list(spark, s"$root/_deletes").sorted == Seq(2L))
+    // every retained generation applied both tombstones: nothing survives
+    // vacuum, and the pointer's purged_through watermark (not a kept
+    // tombstone dir) is what stops a later forget reusing a dead number
+    assert(CommittedVersions.list(spark, s"$root/_deletes").isEmpty)
+    val (_, _, purgedNow) = TableMaintenance.headState(spark, root)
+    assert(purgedNow == 2L)
+    // a post-vacuum forget allocates ABOVE the watermark — never a reused
+    // number that reads would treat as already applied
+    val v3 = TableMaintenance.forget(spark, root, "k",
+      spark.range(20000).select(col("id").as("k")).where(col("k") % 100 === 21))
+    assert(v3 == 3L, s"expected allocation above purged_through=2, got $v3")
+    assert(TableMaintenance.readCurrent(spark, root).where(col("k") % 100 === 21).count() == 0,
+      "the new delete-set must be pending (masked), not silently pre-applied")
     val gensOnDisk = fs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
       .map(_.getPath.getName).filter(_.startsWith("gen="))
       .map(_.stripPrefix("gen=").toLong).sorted
@@ -137,6 +148,13 @@ class TombstoneSpec extends SparkSpec {
       assert(spark.read.parquet(TableMaintenance.dataPath(root, g))
         .where(col("k") % 100 === 7).count() == 0,
         s"gen $g must not hold the forgotten bytes after the retention window passed")
+    }
+  }
+
+  test("a forget on a different key column is rejected loudly (mixed tombstone schemas lose deletes)") {
+    intercept[IllegalArgumentException] {
+      TableMaintenance.forget(spark, root, "grp",
+        spark.range(3).select(col("id").as("grp")))
     }
   }
 
