@@ -193,7 +193,17 @@ object IvfPq {
     * delete is a no-op), the `_index_commit` marker is down for the
     * duration (a crash mid-swap leaves the store loudly unreadable,
     * recovery = rebuild), and concurrent mutators are rejected by the
-    * mutation lock. */
+    * mutation lock.
+    *
+    * Durability boundary (the composition contract): an index delete is a
+    * SERVING-layer removal — a later [[writeIndex]] / [[refitIfDrifted]]
+    * rebuild re-indexes whatever base frame the caller passes, so a
+    * rebuild sourced from a base that still holds the vectors RESURRECTS
+    * them. Durable deletion lives with the base table (e.g. a
+    * [[graft.sources.TableMaintenance]] store with tombstones — the
+    * forget_cascade pattern); rebuilds must read the post-delete base,
+    * exactly as FAISS remove_ids does not survive a retrain from the
+    * original training set. */
   def deleteFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                       ids: DataFrame, incrementId: Long): Boolean = {
     if (IndexLedger.recoverMarker(spark, path, incrementId, commitMarker(spark, path)))
