@@ -272,15 +272,18 @@ object TableMaintenance {
     sys.error("unreachable")
   }
 
-  /** Tombstone versions in (lo, hi], unioned and deduplicated — None when
-    * nothing is pending in that window. Delete-request-sized. */
+  /** Tombstone versions in (lo, hi], unioned — None when nothing is
+    * pending in that window. Delete-request-sized. Deliberately NOT
+    * deduplicated: the only consumer is a LEFT ANTI join, whose broadcast
+    * hash relation is set-semantics anyway — a distinct() here would add
+    * the mask's only shuffle for zero semantic effect (PlanAuditSpec pins
+    * the exchange-free mask plan). */
   private def tombstonesBetween(spark: SparkSession, root: String,
                                 lo: Long, hi: Long): Option[DataFrame] = {
     val vs = CommittedVersions.list(spark, deletesDir(root))
       .filter(v => v > lo && v <= hi)
     if (vs.isEmpty) None
-    else Some(spark.read.parquet(vs.map(v => s"${deletesDir(root)}/v=$v"): _*)
-      .distinct())
+    else Some(spark.read.parquet(vs.map(v => s"${deletesDir(root)}/v=$v"): _*))
   }
 
   /** Tombstones the current generation has NOT physically purged — the

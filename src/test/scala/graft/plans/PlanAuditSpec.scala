@@ -116,6 +116,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(pushed.contains("ts"), s"expected ts range pushdown, got: $pushed")
   }
 
+  test("tombstone masking is a broadcast anti-join — the data side never shuffles for a delete mask") {
+    import graft.sources.TableMaintenance
+    import spark.implicits._
+    val root = s"${sys.props("java.io.tmpdir")}/graft-plan-tombstone"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    (0 until 5000).map(i => (i.toLong, i.toDouble)).toDF("k", "value")
+      .repartition(2).write.parquet(TableMaintenance.dataPath(root, 1L))
+    TableMaintenance.initGen(spark, root, Seq("k"), Seq("k"))
+    TableMaintenance.forget(spark, root, "k",
+      spark.range(5000).select(col("id").as("k")).where(col("k") % 50 === 7))
+    val plan = executed(TableMaintenance.readCurrent(spark, root))
+    val anti = allNodes(plan).collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if b.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => b
+    }
+    assert(anti.nonEmpty, s"masking must plan a broadcast LEFT ANTI join:\n$plan")
+    assert(allNodes(plan).collect { case s: ShuffleExchangeExec => s }.isEmpty,
+      "a delete-request-sized mask must never shuffle the data side")
+    // and with nothing pending, the anti-join is never added at all
+    TableMaintenance.maintain(spark, root, "k", 5000L, Seq("k"), Seq("k"))
+    val clean = executed(TableMaintenance.readCurrent(spark, root))
+    assert(allNodes(clean).collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }.isEmpty, "no pending tombstones ⇒ the bare scan, no mask operator")
+  }
+
   test("no registered query degenerates into a CartesianProduct except declared all-pairs baselines") {
     val allowed = Set("dedup_embedding", "ann_topk") // documented exact all-pairs baselines
     graft.SparkEntry.registry.foreach { case (name, q) =>

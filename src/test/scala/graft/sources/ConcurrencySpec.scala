@@ -193,6 +193,35 @@ class ConcurrencySpec extends SparkSpec {
     assert(gens.filter(_ < live.max).forall(live), s"unvacuumed orphan gens: $gens vs live $live")
   }
 
+  test("TableMaintenance: forgets racing a maintainer are NEVER lost — masked now, purged by some cycle") {
+    val root = tmp("tm-forget"); clear(root)
+    import spark.implicits._
+    (0 until 20000).map(i => (i.toLong, i.toDouble)).toDF("k", "value")
+      .repartition(4).write.parquet(TableMaintenance.dataPath(root, 1L))
+    TableMaintenance.initGen(spark, root, Seq("k"), Seq("k"))
+    // one maintainer races four forget requests (disjoint delete sets);
+    // legal outcomes per request: purged by THIS cycle (landed before its
+    // horizon) or pending on the new generation — lost is the only bug
+    val mods = Seq(11L, 13L, 17L, 19L)
+    def forgetOnce(m: Long) = TableMaintenance.forget(spark, root, "k",
+      spark.range(20000).select(col("id").as("k")).where(col("k") % 100 === m))
+    val got = race(
+      (() => TableMaintenance.maintain(spark, root, "k", 5000L, Seq("k"), Seq("k")): Any) +:
+        mods.map(m => () => forgetOnce(m): Any))
+    got.collect { case Left(e) => e }.foreach(e => throw e) // all writers must land
+    // every delete set is in force on the current version immediately...
+    val masked = TableMaintenance.readCurrent(spark, root)
+    mods.foreach(m => assert(masked.where(col("k") % 100 === m).count() == 0,
+      s"forget k%100==$m lost after racing the maintainer"))
+    assert(masked.count() == 20000 - mods.size * 200)
+    // ...and one more quiet cycle physically purges whatever was pending
+    TableMaintenance.maintain(spark, root, "k", 5000L, Seq("k"), Seq("k"))
+    val raw = spark.read.parquet(
+      TableMaintenance.dataPath(root, TableMaintenance.currentGen(spark, root)))
+    mods.foreach(m => assert(raw.where(col("k") % 100 === m).count() == 0))
+    assert(TableMaintenance.pendingTombstones(spark, root).isEmpty)
+  }
+
   test("ANN index store: crash recovery is loud where it must be, self-healing where the ledger certifies") {
     import graft.ann.{IndexLedger, IvfPq}
     val root = tmp("ivfpq-crash"); clear(root)
