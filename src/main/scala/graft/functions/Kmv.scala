@@ -113,7 +113,40 @@ object Kmv {
         exprs(2).eval().asInstanceOf[Int],
         prehashed = exprs.length > 3 && exprs(3).eval().asInstanceOf[Boolean]),
       "built-in")
+    reg.createOrReplaceTempFunction("graft_kmv_state",
+      exprs => KmvState(exprs(0),
+        exprs(1).eval().asInstanceOf[Int],
+        prehashed = exprs.length > 2 && exprs(2).eval().asInstanceOf[Boolean]),
+      "built-in")
   }
+
+  // --------------------------------------------------- persisted states
+
+  /** The sketch STATE itself (sorted bottom-k hash array) as a column —
+    * the Druid/BigQuery sketch-store pattern: persist per-partition
+    * states once, answer ANY later rollup by merging states (bottom-k of
+    * the union is the union sketch, Beyer et al. §4) with NO rescan of
+    * the data. A state is ≤ k BIGINTs; merging is plain array algebra. */
+  def stateHashed(spark: SparkSession, hashed: Column, k: Int = K): Column = {
+    register(spark)
+    call_function("graft_kmv_state", hashed, lit(k), lit(true))
+  }
+
+  /** Merge an agg-collected list of states (`collect_list(state)`) into
+    * the union's state: bottom-k of the distinct union. Input is
+    * metadata-sized (≤ k · n_states longs per group), so this is pure
+    * in-group array algebra — no aggregate, no shuffle beyond the
+    * collect_list's own. */
+  def mergeStatesCol(states: Column, k: Int): Column =
+    slice(array_sort(array_distinct(flatten(states))), 1, k)
+
+  /** Distinct estimate from a merged STATE column named `name` — the same
+    * exact-below-k / (k−1)·2^52 div h_k integer arithmetic as the
+    * aggregate's eval, so stored-state rollups replay bit-identically. */
+  def estimateFromState(name: String, k: Int): Column =
+    expr(s"""CASE WHEN size($name) < $k THEN CAST(size($name) AS BIGINT)
+             |     ELSE CAST(${k - 1} AS BIGINT) * ${Scale}L
+             |          div GREATEST(element_at($name, $k), 1L) END""".stripMargin)
 
   /** Deterministic distinct-count estimate of a canonical STRING column.
     * Exact below k distinct values, (k−1)·2^52 div h_k above. */
@@ -369,4 +402,88 @@ case class KmvSample(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
     copy(key = newChildren(0), value = newChildren(1))
+}
+
+/** [[KmvDistinct]]'s buffer evaluated to the STATE itself — the sorted
+  * bottom-k hash array — instead of the estimate. This is what a sketch
+  * STORE persists (array<bigint>, ≤ k elements): later rollups merge
+  * stored states with [[Kmv.mergeStatesCol]] and estimate with
+  * [[Kmv.estimateFromState]], never rescanning the data. Identical
+  * update/merge/serde discipline to [[KmvDistinct]]. */
+case class KmvState(
+    child: Expression,
+    k: Int,
+    prehashed: Boolean = false,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  require(k > 1, s"KMV sketch needs k > 1, got $k")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val want = if (prehashed) LongType else org.apache.spark.sql.types.StringType
+    if (child.dataType == want)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_kmv_state(prehashed=$prehashed) requires a ${want.simpleString} key, " +
+        s"got ${child.dataType.simpleString}")
+  }
+  override def prettyName: String = "graft_kmv_state"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  override def update(
+      buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = if (prehashed) v.asInstanceOf[Long]
+              else Kmv.hash52(v.asInstanceOf[UTF8String])
+      if (buf.size < k) { buf.add(h); () }
+      else if (h < buf.last) { if (buf.add(h)) { buf.pollLast(); () } }
+    }
+    buf
+  }
+
+  override def merge(
+      buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    buf.addAll(other)
+    while (buf.size > k) buf.pollLast()
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Long](buf.size)
+    var i = 0
+    buf.forEach(h => { arr(i) = h; i += 1 })
+    UnsafeArrayData.fromPrimitiveArray(arr)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    buf.forEach(h => { bb.putLong(h); () })
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvState =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvState =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
 }

@@ -340,6 +340,81 @@ object AggregateQueries {
          |ORDER BY c.event_type""".stripMargin
     })
 
+  /** Persisted sketch-STATE store + reaggregation (graft.functions.Kmv
+    * .stateHashed / mergeStatesCol / estimateFromState) — the
+    * Druid/BigQuery sketch pattern the one-shot kmv queries stop short
+    * of: per-(event_type, week) KMV states are computed in ONE pass and
+    * persisted (≤ k BIGINTs each); every later rollup — per-type
+    * distinct users, the grand total — merges STORED states (bottom-k of
+    * the union is the union's sketch, Beyer et al. §4) without ever
+    * rescanning the events. The oracle replays the per-week bottom-k,
+    * the merges and the integer estimate — stored-state reaggregation is
+    * bit-exact by construction, not within-rsd. */
+  private val sketchStoreRollup = Q(
+    (s, d) => {
+      val k = 512
+      val tag = Integer.toHexString(d.hashCode)
+      val store = s"${sys.props("java.io.tmpdir")}/graft-sketch-store-$tag"
+      // ONE pass over the data: hash in a codegen projection, bounded
+      // bottom-k state per (event_type, week), persisted
+      graft.Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(datediff(CAST(ts AS DATE), DATE'2024-01-01') AS INT) div 7").as("week"),
+          graft.functions.Kmv.hash52Col(s, col("user_id").cast("string")).as("uh"))
+        .groupBy("event_type", "week")
+        .agg(graft.functions.Kmv.stateHashed(s, col("uh"), k).as("state"))
+        .write.mode("overwrite").parquet(store)
+      // rollups from STORED states only — no events scan below this line
+      val st = s.read.parquet(store)
+      val perType = st.groupBy("event_type")
+        .agg(collect_list("state").as("states"))
+        .select(col("event_type"),
+          graft.functions.Kmv.mergeStatesCol(col("states"), k).as("merged"))
+        .select(col("event_type"),
+          graft.functions.Kmv.estimateFromState("merged", k).as("est_users"))
+      val grand = st.agg(collect_list("state").as("states"))
+        .select(lit("__ALL__").as("event_type"),
+          graft.functions.Kmv.mergeStatesCol(col("states"), k).as("merged"))
+        .select(col("event_type"),
+          graft.functions.Kmv.estimateFromState("merged", k).as("est_users"))
+      perType.unionByName(grand).orderBy("event_type")
+    }, {
+      val k = 512
+      val est = s"""CASE WHEN nd < $k THEN nd
+                   |     ELSE CAST(${k - 1} AS BIGINT) * ${graft.functions.Kmv.Scale}
+                   |          // GREATEST(hk, 1) END""".stripMargin
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS INTEGER) // 7 AS week,
+         |    ${graft.functions.Kmv.hashSql("CAST(user_id AS VARCHAR)")} AS hv
+         |  FROM events WHERE user_id IS NOT NULL),
+         |st AS (
+         |  SELECT event_type, week, hv FROM (
+         |    SELECT event_type, week, hv,
+         |      row_number() OVER (PARTITION BY event_type, week ORDER BY hv) AS rn
+         |    FROM h) WHERE rn <= $k),
+         |m1 AS (
+         |  SELECT event_type, hv,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+         |  FROM (SELECT DISTINCT event_type, hv FROM st)),
+         |e1 AS (
+         |  SELECT event_type,
+         |    CAST(COUNT(*) AS BIGINT) AS nd,
+         |    MAX(CASE WHEN rn = $k THEN hv END) AS hk
+         |  FROM m1 WHERE rn <= $k GROUP BY 1),
+         |m2 AS (
+         |  SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+         |  FROM (SELECT DISTINCT hv FROM st)),
+         |e2 AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+         |         MAX(CASE WHEN rn = $k THEN hv END) AS hk
+         |  FROM m2 WHERE rn <= $k)
+         |SELECT event_type, CAST($est AS BIGINT) AS est_users FROM e1
+         |UNION ALL
+         |SELECT '__ALL__', CAST($est AS BIGINT) FROM e2
+         |ORDER BY event_type""".stripMargin
+    })
+
   /** Exact companion to the sketch query: the same grouping with the
     * deterministic aggregates (count, exact distinct, min/max bounds for
     * the quantile range) hash-checked against DuckDB — anchoring the
@@ -486,6 +561,7 @@ object AggregateQueries {
     "table_profile_approx" -> tableProfileApprox,
     "table_profile_events" -> tableProfileEvents,
     "sketch_event_stats" -> sketchEventStats,
+    "sketch_store_rollup" -> sketchStoreRollup,
     "sketch_event_stats_exact" -> sketchEventStatsExact,
     "skew_join_segments" -> skewJoinSegments,
     "insider_txn" -> insiderTxn,

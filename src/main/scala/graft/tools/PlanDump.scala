@@ -87,7 +87,8 @@ object PlanDump {
       "forget_cascade" -> "one takedown request audited on BOTH surfaces: purged base-store scan unioned with the retracted MV state read",
       "text_dup_span_rewrite" -> "exact-substring removal: one gram-keyed rank shuffle, position anti-join, per-doc bounded reassembly sort",
       "stream_mv_retraction" -> "MV read-back after a streamed CDC delete: per-batch exactly-once retraction, touched buckets only",
-      "events_metadata_count" -> "metadata-only COUNT: interior files answered from footer row counts, boundary sliver scanned with the exact predicate")
+      "events_metadata_count" -> "metadata-only COUNT: interior files answered from footer row counts, boundary sliver scanned with the exact predicate",
+      "sketch_store_rollup" -> "sketch-state store reaggregation: rollups merge persisted bottom-k states (array algebra), the data is never rescanned")
     val sb = new StringBuilder
     sb.append("# Physical-plan audit (generated by graft.tools.PlanDump at sf0.001)\n\n")
     sb.append("Each section is `df.explain(\"formatted\")` output for a representative\n")

@@ -107,4 +107,37 @@ class KmvSpec extends SparkSpec {
     assert(r.getLong(0) === 2L) // a, b — null key skipped
     assert(r.getInt(1) === 1)   // (a,1.0) deduped; (b,null)/(null,3.0) skipped
   }
+
+  test("persisted states: merging stored states == sketching the union (the sketch-store contract)") {
+    import spark.implicits._
+    val k = 256
+    // two disjoint-ish halves with overlap: the union sketch must be
+    // reconstructible from the two STORED states alone
+    val a = ids(3000).toDF("s")
+    val b = (2000 to 6000).map(i => s"id-$i").toDF("s")
+    def state(df: org.apache.spark.sql.DataFrame) = df.agg(
+      Kmv.stateHashed(spark, Kmv.hash52Col(spark, col("s")), k).as("state"))
+    val states = state(a).unionByName(state(b))
+      .agg(collect_list("state").as("states"))
+      .select(Kmv.mergeStatesCol(col("states"), k).as("merged"))
+    val mergedEst = states.select(Kmv.estimateFromState("merged", k)).head().getLong(0)
+    val directEst = a.unionByName(b)
+      .agg(Kmv.distinctCount(spark, col("s"), k)).head().getLong(0)
+    assert(mergedEst === directEst,
+      "bottom-k of the union of bottom-k states must equal the union's own sketch")
+  }
+
+  test("persisted states: below-k states merge to the EXACT distinct count of the union") {
+    import spark.implicits._
+    val k = 512
+    val a = ids(100).toDF("s")
+    val b = ids(150).toDF("s") // superset overlap: union distinct = 150
+    def st(df: org.apache.spark.sql.DataFrame) = df.agg(
+      Kmv.stateHashed(spark, Kmv.hash52Col(spark, col("s")), k).as("state"))
+    val est = st(a).unionByName(st(b))
+      .agg(collect_list("state").as("states"))
+      .select(Kmv.mergeStatesCol(col("states"), k).as("merged"))
+      .select(Kmv.estimateFromState("merged", k)).head().getLong(0)
+    assert(est === 150L)
+  }
 }
