@@ -36,6 +36,30 @@ class DatasetDiffSpec extends SparkSpec {
       s"every pair differs semantically and must fingerprint differently: $got")
   }
 
+  test("differential: random version pairs (seeded) classify exactly like a brute-force compare") {
+    val rnd = new scala.util.Random(20260816L)
+    def corpus(drop: Int => Boolean, mut: Int => Boolean): Map[Long, String] =
+      (0 until 400).filterNot(drop)
+        .map(i => i.toLong -> (if (mut(i)) s"doc-$i!rev" else s"doc-$i")).toMap
+    (1 to 5).foreach { c =>
+      val (da, db, m) = (rnd.nextInt(7) + 2, rnd.nextInt(7) + 2, rnd.nextInt(5) + 2)
+      val av = corpus(_ % da == 0, _ => false)
+      val bv = corpus(_ % db == 0, _ % m == 0)
+      val expected = (av.keySet ++ bv.keySet).map { k =>
+        k -> ((av.get(k), bv.get(k)) match {
+          case (None, _) => "added"
+          case (_, None) => "removed"
+          case (Some(x), Some(y)) if x != y => "changed"
+          case _ => "unchanged"
+        })
+      }.toMap
+      val got = DatasetDiff.diff(
+          av.toSeq.toDF("k", "t"), bv.toSeq.toDF("k", "t"), "k", Seq("t"))
+        .select("k", "status").as[(Long, String)].collect().toMap
+      assert(got == expected, s"case $c (da=$da db=$db m=$m) diverged from brute force")
+    }
+  }
+
   test("the summary's n_chars follows the surviving side") {
     val a = Seq((1L, "aaaa"), (2L, "bb")).toDF("k", "t")
     val b = Seq((2L, "cccccc"), (5L, "d")).toDF("k", "t")

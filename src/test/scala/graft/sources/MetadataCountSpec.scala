@@ -57,6 +57,21 @@ class MetadataCountSpec extends SparkSpec {
     assert(!interior.contains(StatsManifest.listFiles(spark, dir).head))
   }
 
+  test("differential: arbitrary boxes (seeded) always equal the brute-force filtered count") {
+    val rnd = new scala.util.Random(20260816L)
+    val full = spark.read.parquet(dir)
+    (1 to 12).foreach { i =>
+      val a = rnd.nextInt(12000) - 1000
+      val b = a + rnd.nextInt(6000)
+      val (lo, hi) = (a.toDouble, b.toDouble)
+      val (n, interior, boundary) = StatsManifest.countPruned(spark, dir, mf,
+        Seq(("k", lo, hi)), col("k").between(lo, hi))
+      val brute = full.where(col("k").between(lo, hi)).count()
+      assert(n == brute, s"box [$lo,$hi] metadata count $n != brute $brute " +
+        s"(interior=${interior.size}, boundary=${boundary.size}, case $i)")
+    }
+  }
+
   test("an all-outside box answers zero with no interior and no scan") {
     val (n, interior, boundary) = StatsManifest.countPruned(spark, dir, mf,
       Seq(("k", 50000.0, 60000.0)), col("k").between(50000, 60000))

@@ -50,6 +50,31 @@ class DupSpanRewriteSpec extends SparkSpec {
     assert(got(2L) == ((6L, "u v w z")))
   }
 
+  test("differential: random corpora (seeded) match a single-node reference implementation") {
+    val rnd = new scala.util.Random(20260816L)
+    // small vocab forces plenty of genuine repeated windows
+    def doc(len: Int): Seq[String] = Seq.fill(len)(s"w${rnd.nextInt(6)}")
+    (1 to 4).foreach { c =>
+      val docs: Seq[(Long, Seq[String])] =
+        (0 until 30).map(i => i.toLong -> doc(3 + rnd.nextInt(12)))
+      // reference: rank occurrences per gram by (doc_id, pos), cover rk>=2
+      val occ = for {
+        (id, tk) <- docs; if tk.size >= W
+        p <- 1 to (tk.size - W + 1)
+      } yield (tk.slice(p - 1, p - 1 + W).mkString(" "), id, p)
+      val covered: Set[(Long, Int)] = occ.groupBy(_._1).values.flatMap { os =>
+        os.sortBy(o => (o._2, o._3)).drop(1)
+          .flatMap(o => (o._3 until o._3 + W).map(q => (o._2, q)))
+      }.toSet
+      val expected = docs.map { case (id, tk) =>
+        val kept = tk.zipWithIndex.collect { case (t, i) if !covered((id, i + 1)) => t }
+        id -> ((tk.size - kept.size).toLong, kept.mkString(" "))
+      }.toMap
+      val got = rewrite(docs.map { case (id, tk) => id -> tk.mkString(" ") }: _*)
+      assert(got == expected, s"case $c diverged from the reference")
+    }
+  }
+
   test("documents shorter than w are never touched") {
     val got = rewrite(1L -> "a b c", 2L -> "a b c")
     assert(got(1L) == ((0L, "a b c")) && got(2L) == ((0L, "a b c")),
