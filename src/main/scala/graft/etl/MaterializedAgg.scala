@@ -390,6 +390,18 @@ object MaterializedAgg {
             .as("dirty")): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        // the (37,10) narrowing cast above is non-ANSI: a stored sum past
+        // 27 integer digits would cast to NULL and silently poison the
+        // group without tripping the negative-count guard. A group with
+        // surviving non-null values (n_vals > 0) can never have a NULL
+        // sum_dec legitimately — raise it loudly before anything is written
+        val poisoned = updated
+          .where(col("n_vals") > 0 && col("sum_dec").isNull).limit(1).collect()
+        require(poisoned.isEmpty,
+          s"retract: decimal headroom exhausted — group " +
+            s"${poisoned.headOption.map(_.toString).getOrElse("")} has a stored " +
+            "sum past the (37,10) cast's 27 integer digits and the subtraction " +
+            "cast it to NULL; nothing was written")
         val bad = updated.where(col("n_rows") < 0 || col("n_vals") < 0)
           .limit(1).collect()
         require(bad.isEmpty,

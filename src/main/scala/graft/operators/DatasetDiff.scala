@@ -21,13 +21,26 @@ import org.apache.spark.sql.functions._
   * same bytes (DatasetDiffSpec pins the case); 32-hex-or-"-" tokens
   * parse uniquely, so distinct row payloads cannot collide by
   * construction.
+  *
+  * KEY CONTRACT: `key` must be UNIQUE per side and NON-NULL. A NULL key
+  * never equi-joins, so one document would surface as both `removed` and
+  * `added` — the guard below raises in-flight (codegen'd per-row check,
+  * no extra pass) rather than mis-classify. Duplicate keys are the
+  * caller's contract (release keys are primary keys by construction
+  * everywhere graft stages them): each duplicate multiplies rows through
+  * the full-outer join, and detecting it would cost a full
+  * count-distinct pass per side per diff — deliberately not paid here.
   */
 object DatasetDiff {
 
   private def fingerprinted(df: DataFrame, key: String, payload: Seq[String],
                             side: String): DataFrame =
     df.select(
-      col(key),
+      when(col(key).isNull, raise_error(lit(
+          s"DatasetDiff: NULL $side-side key '$key' — a null key cannot be " +
+            "aligned across versions (it would read as removed+added); keys " +
+            "must be unique and non-null")))
+        .otherwise(col(key)).as(key),
       md5(concat(
         payload.map(c => coalesce(md5(col(c).cast("string")), lit("-"))): _*))
         .as(s"${side}_fp"),

@@ -624,18 +624,25 @@ object CorpusOpsQueries {
       |  SELECT doc_id + mx.m + 1, text FROM documents, mx WHERE doc_id % 13 = 1
       |),
       |j AS (
-      |  SELECT a.text AS atext, b.text AS btext
+      |  -- presence = KEY presence (a row can exist with a NULL payload);
+      |  -- fingerprints and lengths are per-column null-safe, matching
+      |  -- DatasetDiff: NULL hashes to the '-' token, NULL length counts 0
+      |  SELECT a.doc_id AS aid, b.doc_id AS bid,
+      |         a.text AS atext, b.text AS btext
       |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
       |),
       |st AS (
-      |  SELECT CASE WHEN atext IS NULL THEN 'added'
-      |              WHEN btext IS NULL THEN 'removed'
-      |              WHEN md5(atext) <> md5(btext) THEN 'changed'
+      |  SELECT CASE WHEN aid IS NULL THEN 'added'
+      |              WHEN bid IS NULL THEN 'removed'
+      |              WHEN COALESCE(md5(atext), '-') <> COALESCE(md5(btext), '-')
+      |                THEN 'changed'
       |              ELSE 'unchanged' END AS status,
-      |         COALESCE(LENGTH(btext), LENGTH(atext)) AS n_chars
+      |         CASE WHEN bid IS NOT NULL THEN COALESCE(LENGTH(btext), 0)
+      |              ELSE COALESCE(LENGTH(atext), 0) END AS n_chars
       |  FROM j
       |)
-      |SELECT status, COUNT(*) AS n_docs, SUM(n_chars) AS chars_sum
+      |SELECT status, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS chars_sum
       |FROM st GROUP BY 1 ORDER BY 1""".stripMargin)
 
   val all: Map[String, Q] = Map(

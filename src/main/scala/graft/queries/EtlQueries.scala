@@ -773,8 +773,7 @@ object EtlQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def boxCount(label: String, u0: Long, u1: Long, d0: Long, d1: Long): (String, Long) = {
         val (n, _, _) = graft.sources.StatsManifest.countPruned(s, root, mf,
-          Seq(("user_id", u0.toDouble, u1.toDouble), ("day", d0.toDouble, d1.toDouble)),
-          col("user_id").between(u0, u1) && col("day").between(d0, d1))
+          Seq(("user_id", u0.toDouble, u1.toDouble), ("day", d0.toDouble, d1.toDouble)))
         (label, n)
       }
       val out = Seq(

@@ -152,8 +152,17 @@ object StatsManifest {
     * files, boundary files) — pruning is IO-only: the count is
     * bit-identical to the full scan by construction. */
   def countPruned(spark: SparkSession, dir: String, manifest: DataFrame,
-                  ranges: Seq[(String, Double, Double)],
-                  residual: Column): (Long, Seq[String], Seq[String]) = {
+                  ranges: Seq[(String, Double, Double)]): (Long, Seq[String], Seq[String]) = {
+    // The boundary-scan predicate is DERIVED from `ranges` — footer counts
+    // for interior files are only bit-identical to a full scan when the
+    // scanned predicate is exactly the conjunction of the same boxes, so
+    // taking a caller-supplied residual here would make any extra conjunct
+    // a silent overcount (round-13 advisory). Double literals compare
+    // exactly against integral columns up to 2^53 — the manifest's
+    // vmin/vmax already live in the same double domain.
+    val residual: Column = ranges
+      .map { case (c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi) }
+      .reduce(_ && _)
     val all = listFiles(spark, dir)
     val cols = ranges.map(_._1)
     // metadata-sized collect: one row per (file, predicate column)

@@ -75,7 +75,13 @@ object TableMaintenance {
     val v = pointerVersions(spark, root).maxOption.getOrElse(
       sys.error(s"no committed generation pointer under $root"))
     val r = spark.read.parquet(s"$root/_current/v=$v").head()
-    (v, r.getLong(r.fieldIndex("gen")), r.getLong(r.fieldIndex("purged_through")))
+    // pointer rows committed before the round-13 purge horizon carried only
+    // `gen`; a store is upgraded in place by its next maintain(), so a
+    // missing purged_through reads as 0 (nothing physically purged yet)
+    // rather than throwing on every read path of a pre-existing store
+    val purged = scala.util.Try(r.getLong(r.fieldIndex("purged_through")))
+      .getOrElse(0L)
+    (v, r.getLong(r.fieldIndex("gen")), purged)
   }
 
   /** The committed current generation. */
@@ -237,39 +243,60 @@ object TableMaintenance {
     * tombstone version K. O(delete-set) metadata write. Returns K. */
   def forget(spark: SparkSession, root: String, column: String,
              keys: DataFrame, maxRetries: Int = 20): Long = {
-    // one tombstone column per store: a second forget on a DIFFERENT
-    // column would write versions whose parquet schema diverges, and the
-    // multi-version union then reads the missing column as NULL — an
-    // anti-join that silently matches nothing, i.e. a lost delete. Fail
-    // loudly instead.
-    CommittedVersions.latest(spark, deletesDir(root)).foreach { v =>
-      val existing = spark.read.parquet(s"${deletesDir(root)}/v=$v").columns.head
-      require(existing == column,
-        s"forget: store $root tombstones key column '$existing'; a delete-set " +
-          s"on '$column' would be silently unreadable alongside it")
-    }
     val dedup = keys.select(col(column)).distinct().coalesce(1)
     var attempt = 0
     while (true) {
-      // allocation floor: the pointer's purged_through as well as the
-      // latest live tombstone — vacuum deletes every fully-applied
-      // version (keys included), and allocating from the watermark keeps
-      // a post-vacuum forget from REUSING a dead number at or below
-      // purged_through, which every read would treat as already applied
-      val (_, _, purged) = headState(spark, root)
-      val v = math.max(
-        CommittedVersions.latest(spark, deletesDir(root)).getOrElse(0L), purged) + 1L
       try {
+        // one tombstone column per store: a second forget on a DIFFERENT
+        // column would write versions whose parquet schema diverges, and
+        // the multi-version union then reads the missing column as NULL —
+        // an anti-join that silently matches nothing, i.e. a lost delete.
+        // Fail loudly instead. The check lives INSIDE the retried block: a
+        // concurrent maintain() can vacuum the version between latest()
+        // and the parquet read, and that vanish must re-read, not fail.
+        CommittedVersions.latest(spark, deletesDir(root)).foreach { v =>
+          val existing = spark.read.parquet(s"${deletesDir(root)}/v=$v").columns.head
+          require(existing == column,
+            s"forget: store $root tombstones key column '$existing'; a delete-set " +
+              s"on '$column' would be silently unreadable alongside it")
+        }
+        // allocation floor: the pointer's purged_through as well as the
+        // latest live tombstone — vacuum deletes every fully-applied
+        // version (keys included), and allocating from the watermark keeps
+        // a post-vacuum forget from REUSING a dead number at or below
+        // purged_through, which every read would treat as already applied
+        val (_, _, purged) = headState(spark, root)
+        val v = math.max(
+          CommittedVersions.latest(spark, deletesDir(root)).getOrElse(0L), purged) + 1L
         CommittedVersions.publishVersion(
           dedup, deletesDir(root), v, "TableMaintenance tombstones")
         return v
       } catch {
-        case e: ConcurrentCommitException =>
+        case e: Throwable if retriableForget(e) =>
           attempt += 1
           if (attempt > maxRetries) throw e
       }
     }
     sys.error("unreachable")
+  }
+
+  /** A forget attempt is retriable when it LOST A RACE, never when it
+    * broke a contract: a rival committed the version number first
+    * (ConcurrentCommitException), or a concurrent maintain() vacuumed the
+    * tombstone version this attempt was reading between latest() and the
+    * parquet read (surfacing as FileNotFound / path-does-not-exist at
+    * plan or execution time, possibly wrapped by Spark). The
+    * column-consistency require is an IllegalArgumentException and stays
+    * fatal. */
+  private def retriableForget(e: Throwable): Boolean = {
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    chain(e).exists {
+      case _: ConcurrentCommitException => true
+      case _: java.io.FileNotFoundException => true
+      case t => Option(t.getMessage).exists(m =>
+        m.contains("Path does not exist") || m.contains("PATH_NOT_FOUND"))
+    }
   }
 
   /** Tombstone versions in (lo, hi], unioned — None when nothing is

@@ -20,12 +20,18 @@ import org.apache.spark.sql.functions._
   * hashed features at 100 TB. Both distributions are add-0.5-smoothed
   * multinomials over buckets.
   *
-  * Scale shape: the two count tables are ≤B rows (metadata), joined and
-  * broadcast; scoring is one map-side broadcast join of the exploded
-  * feature stream plus a per-doc aggregation — no corpus-sized shuffle
-  * except the final groupBy(doc_id). Per-feature log-ratios are quantized
-  * to 10 dp on both engines before the DECIMAL(25,10) exact sum (the
-  * decSumP rule, as in [[Perplexity]]).
+  * Scale shape (round 14, single-pass): the exploded feature stream is
+  * built ONCE — target membership rides along as a flag column (no
+  * doc_id join at all) — persisted, and consumed by exactly two readers:
+  * one conditional-count aggregation yielding BOTH distributions' bucket
+  * counts (≤B rows; the totals fold from that table, not a second corpus
+  * scan), and the scoring broadcast-join + groupBy(doc_id). Round 13's
+  * shape re-evaluated the explode five times (tF→p, tF→tp, sF→q, sF→tq,
+  * final join) — 6.45× its bench baseline and five passes over the
+  * tokenized corpus at 100 TB; PlanAuditSpec now pins the single-subtree
+  * shape. Per-feature log-ratios are quantized to 10 dp on both engines
+  * before the DECIMAL(25,10) exact sum (the decSumP rule, as in
+  * [[Perplexity]]).
   */
 object Dsir {
 
@@ -34,43 +40,64 @@ object Dsir {
   /** r4(log_weight) above this selects the doc (0 = more target-like). */
   val SelectThreshold = 0.0
 
-  /** Cross-engine bucket hash: integer mix of the first three md5 hex
-    * chars' ascii codes, mod B. */
-  private def bucketOf(f: Column): Column =
-    ((ascii(substring(md5(f), 1, 1)) * lit(131) + ascii(substring(md5(f), 2, 1)))
-      * lit(131) + ascii(substring(md5(f), 3, 1))) % lit(Buckets)
+  /** Cross-engine bucket hash: integer mix of the first three hex chars'
+    * ascii codes, mod B. Takes the md5 COLUMN (hoisted by the caller to
+    * one evaluation) rather than re-hashing per reference — the old shape
+    * computed md5(f) three times and leaned on codegen subexpression
+    * elimination to save it. */
+  private def bucketOfHash(h: Column): Column =
+    ((ascii(substring(h, 1, 1)) * lit(131) + ascii(substring(h, 2, 1)))
+      * lit(131) + ascii(substring(h, 3, 1))) % lit(Buckets)
 
   /** (doc_id, n_feats, log_weight, is_selected) for every non-target doc. */
   def weights(docs: DataFrame, isTarget: Column): DataFrame = {
-    val toks = docs.select(col("doc_id"), split(trim(col("text")), " ").as("w"))
-    val uni = toks.select(col("doc_id"), explode(col("w")).as("f"))
+    val spark = docs.sparkSession
+    // target membership is a per-doc predicate — carry it as a flag through
+    // the explode instead of joining the feature stream back to a doc_id
+    // list (round 13 paid two joins AND five re-evaluations of this subtree)
+    val toks = docs.select(
+      col("doc_id"), isTarget.as("is_t"), split(trim(col("text")), " ").as("w"))
+    val uni = toks.select(col("doc_id"), col("is_t"), explode(col("w")).as("f"))
     val bi = toks.where(size(col("w")) >= 2)
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), col("is_t"), explode(expr(
         "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))")).as("f"))
-    val feats = uni.unionByName(bi)
-      .select(col("doc_id"), bucketOf(col("f")).as("bucket"))
+    val feats = graft.sqlx.FrameCache.getOrElseUpdate(
+      graft.sqlx.FrameCache.key(spark, "dsir-feats",
+        docs.queryExecution.analyzed.canonicalized.hashCode.toString,
+        isTarget.toString))(
+      uni.unionByName(bi)
+        .select(col("doc_id"), col("is_t"),
+          bucketOfHash(md5(col("f"))).as("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-    val targetIds = docs.where(isTarget).select("doc_id")
-    val tF = feats.join(targetIds, "doc_id")
-    val sF = feats.join(targetIds, Seq("doc_id"), "left_anti")
-    val p = tF.groupBy("bucket").agg(count(lit(1)).as("cp"))
-    val q = sF.groupBy("bucket").agg(count(lit(1)).as("cq"))
-    val tp = tF.agg(count(lit(1)).as("tp"))
-    val tq = sF.agg(count(lit(1)).as("tq"))
+    // ONE corpus-sized aggregation gives both distributions: per-bucket
+    // conditional counts. The ≤B-row result is itself persisted so the
+    // totals fold and the ratio filter both read the tiny table — never a
+    // second aggregation over the corpus
+    val counts = graft.sqlx.FrameCache.getOrElseUpdate(
+      graft.sqlx.FrameCache.key(spark, "dsir-counts",
+        docs.queryExecution.analyzed.canonicalized.hashCode.toString,
+        isTarget.toString))(
+      feats.groupBy("bucket").agg(
+        count(when(col("is_t"), lit(1))).as("cp"),
+        count(when(!col("is_t"), lit(1))).as("cq"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val totals = counts.agg(sum("cp").as("tp"), sum("cq").as("tq"))
 
     // ≤B-row ratio table; buckets unseen in the source are never scored
     val b = lit(Buckets).cast("double")
     val lr = log(
-      ((coalesce(col("cp"), lit(0L)).cast("double") + lit(Smoothing)) /
+      ((col("cp").cast("double") + lit(Smoothing)) /
         (col("tp").cast("double") + lit(Smoothing) * b)) /
         ((col("cq").cast("double") + lit(Smoothing)) /
           (col("tq").cast("double") + lit(Smoothing) * b)))
-    val ratio = q.join(p, Seq("bucket"), "left")
-      .crossJoin(broadcast(tp)).crossJoin(broadcast(tq))
+    val ratio = counts.where(col("cq") > 0)
+      .crossJoin(broadcast(totals))
       .select(col("bucket"), (round(lr, 10) + lit(0.0)).as("lr_q"))
 
     val slw = col("slw")
-    sF.join(broadcast(ratio), "bucket")
+    feats.where(!col("is_t"))
+      .join(broadcast(ratio), "bucket")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"),
         sum(Exact.dec(col("lr_q"))).cast("double").as("slw"))

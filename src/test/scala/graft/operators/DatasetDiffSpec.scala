@@ -60,6 +60,35 @@ class DatasetDiffSpec extends SparkSpec {
     }
   }
 
+  test("NULL payloads: present-with-NULL is not absent, and all-NULL groups sum 0, not NULL") {
+    // k=1 NULL -> NULL stays unchanged (both fingerprint to the '-' token);
+    // k=2 "x" -> NULL is changed (not removed — the KEY is still present);
+    // k=3 exists only in a with a NULL payload: removed with n_chars 0.
+    val a = Seq((1L, None: Option[String]), (2L, Some("x")),
+                (3L, None: Option[String])).toDF("k", "t")
+    val b = Seq((1L, None: Option[String]), (2L, None: Option[String])).toDF("k", "t")
+    val rows = DatasetDiff.diff(a, b, "k", Seq("t"))
+      .select("k", "status", "n_chars").as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows == Map(1L -> (("unchanged", 0L)), 2L -> (("changed", 0L)),
+      3L -> (("removed", 0L))))
+    val sums = DatasetDiff.summary(a, b, "k", Seq("t"))
+      .select("status", "chars_sum").as[(String, Long)].collect().toMap
+    // every status group here is all-NULL-payload: chars_sum must be 0
+    assert(sums == Map("unchanged" -> 0L, "changed" -> 0L, "removed" -> 0L))
+  }
+
+  test("a NULL key fails loudly instead of classifying one document as removed+added") {
+    val a = Seq((Some(1L), "x"), (None: Option[Long], "y")).toDF("k", "t")
+    val b = Seq((Some(1L), "x")).toDF("k", "t")
+    val e = intercept[Exception] {
+      DatasetDiff.diff(a, b, "k", Seq("t")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("NULL")), s"unexpected failure: $e")
+  }
+
   test("the summary's n_chars follows the surviving side") {
     val a = Seq((1L, "aaaa"), (2L, "bb")).toDF("k", "t")
     val b = Seq((2L, "cccccc"), (5L, "d")).toDF("k", "t")

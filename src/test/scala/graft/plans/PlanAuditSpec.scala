@@ -144,6 +144,29 @@ class PlanAuditSpec extends SparkSpec {
     }.isEmpty, "no pending tombstones ⇒ the bare scan, no mask operator")
   }
 
+  test("DSIR: the corpus feature explode is built once — both readers hit the cache") {
+    // round 13's plan re-evaluated the tokenize→explode subtree 5× (6.45×
+    // its bench baseline; five corpus passes at 100 TB). The single-pass
+    // shape keeps every Generate (explode) INSIDE the one persisted feats
+    // build: the executed plan of the output must contain zero Generate
+    // nodes and read the corpus only through InMemoryTableScans.
+    val df = graft.text.Dsir.weights(
+      graft.Tables.documents(spark, sf("sf0.001")), col("doc_id") % 20 >= 18)
+    val plan = executed(df)
+    val gens = allNodes(plan).collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gens.isEmpty,
+      s"tokenize/explode must live only in the cached feats build:\n$plan")
+    val cacheReads = allNodes(plan).collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+    }
+    assert(cacheReads.nonEmpty, s"scoring must read the persisted feats:\n$plan")
+    // and no documents parquet scan survives outside the cache build
+    assert(scans(plan).isEmpty,
+      s"all corpus reads must come from the persisted frames:\n$plan")
+  }
+
   test("no registered query degenerates into a CartesianProduct except declared all-pairs baselines") {
     val allowed = Set("dedup_embedding", "ann_topk") // documented exact all-pairs baselines
     graft.SparkEntry.registry.foreach { case (name, q) =>

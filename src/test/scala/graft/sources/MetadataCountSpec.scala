@@ -24,7 +24,7 @@ class MetadataCountSpec extends SparkSpec {
 
   test("interior files are counted from footers; the total equals the brute scan") {
     val (n, interior, boundary) = StatsManifest.countPruned(spark, dir, mf,
-      Seq(("k", 1500.0, 8500.0)), col("k").between(1500, 8500))
+      Seq(("k", 1500.0, 8500.0)))
     assert(n == 8500 - 1500 + 1)
     assert(interior.nonEmpty, "a clustered layout must yield metadata-countable interiors")
     assert(interior.size + boundary.size < StatsManifest.listFiles(spark, dir).size,
@@ -43,7 +43,7 @@ class MetadataCountSpec extends SparkSpec {
     // every file holds ~1000 rows and one k%997==0 null in v, so a v-box
     // covering a whole file must still classify it boundary
     val (n, interior, _) = StatsManifest.countPruned(spark, dir, mf,
-      Seq(("v", 0.0, 10000.0)), col("v").between(0.0, 10000.0))
+      Seq(("v", 0.0, 10000.0)))
     assert(interior.isEmpty, "files with nulls in the predicate column are never interior")
     assert(n == spark.read.parquet(dir).where(col("v").between(0.0, 10000.0)).count())
   }
@@ -51,7 +51,7 @@ class MetadataCountSpec extends SparkSpec {
   test("a file missing from the manifest is conservatively boundary, never interior") {
     val partial = mf.where(col("file") =!= StatsManifest.listFiles(spark, dir).head)
     val (n, interior, boundary) = StatsManifest.countPruned(spark, dir, partial,
-      Seq(("k", 0.0, 10000.0)), col("k").between(0, 10000))
+      Seq(("k", 0.0, 10000.0)))
     assert(n == 10000)
     assert(boundary.contains(StatsManifest.listFiles(spark, dir).head))
     assert(!interior.contains(StatsManifest.listFiles(spark, dir).head))
@@ -65,7 +65,7 @@ class MetadataCountSpec extends SparkSpec {
       val b = a + rnd.nextInt(6000)
       val (lo, hi) = (a.toDouble, b.toDouble)
       val (n, interior, boundary) = StatsManifest.countPruned(spark, dir, mf,
-        Seq(("k", lo, hi)), col("k").between(lo, hi))
+        Seq(("k", lo, hi)))
       val brute = full.where(col("k").between(lo, hi)).count()
       assert(n == brute, s"box [$lo,$hi] metadata count $n != brute $brute " +
         s"(interior=${interior.size}, boundary=${boundary.size}, case $i)")
@@ -74,7 +74,7 @@ class MetadataCountSpec extends SparkSpec {
 
   test("an all-outside box answers zero with no interior and no scan") {
     val (n, interior, boundary) = StatsManifest.countPruned(spark, dir, mf,
-      Seq(("k", 50000.0, 60000.0)), col("k").between(50000, 60000))
+      Seq(("k", 50000.0, 60000.0)))
     assert(n == 0 && interior.isEmpty && boundary.isEmpty)
   }
 }
