@@ -251,6 +251,18 @@ object IvfPq {
     }
   }
 
+  /** Membership audit of the serving index: the vec_ids currently held in
+    * the committed codes store (with their cells), column-pruned to the
+    * two metadata columns — the "prove document X is no longer served"
+    * read a compliance takedown ends with. Refuses an uncommitted store
+    * like every probe (a mid-mutation index can't witness anything). */
+  def storedIds(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val (fs, marker) = commitMarker(spark, path)
+    require(fs.exists(marker),
+      s"$path has no _index_commit marker: writeIndex did not complete (or is mid-rebuild)")
+    spark.read.parquet(s"$path/codes").select("vec_id", "cell")
+  }
+
   /** Probe a stored index: centroids/codebooks are metadata reads, the
     * probed cells are pushed as a literal IN over the partition column
     * (planning-time pruning, like [[IvfIndex.approxTopKStored]]), ADC

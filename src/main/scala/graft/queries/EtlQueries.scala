@@ -604,6 +604,145 @@ object EtlQueries {
       |WHERE user_id % 23 <> 7
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
 
+  /** The FULL compliance cascade — "forget these documents EVERYWHERE",
+    * one request driving all three derived surfaces a deployment serves
+    * from: the maintained base store (TableMaintenance.forget → maintain
+    * purge), the materialized per-source rollup (MaterializedAgg.retract),
+    * and the ANN serving index (IvfPq.deleteFromIndex on the same ids).
+    * The registered audit reads each surface back independently —
+    * surviving per-source doc/char rollups from store and view, and the
+    * serving index's actual membership (IvfPq.storedIds: count + id-sum of
+    * the vec_ids still in the committed codes) — against ONE oracle
+    * computing the same three projections from raw-minus-forgotten. A
+    * surface the request missed, a retraction that drifted, or a delete
+    * that left (or dropped) a vector breaks the hash. The per-surface
+    * mechanics (tombstone masking, decimal-exact subtraction, cell-pruned
+    * code rewrites, probe correctness post-delete) each keep their own
+    * query/spec (`events_forget`, `mv_delete_refresh`, `ann_forget`);
+    * this row witnesses the COMPOSITION. */
+  private val forgetCascadeFull = Q(
+    (s, d) => {
+      val tag = Integer.toHexString(d.hashCode)
+      val root = s"${sys.props("java.io.tmpdir")}/graft-forget-full-$tag"
+      val fsys = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+      val docs = graft.Tables.documents(s, d).select("doc_id", "source", "n_chars")
+      val emb = graft.Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      // stage the three serving surfaces from the same corpus
+      docs.repartition(4)
+        .write.parquet(graft.sources.TableMaintenance.dataPath(s"$root/store", 1L))
+      graft.sources.TableMaintenance.initGen(
+        s, s"$root/store", Seq("doc_id"), Seq("doc_id"))
+      graft.etl.MaterializedAgg.writeInit(docs, Seq("source"), "n_chars", s"$root/mv")
+      graft.ann.IvfPq.writeIndex(emb, s"$root/index", dim = 64)
+      // ONE takedown request: documents (= vectors) with id % 23 = 7
+      val gone = col("doc_id") % 23 === 7
+      graft.sources.TableMaintenance.forget(
+        s, s"$root/store", "doc_id", docs.where(gone).select("doc_id"))
+      graft.sources.TableMaintenance.maintain(
+        s, s"$root/store", "doc_id", 50000L, Seq("doc_id"), Seq("doc_id"))
+      graft.etl.MaterializedAgg.retract(
+        s, s"$root/mv", docs.where(gone), docs.where(!gone), Seq("source"), "n_chars")
+      graft.ann.IvfPq.deleteFromIndex(
+        s, s"$root/index", emb.where(col("vec_id") % 23 === 7).select("vec_id"),
+        incrementId = 1L)
+      // independent read-back of every surface
+      val fromStore = graft.sources.TableMaintenance.readCurrent(s, s"$root/store")
+        .groupBy(col("source").as("grp"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("payload_sum"))
+        .withColumn("surface", lit("store"))
+      val fromMv = graft.etl.MaterializedAgg.read(s, s"$root/mv", Seq("source"))
+        .select(col("source").as("grp"), col("n_rows"),
+          col("value_sum").cast("long").as("payload_sum"))
+        .withColumn("surface", lit("view"))
+      val fromIndex = graft.ann.IvfPq.storedIds(s, s"$root/index")
+        .agg(count(lit(1)).as("n_rows"), sum(col("vec_id")).as("payload_sum"))
+        .withColumn("grp", lit("_index"))
+        .withColumn("surface", lit("index"))
+      fromStore.unionByName(fromMv).unionByName(fromIndex)
+        .select("surface", "grp", "n_rows", "payload_sum")
+        .orderBy("surface", "grp")
+    },
+    """WITH surv AS (SELECT source, n_chars FROM documents WHERE doc_id % 23 <> 7),
+      |st AS (SELECT 'store' AS surface, source AS grp, COUNT(*) AS n_rows,
+      |              CAST(SUM(n_chars) AS BIGINT) AS payload_sum
+      |       FROM surv GROUP BY 2),
+      |vw AS (SELECT 'view' AS surface, source AS grp, COUNT(*) AS n_rows,
+      |              CAST(SUM(n_chars) AS BIGINT) AS payload_sum
+      |       FROM surv GROUP BY 2),
+      |ix AS (SELECT 'index' AS surface, '_index' AS grp, COUNT(*) AS n_rows,
+      |              CAST(SUM(vec_id) AS BIGINT) AS payload_sum
+      |       FROM embeddings WHERE vec_id % 23 <> 7)
+      |SELECT * FROM st UNION ALL SELECT * FROM vw UNION ALL SELECT * FROM ix
+      |ORDER BY 1, 2""".stripMargin)
+
+  /** Registered witness for the optimistic-concurrency protocol
+    * (graft.sources.CommittedVersions — round 13's CAS commit, previously
+    * spec-only): a deterministic conflict REPLAY of the exact two-writer
+    * race ConcurrencySpec runs live. Writers A and B both read head v=1;
+    * A commits v=2 and wins; B's CAS at the SAME version must lose with a
+    * loud ConcurrentCommitException (recorded as the conflict row — if
+    * the CAS ever let both win, the row disappears and the hash breaks);
+    * B then re-reads the head, sees A's commit, and rebases at v=3. The
+    * registered output is the chain READ BACK FROM DISK — version by
+    * version, each payload row-counted from events — plus the loser
+    * marker, so the oracle also witnesses one-winner-per-version: v=2
+    * must hold exactly A's payload, never B's. */
+  private val storeCommitChain = Q(
+    (s, d) => {
+      import s.implicits._
+      val tag = Integer.toHexString(d.hashCode)
+      val base = s"${sys.props("java.io.tmpdir")}/graft-commit-chain-$tag"
+      val root = s"$base/_current"
+      val fsys = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(base), true)
+      val ev = graft.Tables.events(s, d)
+      def payload(writer: String, n: Long) =
+        Seq((writer, n)).toDF("writer", "n").coalesce(1)
+      graft.sources.CommittedVersions.publishVersion(
+        payload("init", 0L), root, 1L, "commit-chain")
+      // both writers read the same head
+      val head = graft.sources.CommittedVersions.latest(s, root).get
+      val nA = ev.where(col("event_id") % 2 === 0).count()
+      val nB = ev.where(col("event_id") % 2 === 1).count()
+      // A commits first and wins v=2
+      graft.sources.CommittedVersions.publishVersion(
+        payload("a", nA), root, head + 1L, "commit-chain")
+      // B's CAS against its (now stale) head MUST lose loudly
+      val conflict =
+        try {
+          graft.sources.CommittedVersions.publishVersion(
+            payload("b", nB), root, head + 1L, "commit-chain")
+          Seq.empty[(Long, String, Long, Boolean)]
+        } catch {
+          case _: graft.sources.ConcurrentCommitException =>
+            Seq((head + 1L, "b", nB, true))
+        }
+      // B re-reads the head (sees A's v=2) and rebases
+      val head2 = graft.sources.CommittedVersions.latest(s, root).get
+      graft.sources.CommittedVersions.publishVersion(
+        payload("b", nB), root, head2 + 1L, "commit-chain")
+      // the committed chain, read back from disk
+      val chain = graft.sources.CommittedVersions.list(s, root).sorted.map { v =>
+        val r = s.read.parquet(s"$root/v=$v").head()
+        (v, r.getString(r.fieldIndex("writer")), r.getLong(r.fieldIndex("n")), false)
+      }
+      (chain ++ conflict).toDF("version", "writer", "n", "conflict")
+        .orderBy("version", "writer")
+    },
+    """WITH ne AS (SELECT CAST(COUNT(*) FILTER (event_id % 2 = 0) AS BIGINT) AS na,
+      |                  CAST(COUNT(*) FILTER (event_id % 2 = 1) AS BIGINT) AS nb
+      |           FROM events)
+      |SELECT CAST(1 AS BIGINT) AS version, 'init' AS writer,
+      |       CAST(0 AS BIGINT) AS n, FALSE AS conflict FROM ne
+      |UNION ALL SELECT 2, 'a', na, FALSE FROM ne
+      |UNION ALL SELECT 2, 'b', nb, TRUE FROM ne
+      |UNION ALL SELECT 3, 'b', nb, FALSE FROM ne
+      |ORDER BY version, writer""".stripMargin)
+
   /** Schema evolution on a mixed-generation parquet store — the contract
     * every long-lived 100 TB table hits the week ingest adds a column:
     * old files lack it, new files carry it, and the store must stay
@@ -884,6 +1023,8 @@ object EtlQueries {
     "events_forget" -> eventsForget,
     "mv_delete_refresh" -> mvDeleteRefresh,
     "forget_cascade" -> forgetCascade,
+    "forget_cascade_full" -> forgetCascadeFull,
+    "store_commit_chain" -> storeCommitChain,
     "pipeline_daily_run" -> pipelineDailyRun,
     "events_schema_evolution" -> eventsSchemaEvolution,
     "mv_incremental_refresh" -> mvIncrementalRefresh,
