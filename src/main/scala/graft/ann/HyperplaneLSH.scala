@@ -27,15 +27,48 @@ import org.apache.spark.sql.functions._
   */
 object HyperplaneLSH {
 
+  /** Expected members per (table, bucket) the adaptive width aims for. */
+  val TargetOccupancy = 8
+  /** Floor on the bucket width — every driver test SF (≤ 2048 vectors)
+    * resolves to exactly this, so the adaptive rule changes nothing the
+    * oracles already pin. */
+  val MinBits = 8
+  /** nearDupPairs drops buckets past this size: at adaptive width a
+    * bucket this hot is a degenerate density spike (e.g. a mass of
+    * zero/identical vectors), and its m²/2 pairs would dominate the whole
+    * join — the same guard (and the same oracle HAVING mirror)
+    * MinHashLSH applies. Unreachable at the driver SFs. */
+  val MaxBucket = 1024
+
+  /** Occupancy-adaptive bucket width: the round-14 scale-stress harness
+    * measured the FIXED 8-bit width going quadratic (exponent 2.06 at
+    * 10×) — 256 buckets per table means occupancy, and therefore the
+    * candidate equi-join, grows linearly-squared with the corpus. Width
+    * grows with log2(N/occupancy), holding expected occupancy (and so
+    * per-bucket pair cost) CONSTANT: total candidates stay O(N·L·B).
+    * The oracle mirrors the same rule in SQL ([[bitsSql]]); float log2
+    * could only disagree across engines when N/occupancy is an exact
+    * power of two AND a libm misrounds — and below 2^MinBits·occupancy
+    * the floor decides, which covers every driver SF. */
+  def adaptiveBits(n: Long): Int =
+    if (n <= 0) MinBits
+    else math.max(MinBits,
+      math.ceil(math.log(n.toDouble / TargetOccupancy) / math.log(2.0)).toInt)
+
+  /** SQL mirror of [[adaptiveBits]] over a corpus relation. */
+  def bitsSql(corpus: String): String =
+    s"(SELECT GREATEST($MinBits, CAST(CEIL(LOG2(COUNT(*) / $TargetOccupancy.0)) AS INTEGER)) FROM $corpus)"
+
   /** DuckDB mirror of the plane construction: a `(tbl, bit, plane)` table
     * for `FROM (SELECT unnest(range($tables)) AS t), (SELECT
     * unnest(range($bits)) AS b)`. Kept beside the Spark builder below so
-    * the two cannot drift. */
-  def planesSql(dim: Int, tables: Int, bits: Int): String =
+    * the two cannot drift. `bits` is a SQL expression so the adaptive
+    * width ([[bitsSql]]) interpolates directly. */
+  def planesSql(dim: Int, tables: Int, bits: String): String =
     s"""SELECT t.t AS tbl, b.b AS bit,
        |  list_transform(generate_series(1, $dim),
        |    i -> CAST(1 - 2 * (ascii(substr(md5(t.t || ':' || b.b || ':' || i), 1, 1)) % 2) AS DOUBLE)) AS plane
-       |FROM (SELECT unnest(range($tables)) AS t) t, (SELECT unnest(range($bits)) AS b) b""".stripMargin
+       |FROM (SELECT unnest(range($tables)) AS t) t, (SELECT unnest(range(CAST($bits AS BIGINT))) AS b) b""".stripMargin
 
   /** (table, bit, plane) rows, planes computed by Spark's md5 — identical
     * on any engine that mirrors the text arithmetic. */
@@ -57,10 +90,13 @@ object HyperplaneLSH {
     * than inline literals — 8k double literals bloat codegen/plan
     * serialization — and each bit is a codegen'd [[graft.functions.DotProduct]]
     * sign; bits assemble into buckets with a hash aggregation. */
-  def buckets(vecs: DataFrame, dim: Int, tables: Int = 16, bits: Int = 8,
+  def buckets(vecs: DataFrame, dim: Int, tables: Int = 16, bits: Int = 0,
               multiProbe: Boolean = true): DataFrame = {
     val spark = vecs.sparkSession
-    val planesDf = this.planesDf(spark, dim, tables, bits)
+    // bits = 0 (default) resolves the occupancy-adaptive width from the
+    // corpus count — a metadata-cheap job next to the L×B bucketing pass
+    val bitsResolved = if (bits > 0) bits else adaptiveBits(vecs.count())
+    val planesDf = this.planesDf(spark, dim, tables, bitsResolved)
     val base = vecs.crossJoin(broadcast(planesDf))
       .select(col("vec_id"), col("table"),
         when(graft.functions.GraftFunctions.dot(spark, col("emb"), col("plane")) > 0.0,
@@ -72,7 +108,7 @@ object HyperplaneLSH {
       // no distinct needed: per (vec_id, table) the base bucket and its
       // `bits` single-bit XOR probes are pairwise distinct by construction
       val probes = base.select(col("vec_id"), col("table"),
-        explode(array((0 until bits).map(b =>
+        explode(array((0 until bitsResolved).map(b =>
           col("bucket").bitwiseXOR(lit(1 << b))): _*)).as("bucket"))
       base.unionByName(probes)
     }
@@ -88,7 +124,15 @@ object HyperplaneLSH {
                    precomputedBuckets: Option[DataFrame] = None): DataFrame = {
     val spark = vecs.sparkSession
     import graft.functions.GraftFunctions.dot
-    val vb = precomputedBuckets.getOrElse(buckets(vecs, dim))
+    val vbAll = precomputedBuckets.getOrElse(buckets(vecs, dim))
+    // hot-bucket guard: at adaptive width a bucket past MaxBucket is a
+    // degenerate density spike whose m²/2 pairs would dominate the join —
+    // it contributes no pairs (broadcast anti-join on the tiny hot list),
+    // mirrored in the oracle via HAVING, exactly like MinHashLSH
+    val hot = vbAll.groupBy("table", "bucket")
+      .agg(count(lit(1)).as("m")).where(col("m") > MaxBucket)
+      .select("table", "bucket")
+    val vb = vbAll.join(broadcast(hot), Seq("table", "bucket"), "left_anti")
     val cand = vb.as("a").join(vb.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -113,9 +157,12 @@ object HyperplaneLSH {
                  precomputedBuckets: Option[DataFrame] = None): DataFrame = {
     val spark = vecs.sparkSession
     import graft.functions.GraftFunctions.dot
-    val vb = precomputedBuckets.getOrElse(buckets(vecs, dim))
+    // the query side MUST hash at the CORPUS's adaptive width — widths
+    // derived from each side's own count would never share a bucket
+    val corpusBits = adaptiveBits(vecs.count())
+    val vb = precomputedBuckets.getOrElse(buckets(vecs, dim, bits = corpusBits))
     val qb = buckets(queries.withColumnRenamed("query_id", "vec_id")
-        .withColumnRenamed("qemb", "emb"), dim, multiProbe = false)
+        .withColumnRenamed("qemb", "emb"), dim, bits = corpusBits, multiProbe = false)
       .withColumnRenamed("vec_id", "query_id")
     val cand = qb.join(vb, Seq("table", "bucket"))
       .where(col("vec_id") =!= col("query_id"))

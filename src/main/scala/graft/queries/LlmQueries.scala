@@ -248,10 +248,16 @@ object LlmQueries {
     * bits summed into per-(vec, table) buckets, and the corpus side's
     * Hamming-1 probe buckets. Produces `e(vec_id, emb)`, `vb` (base
     * buckets) and `vprobe` (base ∪ probes). */
+  // the bucket width replays the occupancy-adaptive rule
+  // (HyperplaneLSH.adaptiveBits / bitsSql): at every driver SF the
+  // MinBits floor decides (≤ 2048 vectors), so width = 8 exactly as
+  // before; at stress scale the width grows so occupancy — and the
+  // candidate join — stays linear (round-14 scale-stress finding)
   private val lshBucketCtes: String =
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
        |pl AS (
-       |${HyperplaneLSH.planesSql(dim = 64, tables = 16, bits = 8)}
+       |${HyperplaneLSH.planesSql(dim = 64, tables = 16,
+                                  bits = HyperplaneLSH.bitsSql("e"))}
        |),
        |vb AS (
        |  SELECT e.vec_id, pl.tbl,
@@ -264,7 +270,7 @@ object LlmQueries {
        |  UNION ALL
        |  SELECT vb.vec_id, vb.tbl,
        |         CAST(xor(vb.bucket, CAST(1 << g.b AS INTEGER)) AS INTEGER) AS bucket
-       |  FROM vb, (SELECT unnest(range(8)) AS b) g
+       |  FROM vb, (SELECT unnest(range(CAST(${HyperplaneLSH.bitsSql("e")} AS BIGINT))) AS b) g
        |)""".stripMargin
 
   // Oracle-green since the Rademacher derandomization: the oracle replays
@@ -275,9 +281,13 @@ object LlmQueries {
         threshold = EmbDedupThreshold, precomputedBuckets = Some(corpusBuckets(s, d)))
       .orderBy("vec_a", "vec_b"),
     s"""WITH $lshBucketCtes,
+       |hotb AS (SELECT tbl, bucket FROM vprobe GROUP BY 1, 2
+       |         HAVING COUNT(*) > ${HyperplaneLSH.MaxBucket}),
+       |vsafe AS (SELECT v.vec_id, v.tbl, v.bucket FROM vprobe v
+       |          ANTI JOIN hotb USING (tbl, bucket)),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-       |  FROM vprobe a JOIN vprobe b
+       |  FROM vsafe a JOIN vsafe b
        |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
        |)
        |SELECT c.vec_a, c.vec_b,

@@ -75,14 +75,15 @@ object TableMaintenance {
     val v = pointerVersions(spark, root).maxOption.getOrElse(
       sys.error(s"no committed generation pointer under $root"))
     val r = spark.read.parquet(s"$root/_current/v=$v").head()
-    // pointer rows committed before the round-13 purge horizon carried only
-    // `gen`; a store is upgraded in place by its next maintain(), so a
-    // missing purged_through reads as 0 (nothing physically purged yet)
-    // rather than throwing on every read path of a pre-existing store
-    val purged = scala.util.Try(r.getLong(r.fieldIndex("purged_through")))
-      .getOrElse(0L)
-    (v, r.getLong(r.fieldIndex("gen")), purged)
+    (v, r.getLong(r.fieldIndex("gen")), purgedThroughOf(r))
   }
+
+  /** Pointer rows committed before the round-13 purge horizon carried only
+    * `gen`; a store is upgraded in place by its next maintain(), so a
+    * missing purged_through reads as 0 (nothing physically purged yet)
+    * rather than throwing on every read path of a pre-existing store. */
+  private def purgedThroughOf(r: org.apache.spark.sql.Row): Long =
+    scala.util.Try(r.getLong(r.fieldIndex("purged_through"))).getOrElse(0L)
 
   /** The committed current generation. */
   def currentGen(spark: SparkSession, root: String): Long = head(spark, root)._2
@@ -195,8 +196,7 @@ object TableMaintenance {
     // [[forget]] allocating above the pointer's own purged_through
     // watermark, which survives any tombstone vacuum.
     val minPurged = pointerVersions(spark, root).map { v =>
-      val r = spark.read.parquet(s"$root/_current/v=$v").head()
-      r.getLong(r.fieldIndex("purged_through"))
+      purgedThroughOf(spark.read.parquet(s"$root/_current/v=$v").head())
     }.minOption.getOrElse(0L)
     val ddir = deletesDir(root)
     CommittedVersions.list(spark, ddir).filter(_ <= minPurged).foreach { v =>

@@ -96,4 +96,22 @@ class IvfPqForgetSpec extends SparkSpec {
     assert(got.count() > 0)
     assert((got.select("vec_id").as[Long].collect().toSet intersect victimIds).isEmpty)
   }
+
+  test("storedIds audits the served membership exactly and refuses an uncommitted store") {
+    // the compliance read behind forget_cascade_full: after a delete, the
+    // committed codes hold precisely base-minus-victims — count AND ids
+    val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-storedids-spec"
+    IvfPq.writeIndex(e, path, dim = 64)
+    val all = e.select("vec_id").as[Long].collect().toSet
+    assert(IvfPq.storedIds(spark, path).select("vec_id").as[Long].collect().toSet == all)
+    val victims = all.filter(_ % 7 == 3)
+    assert(IvfPq.deleteFromIndex(
+      spark, path, victims.toSeq.toDF("vec_id"), incrementId = 1L))
+    assert(IvfPq.storedIds(spark, path).select("vec_id").as[Long].collect().toSet ==
+      all -- victims)
+    // a store mid-mutation (no commit marker) cannot witness anything
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_index_commit"), false)
+    val ex = intercept[IllegalArgumentException] { IvfPq.storedIds(spark, path) }
+    assert(ex.getMessage.contains("_index_commit"))
+  }
 }

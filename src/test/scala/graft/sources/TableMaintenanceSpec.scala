@@ -95,4 +95,34 @@ class TableMaintenanceSpec extends SparkSpec {
       TableMaintenance.readAsOf(spark, root, 999L)
     }
   }
+
+  test("a pre-purge-horizon pointer row (gen only, no purged_through) still reads; maintain upgrades it") {
+    // stores committed before round 13's purge horizon wrote pointer rows
+    // with only `gen`; they must read as purged_through = 0 (nothing
+    // physically purged) instead of throwing on every head resolution,
+    // and the next maintain() writes the full schema in place
+    val r = s"${sys.props("java.io.tmpdir")}/graft-maint-migration-spec"
+    val fs = new org.apache.hadoop.fs.Path(r)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(r), true)
+    (0 until 1000).map(i => (i.toLong, i.toDouble)).toDF("k", "value")
+      .repartition(2).write.parquet(TableMaintenance.dataPath(r, 1L))
+    TableMaintenance.initGen(spark, r, Seq("k"), Seq("k"))
+    // overwrite the pointer with the LEGACY schema at the next version
+    CommittedVersions.publishVersion(
+      Seq(1L).toDF("gen").coalesce(1), s"$r/_current", 2L, "legacy pointer")
+    val (v, gen, purged) = TableMaintenance.headState(spark, r)
+    assert((v, gen, purged) == ((2L, 1L, 0L)),
+      s"legacy pointer must read purged_through = 0, got ($v, $gen, $purged)")
+    assert(TableMaintenance.readCurrent(spark, r).count() == 1000L)
+    // forget + maintain on the legacy store works end to end and writes
+    // the modern pointer schema
+    TableMaintenance.forget(spark, r, "k",
+      spark.range(1000).select(col("id").as("k")).where(col("k") % 10 === 3))
+    assert(TableMaintenance.readCurrent(spark, r).count() == 900L)
+    TableMaintenance.maintain(spark, r, "k", 5000L, Seq("k"), Seq("k"))
+    val (_, _, purged2) = TableMaintenance.headState(spark, r)
+    assert(purged2 > 0L, "maintain must record the purge horizon on the upgraded pointer")
+    assert(TableMaintenance.readCurrent(spark, r).count() == 900L)
+  }
 }
