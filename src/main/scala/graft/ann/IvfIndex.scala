@@ -299,14 +299,17 @@ object IvfIndex {
     * table beside them. A stored probe then reads only the probed cells'
     * files — at 100 TB the probe scan is nProbe/nCells of the index, not a
     * reshuffle of the whole assigned-vector frame per query batch. */
-  def writeIndex(vecs: DataFrame, path: String, nCells: Int = 16,
+  def writeIndex(vecs: DataFrame, path: String, nCells: Int = 0,
                  seed: Long = 42L, maxTrain: Int = 65536): Unit = {
     val spark = vecs.sparkSession
+    // nCells = 0 (default) resolves FAISS's √N serving rule
+    // ([[Adaptive.cellsForServing]]) — 16 at every driver SF
+    val cells = if (nCells > 0) nCells else Adaptive.cellsForServing(vecs.count())
     IndexLedger.acquireMutationLock(spark, path, "IvfIndex.writeIndex")
     try {
       val (fs, marker) = commitMarker(spark, path)
       fs.delete(marker, false)
-      val (assigned, cents) = assign(vecs, nCells, seed, maxTrain)
+      val (assigned, cents) = assign(vecs, cells, seed, maxTrain)
       IndexLedger.reset(spark, path)
       assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/assigned")
       cents.write.mode("overwrite").parquet(s"$path/centroids")

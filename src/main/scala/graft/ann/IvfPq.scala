@@ -75,10 +75,13 @@ object IvfPq {
       new org.apache.hadoop.fs.Path(s"$path/_index_commit"))
 
   def writeIndex(vecs: DataFrame, path: String, dim: Int,
-                 nCells: Int = 16, m: Int = Pq.SubSpaces, codes: Int = Pq.Codes,
+                 nCells: Int = 0, m: Int = Pq.SubSpaces, codes: Int = Pq.Codes,
                  seed: Long = 42L, maxTrain: Int = 65536): Unit = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    // nCells = 0 (default) resolves FAISS's √N serving rule
+    // ([[Adaptive.cellsForServing]]) — 16 at every driver SF
+    val cells = if (nCells > 0) nCells else Adaptive.cellsForServing(vecs.count())
     // crash consistency: the commit marker is dropped FIRST and re-created
     // only after codes AND metadata all landed, so a rebuild that dies
     // between writes can never leave new codes silently paired with stale
@@ -88,7 +91,7 @@ object IvfPq {
       val (fs, marker) = commitMarker(spark, path)
       fs.delete(marker, false)
       IndexLedger.reset(spark, path)
-      val (coarse, cbs) = fitBoth(vecs, dim, nCells, m, codes, seed, maxTrain)
+      val (coarse, cbs) = fitBoth(vecs, dim, cells, m, codes, seed, maxTrain)
       indexRows(vecs, coarse, cbs)
         .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
       coarse.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }

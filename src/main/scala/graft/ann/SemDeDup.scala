@@ -42,9 +42,13 @@ object SemDeDup {
   /** Per-vector verdict: (vec_id, cell, group_id, is_semantic_dup).
     * `group_id` is the component representative (min vec_id); vectors with
     * no in-cell partner above `threshold` form singleton groups. */
-  def dedup(vecs: DataFrame, nCells: Int, threshold: Double): DataFrame = {
+  def dedup(vecs: DataFrame, nCells: Int = 0, threshold: Double): DataFrame = {
     val spark = vecs.sparkSession
-    val (assigned, _) = IvfIndex.assign(vecs, nCells)
+    // nCells = 0 (default) resolves the occupancy-constant pair rule
+    // ([[Adaptive.cellsForPairs]], N/128 — the scaladoc's scaling rule,
+    // now the default): Σ cell² stays linear in N. 16 at every driver SF.
+    val cells = if (nCells > 0) nCells else Adaptive.cellsForPairs(vecs.count())
+    val (assigned, _) = IvfIndex.assign(vecs, cells)
     val a = assigned.select(col("vec_id"), col("emb"), col("cell"),
       sqrt(graft.functions.GraftFunctions.dot(spark, col("emb"), col("emb"))).as("nrm"))
     // in-cell pairs above threshold: equi-join on cell, upper triangle

@@ -41,15 +41,41 @@ object SimHash {
         graft.functions.SimHash64.fingerprint(docs.sparkSession,
           split(trim(col("text")), " ")).as("simhash"))
 
-  /** Pairs within the given Hamming distance, found via 16-bit band buckets. */
-  def nearDuplicates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** Pairs within the given Hamming distance, found via 16-bit band buckets.
+    *
+    * Scale note (round-14 capacity audit): the 4×16 band structure is
+    * FIXED by the pigeonhole guarantee (any pair within Hamming 3 of 64
+    * bits shares one of 4 16-bit bands), so unlike
+    * [[graft.ann.HyperplaneLSH]] the bucket space cannot grow with the
+    * corpus. Past N ≫ 2¹⁶ the band join therefore densifies
+    * quadratically from RANDOM collisions (p = 4·2⁻¹⁶ per pair — the
+    * constant is tiny, the asymptote is real: ~10⁸ random candidates at
+    * 67 M docs). Deployments at that scale either accept `maxBucket`
+    * (drops every pair of a saturated band bucket — recall loss is
+    * possible because a true near-dup is only guaranteed ONE shared
+    * band) or use the capped shingle-based [[MinHashLSH]] path, which is
+    * this engine's primary near-dup operator; the full fix is Manku et
+    * al.'s permuted-prefix sorted-block scheme (WWW 2007), not built
+    * here. The registered `dedup_simhash` query runs uncapped — its
+    * oracle's banded ≡ all-pairs equivalence is exactly the uncapped
+    * guarantee. */
+  def nearDuplicates(docs: DataFrame, maxHamming: Int = 3,
+                     maxBucket: Option[Int] = None): DataFrame = {
     require(maxHamming <= 3, "4 bands of 16 bits guarantee recall only for distance <= 3")
     val fp = fingerprints(docs) // never-null by construction (see above)
-    val banded = fp.select(col("doc_id"), col("simhash"),
+    val bandedAll = fp.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("bucket"))): _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bucket"))
+    val banded = maxBucket match {
+      case None => bandedAll
+      case Some(cap) =>
+        val hot = bandedAll.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("m")).where(col("m") > cap)
+          .select("band", "bucket")
+        bandedAll.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    }
     val hamming = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

@@ -886,8 +886,11 @@ object LlmQueries {
     * resolution (transitive-closure recursive CTE, the dedup_clusters
     * pattern). SemDeDupSpec's planted-duplicate and no-false-positive
     * cross-checks stay. */
+  // the adaptive cell default (Adaptive.cellsForPairs) resolves to the
+  // oracle's k = 16 at every driver SF (≤ 2048 vectors); at stress scale
+  // cells grow ∝N so the in-cell pair bill stays linear (SCALING.md)
   private val dedupSemantic = Q(
-    (s, d) => graft.ann.SemDeDup.dedup(corpusEmb(s, d), nCells = 16,
+    (s, d) => graft.ann.SemDeDup.dedup(corpusEmb(s, d),
       threshold = EmbDedupThreshold).orderBy("vec_id"),
     s"""WITH RECURSIVE ${ivfFitCtes(k = 16, iters = 5, dim = 64, seed = 42L, maxTrain = 65536)},
        |vn AS (SELECT vec_id, emb, cell, sqrt(list_dot_product(emb, emb)) AS nrm FROM asg),
