@@ -45,7 +45,12 @@ object ScaleStress {
     "forget_cascade", "ann_index_autorefit", "table_profile_events",
     "ann_forget", "dedup_semantic", "events_maintenance_cycle",
     "ann_ivfpq", "text_bm25", "dedup_embedding_lsh", "dedup_minhash",
-    "corpus_dsir_weights", "pipeline_daily_run")
+    "corpus_dsir_weights", "pipeline_daily_run",
+    // round-14 broadening: the other pair generators, the BPE train+apply
+    // pair, decontamination, packing, and the zorder/skew write paths
+    "dedup_simhash", "dedup_jaccard", "text_dup_spans", "corpus_bpe_encode",
+    "decontaminate", "corpus_pack", "text_perplexity", "events_zorder",
+    "skew_join_segments")
 
   def synthesize(spark: SparkSession, baseDir: String, outDir: String, k: Int): Unit = {
     val fs = new org.apache.hadoop.fs.Path(outDir)
