@@ -22,6 +22,16 @@ package graft.ann
   *     training, so FAISS's √N rule balances the two — cells ∝ √(N/8),
   *     occupancy grows as √N, and the train sample stays capped at
   *     65 536 regardless.
+  *
+  * Recall caveat for serving: a FIXED nProbe covers nProbe/cells of the
+  * space, so as cells grow the coverage ratio shrinks — on CLUSTERED
+  * corpora (the real-embedding case) that is exactly FAISS's trade and
+  * recall holds at nProbe ≪ cells (IvfClusteredRecallSpec); on isotropic
+  * data (IVF's worst case, like the synthetic test vectors) recall
+  * declines with the ratio, and a deployment tunes (cells, nProbe)
+  * jointly — raising nProbe buys recall at linear probe cost. The
+  * registered queries pin nProbe = 8 for oracle determinism; the
+  * defaults here favor throughput.
   */
 object Adaptive {
 

@@ -103,14 +103,17 @@ object HyperplaneLSH {
           expr("shiftleft(1, bit)")).otherwise(0).as("bitval"))
       .groupBy("vec_id", "table")
       .agg(sum(col("bitval")).cast("int").as("bucket"))
-    if (!multiProbe) base
+    if (!multiProbe) base.withColumn("is_probe", lit(false))
     else {
       // no distinct needed: per (vec_id, table) the base bucket and its
-      // `bits` single-bit XOR probes are pairwise distinct by construction
+      // `bits` single-bit XOR probes are pairwise distinct by construction.
+      // Rows are TAGGED base-vs-probe so consumers can join one-sided
+      // (probed × base) — the round-14 fan-out fix in [[nearDupPairs]]
       val probes = base.select(col("vec_id"), col("table"),
         explode(array((0 until bitsResolved).map(b =>
           col("bucket").bitwiseXOR(lit(1 << b))): _*)).as("bucket"))
-      base.unionByName(probes)
+      base.withColumn("is_probe", lit(false))
+        .unionByName(probes.withColumn("is_probe", lit(true)))
     }
   }
 
@@ -118,8 +121,10 @@ object HyperplaneLSH {
     * (vec_a < vec_b across shared table buckets, multi-probe) + exact cosine
     * re-score ≥ threshold. The scale path for [[Cosine.thresholdPairs]] —
     * cost is O(N·L·B) bucketing + O(bucket collisions) re-score, never
-    * all-pairs; with L=16 tables × 8 bits and Hamming-1 probes on both
-    * sides, pairs at cos ≥ 0.4 are candidates with p > 0.999. */
+    * all-pairs; with L=16 tables and one-sided Hamming-1 probes (probed ×
+    * base — see the candidate join below), pairs at cos ≥ 0.4 across the
+    * 16 tables remain candidates with overwhelming probability
+    * (AdaptiveSpec pins planted-pair recall). */
   def nearDupPairs(vecs: DataFrame, dim: Int, threshold: Double,
                    precomputedBuckets: Option[DataFrame] = None): DataFrame = {
     val spark = vecs.sparkSession
@@ -133,10 +138,19 @@ object HyperplaneLSH {
       .agg(count(lit(1)).as("m")).where(col("m") > MaxBucket)
       .select("table", "bucket")
     val vb = vbAll.join(broadcast(hot), Seq("table", "bucket"), "left_anti")
-    val cand = vb.as("a").join(vb.as("b"),
+    // ONE-SIDED probing (round 14): probed rows join BASE rows only, the
+    // same shape [[approxTopK]] documents — every vector appears on both
+    // sides, so any pair within bucket-Hamming 1 still meets, while the
+    // (bits+1)² two-sided fan-out (which also caught incidental Hamming-2
+    // bucket pairs) drops to (bits+1)×. At 30× corpus the two-sided join
+    // generated ~700 M candidates and spilled past the disk; one-sided is
+    // the linear-constant shape. Pairs normalize via least/greatest since
+    // the sides are now asymmetric.
+    val cand = vb.as("a").join(vb.where(!col("is_probe")).as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"))
       .distinct()
     val vn = vecs.withColumn("nrm", sqrt(dot(spark, col("emb"), col("emb"))))
     val a = vn.select(col("vec_id").as("vec_a"), col("emb").as("ea"), col("nrm").as("na"))

@@ -283,12 +283,15 @@ object LlmQueries {
     s"""WITH $lshBucketCtes,
        |hotb AS (SELECT tbl, bucket FROM vprobe GROUP BY 1, 2
        |         HAVING COUNT(*) > ${HyperplaneLSH.MaxBucket}),
-       |vsafe AS (SELECT v.vec_id, v.tbl, v.bucket FROM vprobe v
-       |          ANTI JOIN hotb USING (tbl, bucket)),
+       |pa AS (SELECT v.vec_id, v.tbl, v.bucket FROM vprobe v
+       |       ANTI JOIN hotb USING (tbl, bucket)),
+       |pb AS (SELECT v.vec_id, v.tbl, v.bucket FROM vb v
+       |       ANTI JOIN hotb USING (tbl, bucket)),
        |cand AS (
-       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-       |  FROM vsafe a JOIN vsafe b
-       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  SELECT DISTINCT LEAST(a.vec_id, b.vec_id) AS vec_a,
+       |                  GREATEST(a.vec_id, b.vec_id) AS vec_b
+       |  FROM pa a JOIN pb b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
        |)
        |SELECT c.vec_a, c.vec_b,
        |       ${cosRndSql("ea.emb", "eb.emb")} AS cosine
