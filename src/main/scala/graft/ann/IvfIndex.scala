@@ -78,7 +78,7 @@ object IvfIndex {
              driverFitMaxCells: Int = DriverFitMaxCells): (DataFrame, DataFrame) = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    val total = vecs.count()
+    val total = graft.sqlx.Counts.of(vecs)
     // ceil: a floor stride of total/maxTrain keeps up to 2*maxTrain-1 rows
     // (e.g. total = 2*maxTrain - 1 -> stride 1 keeps everything)
     val stride = math.max(1L, (total + maxTrain - 1) / maxTrain)
@@ -87,12 +87,24 @@ object IvfIndex {
     val sampleDf = vecs
       .where(pmod(md5Head32(seed), lit(stride)) === 0L)
       .select(col("vec_id"), col("emb"))
-    val centroids =
+    def fit(): Array[Array[Double]] =
       if (nCells <= driverFitMaxCells) {
         val sample = sampleDf.as[(Long, Seq[Double])].collect()
           .map { case (id, x) => (id, x.toArray) }
         lloydExact(sample, nCells, seed, Iters)
       } else fitDistributed(sampleDf, nCells, seed)
+    // Session-memoized quantizer fit: the centroids are a pure function
+    // of (corpus content, nCells, seed, maxTrain) — the dispatch path is
+    // NOT in the key because both paths are bit-identical
+    // (IvfDistributedFitSpec) — so the IVF-family registered queries
+    // (ivf/pq/ivfpq/health/forget/semantic over the same corpus) share
+    // ONE fit per session instead of refitting per query. Non-file
+    // corpora have no collision-proof fingerprint and fit fresh.
+    val centroids = graft.sqlx.PlanFingerprint.of(vecs) match {
+      case Some(fp) =>
+        graft.sqlx.Memo.getOrElseUpdate(s"ivf-fit:$fp:$nCells:$seed:$maxTrain")(fit())
+      case None => fit()
+    }
     val assigned = vecs.select(col("vec_id"), col("emb"),
       graft.functions.NearestCell.nearest(spark, col("emb"), centroids).as("cell"))
     val cents = centroids.zipWithIndex.toSeq
@@ -304,7 +316,8 @@ object IvfIndex {
     val spark = vecs.sparkSession
     // nCells = 0 (default) resolves FAISS's √N serving rule
     // ([[Adaptive.cellsForServing]]) — 16 at every driver SF
-    val cells = if (nCells > 0) nCells else Adaptive.cellsForServing(vecs.count())
+    val cells =
+      if (nCells > 0) nCells else Adaptive.cellsForServing(graft.sqlx.Counts.of(vecs))
     IndexLedger.acquireMutationLock(spark, path, "IvfIndex.writeIndex")
     try {
       val (fs, marker) = commitMarker(spark, path)

@@ -45,9 +45,20 @@ object IvfPq {
                       seed: Long, maxTrain: Int): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     require(nCells <= IvfIndex.DriverFitMaxCells,
       s"single-collect IvfPq fit is for the driver regime (nCells <= ${IvfIndex.DriverFitMaxCells})")
-    val sample = Pq.collectSample(vecs, seed, maxTrain)
-    (IvfIndex.lloydExact(sample, nCells, seed, IvfIndex.Iters),
-      Pq.fitFromSample(sample, dim, m, codes, seed))
+    def build() = {
+      val sample = Pq.collectSample(vecs, seed, maxTrain)
+      (IvfIndex.lloydExact(sample, nCells, seed, IvfIndex.Iters),
+        Pq.fitFromSample(sample, dim, m, codes, seed))
+    }
+    // session-memoized like IvfIndex.assign's coarse fit: both halves are
+    // pure functions of (corpus content, params), so the IVFPQ-family
+    // registered queries share one two-fit per session
+    graft.sqlx.PlanFingerprint.of(vecs) match {
+      case Some(fp) =>
+        graft.sqlx.Memo.getOrElseUpdate(
+          s"ivfpq-fit:$fp:$dim:$nCells:$m:$codes:$seed:$maxTrain")(build())
+      case None => build()
+    }
   }
 
   /** One codegen projection computes the WHOLE index row: coarse cell +
@@ -81,7 +92,8 @@ object IvfPq {
     import spark.implicits._
     // nCells = 0 (default) resolves FAISS's √N serving rule
     // ([[Adaptive.cellsForServing]]) — 16 at every driver SF
-    val cells = if (nCells > 0) nCells else Adaptive.cellsForServing(vecs.count())
+    val cells =
+      if (nCells > 0) nCells else Adaptive.cellsForServing(graft.sqlx.Counts.of(vecs))
     // crash consistency: the commit marker is dropped FIRST and re-created
     // only after codes AND metadata all landed, so a rebuild that dies
     // between writes can never leave new codes silently paired with stale

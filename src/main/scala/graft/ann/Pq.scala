@@ -70,15 +70,23 @@ object Pq {
     * and it is stride-bounded to `maxTrain`). Subspace j fits at seed+j
     * (distinct init orderings; SQL mirror `md5(vec_id || ':' || (seed+j))`). */
   def fit(vecs: DataFrame, dim: Int, m: Int = SubSpaces, codes: Int = Codes,
-          seed: Long = 42L, maxTrain: Int = 65536): Array[Array[Array[Double]]] =
-    fitFromSample(collectSample(vecs, seed, maxTrain), dim, m, codes, seed)
+          seed: Long = 42L, maxTrain: Int = 65536): Array[Array[Array[Double]]] = {
+    // session-memoized like the IVF coarse fit (IvfIndex.assign): the
+    // codebooks are a pure function of (corpus content, params)
+    def build() = fitFromSample(collectSample(vecs, seed, maxTrain), dim, m, codes, seed)
+    graft.sqlx.PlanFingerprint.of(vecs) match {
+      case Some(fp) =>
+        graft.sqlx.Memo.getOrElseUpdate(s"pq-fit:$fp:$dim:$m:$codes:$seed:$maxTrain")(build())
+      case None => build()
+    }
+  }
 
   /** The md5-stride training sample, collected (bounded by maxTrain). */
   private[ann] def collectSample(vecs: DataFrame, seed: Long,
                                  maxTrain: Int): Array[(Long, Array[Double])] = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    val total = vecs.count()
+    val total = graft.sqlx.Counts.of(vecs)
     val stride = math.max(1L, (total + maxTrain - 1) / maxTrain)
     vecs.where(pmod(IvfIndex.md5Head32(seed), lit(stride)) === 0L)
       .select(col("vec_id"), col("emb")).as[(Long, Seq[Double])].collect()

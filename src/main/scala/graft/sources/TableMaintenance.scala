@@ -81,9 +81,20 @@ object TableMaintenance {
   /** Pointer rows committed before the round-13 purge horizon carried only
     * `gen`; a store is upgraded in place by its next maintain(), so a
     * missing purged_through reads as 0 (nothing physically purged yet)
-    * rather than throwing on every read path of a pre-existing store. */
+    * rather than throwing on every read path of a pre-existing store.
+    * ONLY absence is legacy: a row that HAS the field but holds NULL is
+    * corrupt and must fail loudly — reading it as 0 would let forget()'s
+    * allocation floor reuse a dead tombstone version at or below the true
+    * purge horizon after a vacuum, the lost-delete this watermark exists
+    * to prevent (round-14 review finding). */
   private def purgedThroughOf(r: org.apache.spark.sql.Row): Long =
-    scala.util.Try(r.getLong(r.fieldIndex("purged_through"))).getOrElse(0L)
+    if (!r.schema.fieldNames.contains("purged_through")) 0L
+    else {
+      val i = r.fieldIndex("purged_through")
+      require(!r.isNullAt(i),
+        "corrupt generation pointer: purged_through present but NULL")
+      r.getLong(i)
+    }
 
   /** The committed current generation. */
   def currentGen(spark: SparkSession, root: String): Long = head(spark, root)._2

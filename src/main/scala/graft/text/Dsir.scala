@@ -49,6 +49,19 @@ object Dsir {
     ((ascii(substring(h, 1, 1)) * lit(131) + ascii(substring(h, 2, 1)))
       * lit(131) + ascii(substring(h, 3, 1))) % lit(Buckets)
 
+  /** Collision-proof cache key for the per-corpus memoized frames below:
+    * the full 128-bit [[graft.sqlx.PlanFingerprint]] (canonicalized plan
+    * + input-file metadata) when the corpus is file-backed — a 32-bit
+    * plan hashCode (the round-14 shape) is exactly what the
+    * SourceFingerprint scaladoc rejects for cache keys: one collision (or
+    * the same plan over rewritten data) silently serves the wrong
+    * persisted feature frame and therefore wrong DSIR weights. Non-file
+    * corpora key on the plan OBJECT's identity — never shared across
+    * distinct frames, so repeat calls on the SAME frame still memoize. */
+  private def corpusKey(docs: DataFrame): String =
+    graft.sqlx.PlanFingerprint.of(docs).getOrElse(
+      s"local@${System.identityHashCode(docs.queryExecution.analyzed)}")
+
   /** (doc_id, n_feats, log_weight, is_selected) for every non-target doc. */
   def weights(docs: DataFrame, isTarget: Column): DataFrame = {
     val spark = docs.sparkSession
@@ -63,8 +76,7 @@ object Dsir {
         "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))")).as("f"))
     val feats = graft.sqlx.FrameCache.getOrElseUpdate(
       graft.sqlx.FrameCache.key(spark, "dsir-feats",
-        docs.queryExecution.analyzed.canonicalized.hashCode.toString,
-        isTarget.toString))(
+        corpusKey(docs), isTarget.toString))(
       uni.unionByName(bi)
         .select(col("doc_id"), col("is_t"),
           bucketOfHash(md5(col("f"))).as("bucket"))
@@ -76,8 +88,7 @@ object Dsir {
     // second aggregation over the corpus
     val counts = graft.sqlx.FrameCache.getOrElseUpdate(
       graft.sqlx.FrameCache.key(spark, "dsir-counts",
-        docs.queryExecution.analyzed.canonicalized.hashCode.toString,
-        isTarget.toString))(
+        corpusKey(docs), isTarget.toString))(
       feats.groupBy("bucket").agg(
         count(when(col("is_t"), lit(1))).as("cp"),
         count(when(!col("is_t"), lit(1))).as("cq"))

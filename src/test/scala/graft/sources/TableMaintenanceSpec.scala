@@ -125,4 +125,23 @@ class TableMaintenanceSpec extends SparkSpec {
     assert(purged2 > 0L, "maintain must record the purge horizon on the upgraded pointer")
     assert(TableMaintenance.readCurrent(spark, r).count() == 900L)
   }
+
+  test("a pointer with purged_through PRESENT but NULL fails loudly, never reads as 0") {
+    // only ABSENCE is the legacy case; a null in a modern pointer is
+    // corruption — reading it as 0 would let forget()'s allocation floor
+    // reuse a dead tombstone version after a vacuum (lost delete)
+    val r = s"${sys.props("java.io.tmpdir")}/graft-maint-nullptr-spec"
+    val fs = new org.apache.hadoop.fs.Path(r)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(r), true)
+    (0 until 100).map(i => (i.toLong, i.toDouble)).toDF("k", "value")
+      .write.parquet(TableMaintenance.dataPath(r, 1L))
+    TableMaintenance.initGen(spark, r, Seq("k"), Seq("k"))
+    CommittedVersions.publishVersion(
+      Seq((1L, null.asInstanceOf[java.lang.Long])).toDF("gen", "purged_through")
+        .coalesce(1),
+      s"$r/_current", 2L, "corrupt pointer")
+    val ex = intercept[IllegalArgumentException](TableMaintenance.headState(spark, r))
+    assert(ex.getMessage.contains("purged_through"), ex.getMessage)
+  }
 }
