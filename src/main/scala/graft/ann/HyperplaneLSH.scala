@@ -40,6 +40,19 @@ object HyperplaneLSH {
     * MinHashLSH applies. Unreachable at the driver SFs. */
   val MaxBucket = 1024
 
+  /** Ceiling on the bucket width: bits index 0..MaxBits−1, so every
+    * `shiftleft(1, bit)` and the summed bucket stay inside a SIGNED
+    * 32-bit int (max bit index 30 ⇒ bucket ≤ 2³¹−1). Without the cap,
+    * adaptiveBits(n > ~17B vectors) would pick widths whose shifts
+    * Spark masks mod 32 and whose sums wrap the int cast — buckets
+    * silently ALIAS, reintroducing the quadratic candidate blow-up the
+    * adaptive rule exists to prevent, and diverging from the DuckDB
+    * mirror's `1 << b` arithmetic (round-14 review finding). Past the
+    * cap (2³¹ buckets/table × 16 tables) occupancy grows with N again —
+    * at that corpus size the cell-routed path ([[EmbeddingNearDup]]) is
+    * the documented dedup plan anyway. */
+  val MaxBits = 31
+
   /** Occupancy-adaptive bucket width: the round-14 scale-stress harness
     * measured the FIXED 8-bit width going quadratic (exponent 2.06 at
     * 10×) — 256 buckets per table means occupancy, and therefore the
@@ -49,15 +62,23 @@ object HyperplaneLSH {
     * The oracle mirrors the same rule in SQL ([[bitsSql]]); float log2
     * could only disagree across engines when N/occupancy is an exact
     * power of two AND a libm misrounds — and below 2^MinBits·occupancy
-    * the floor decides, which covers every driver SF. */
+    * the floor decides, which covers every driver SF. Capped at
+    * [[MaxBits]] so the bucket arithmetic never leaves 32-bit range. */
   def adaptiveBits(n: Long): Int =
     if (n <= 0) MinBits
-    else math.max(MinBits,
-      math.ceil(math.log(n.toDouble / TargetOccupancy) / math.log(2.0)).toInt)
+    else math.min(MaxBits, math.max(MinBits,
+      math.ceil(math.log(n.toDouble / TargetOccupancy) / math.log(2.0)).toInt))
 
   /** SQL mirror of [[adaptiveBits]] over a corpus relation. */
   def bitsSql(corpus: String): String =
-    s"(SELECT GREATEST($MinBits, CAST(CEIL(LOG2(COUNT(*) / $TargetOccupancy.0)) AS INTEGER)) FROM $corpus)"
+    s"(SELECT LEAST($MaxBits, GREATEST($MinBits, CAST(CEIL(LOG2(COUNT(*) / $TargetOccupancy.0)) AS INTEGER))) FROM $corpus)"
+
+  /** A bucket table together with the width it was hashed at. Probe-side
+    * hashing MUST reuse this width — re-deriving it from a count would
+    * silently mis-bucket whenever the precomputed frame was built at any
+    * other width (round-14 review finding), and the count itself is a
+    * full-corpus job the precomputation exists to avoid. */
+  final case class BucketTable(df: DataFrame, bits: Int)
 
   /** DuckDB mirror of the plane construction: a `(tbl, bit, plane)` table
     * for `FROM (SELECT unnest(range($tables)) AS t), (SELECT
@@ -94,8 +115,9 @@ object HyperplaneLSH {
               multiProbe: Boolean = true): DataFrame = {
     val spark = vecs.sparkSession
     // bits = 0 (default) resolves the occupancy-adaptive width from the
-    // corpus count — a metadata-cheap job next to the L×B bucketing pass
-    val bitsResolved = if (bits > 0) bits else adaptiveBits(vecs.count())
+    // (memoized) corpus count — metadata-cheap next to the bucketing pass
+    val bitsResolved =
+      if (bits > 0) bits else adaptiveBits(graft.sqlx.Counts.of(vecs))
     val planesDf = this.planesDf(spark, dim, tables, bitsResolved)
     val base = vecs.crossJoin(broadcast(planesDf))
       .select(col("vec_id"), col("table"),
@@ -117,19 +139,38 @@ object HyperplaneLSH {
     }
   }
 
+  /** [[buckets]] at the adaptive width, returned WITH that width so
+    * downstream probe-side hashing can reuse it ([[BucketTable]]). */
+  def bucketTable(vecs: DataFrame, dim: Int, tables: Int = 16,
+                  multiProbe: Boolean = true): BucketTable = {
+    val bits = adaptiveBits(graft.sqlx.Counts.of(vecs))
+    BucketTable(buckets(vecs, dim, tables, bits, multiProbe), bits)
+  }
+
   /** LSH-bucketed embedding near-dup: bucket equi-join candidate pairs
     * (vec_a < vec_b across shared table buckets, multi-probe) + exact cosine
-    * re-score ≥ threshold. The scale path for [[Cosine.thresholdPairs]] —
-    * cost is O(N·L·B) bucketing + O(bucket collisions) re-score, never
-    * all-pairs; with L=16 tables and one-sided Hamming-1 probes (probed ×
-    * base — see the candidate join below), pairs at cos ≥ 0.4 across the
-    * 16 tables remain candidates with overwhelming probability
-    * (AdaptiveSpec pins planted-pair recall). */
+    * re-score ≥ threshold. Cost is O(N·L·B) bucketing + O(bucket
+    * collisions) re-score, never all-pairs.
+    *
+    * REGIME: sign-LSH holds recall only at HIGH thresholds. Per-bit match
+    * probability is p = 1 − θ/π, so a B-bit table matches with ~p^B and
+    * one-sided Hamming-1 probing lifts that to p^B + B·p^(B−1)(1−p); at
+    * the adaptive width (B grows with log₂ N) recall at a fixed threshold
+    * DECAYS with corpus size — at cos 0.4 it is ~0.92 at B=8 (the
+    * measured 61-of-66 pairs at sf0.001; one-sided probing in round 14
+    * traded the earlier 66 for a (bits+1)× instead of (bits+1)² candidate
+    * bill) but only ~0.3 by B=13. Thresholds below
+    * [[EmbeddingNearDup.LshMinThreshold]] should route through the
+    * k-means-cell path ([[EmbeddingNearDup.pairs]] does exactly that);
+    * this function is the right plan for the high-threshold regime
+    * (cos ≥ 0.6 ⇒ p ≥ 0.70, where 16 tables + probes keep recall ~1
+    * at any adaptive width — AdaptiveSpec pins planted-pair recall at
+    * cos ~0.99 past the width boundary). */
   def nearDupPairs(vecs: DataFrame, dim: Int, threshold: Double,
-                   precomputedBuckets: Option[DataFrame] = None): DataFrame = {
+                   precomputedBuckets: Option[BucketTable] = None): DataFrame = {
     val spark = vecs.sparkSession
     import graft.functions.GraftFunctions.dot
-    val vbAll = precomputedBuckets.getOrElse(buckets(vecs, dim))
+    val vbAll = precomputedBuckets.map(_.df).getOrElse(buckets(vecs, dim))
     // hot-bucket guard: at adaptive width a bucket past MaxBucket is a
     // degenerate density spike whose m²/2 pairs would dominate the join —
     // it contributes no pairs (broadcast anti-join on the tiny hot list),
@@ -168,13 +209,17 @@ object HyperplaneLSH {
     * probing reaches every neighbour within Hamming 1 without the 9×9
     * candidate fan-out of probing both sides. */
   def approxTopK(vecs: DataFrame, queries: DataFrame, dim: Int, k: Int,
-                 precomputedBuckets: Option[DataFrame] = None): DataFrame = {
+                 precomputedBuckets: Option[BucketTable] = None): DataFrame = {
     val spark = vecs.sparkSession
     import graft.functions.GraftFunctions.dot
-    // the query side MUST hash at the CORPUS's adaptive width — widths
-    // derived from each side's own count would never share a bucket
-    val corpusBits = adaptiveBits(vecs.count())
-    val vb = precomputedBuckets.getOrElse(buckets(vecs, dim, bits = corpusBits))
+    // the query side MUST hash at the CORPUS's width — widths derived
+    // from each side's own count would never share a bucket. A supplied
+    // bucket table CARRIES its width (and skips the corpus count job);
+    // only a fresh build derives it from the (memoized) count.
+    val corpusBits = precomputedBuckets.map(_.bits)
+      .getOrElse(adaptiveBits(graft.sqlx.Counts.of(vecs)))
+    val vb = precomputedBuckets.map(_.df)
+      .getOrElse(buckets(vecs, dim, bits = corpusBits))
     val qb = buckets(queries.withColumnRenamed("query_id", "vec_id")
         .withColumnRenamed("qemb", "emb"), dim, bits = corpusBits, multiProbe = false)
       .withColumnRenamed("vec_id", "query_id")

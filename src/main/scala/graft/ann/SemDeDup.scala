@@ -39,30 +39,51 @@ import org.apache.spark.sql.functions._
   */
 object SemDeDup {
 
+  /** In-cell candidate pairs scored exactly: (vec_a, vec_b, cosine) for
+    * every same-cell pair with round(cosine, 6) ≥ threshold, vec_a <
+    * vec_b. This is the pair-generation half of [[dedup]] — and the
+    * LOW-threshold embedding near-dup plan [[EmbeddingNearDup]] routes
+    * to: the k-means cells keep the candidate bill O(Σ cell²) = O(N) at
+    * occupancy-constant cell counts regardless of the threshold, where
+    * sign-LSH's per-table match probability (p = 1 − θ/π per bit)
+    * collapses as the adaptive width grows. Recall is the cell-split
+    * trade (a near-dup pair landing in two cells is missed) —
+    * deterministic and oracle-replayable via the md5-derandomized fit. */
+  def cellPairs(vecs: DataFrame, nCells: Int = 0, threshold: Double): DataFrame = {
+    val spark = vecs.sparkSession
+    // nCells = 0 (default) resolves the occupancy-constant pair rule
+    // ([[Adaptive.cellsForPairs]], N/128 — the scaladoc's scaling rule,
+    // now the default): Σ cell² stays linear in N. 16 at every driver SF.
+    val cells =
+      if (nCells > 0) nCells else Adaptive.cellsForPairs(graft.sqlx.Counts.of(vecs))
+    val (assigned, _) = IvfIndex.assign(vecs, cells)
+    val a = assigned.select(col("vec_id"), col("emb"), col("cell"),
+      sqrt(graft.functions.GraftFunctions.dot(spark, col("emb"), col("emb"))).as("nrm"))
+    // in-cell pairs above threshold: equi-join on cell, upper triangle
+    val l = a.select(col("cell"), col("vec_id").as("vec_a"),
+      col("emb").as("ea"), col("nrm").as("na"))
+    val r = a.select(col("cell"), col("vec_id").as("vec_b"),
+      col("emb").as("eb"), col("nrm").as("nb"))
+    l.join(r, Seq("cell")).where(col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        round(when(col("na") =!= 0.0 && col("nb") =!= 0.0,
+          graft.functions.GraftFunctions.dot(spark, col("ea"), col("eb")) /
+            (col("na") * col("nb"))), 6))
+      .where(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
   /** Per-vector verdict: (vec_id, cell, group_id, is_semantic_dup).
     * `group_id` is the component representative (min vec_id); vectors with
     * no in-cell partner above `threshold` form singleton groups. */
   def dedup(vecs: DataFrame, nCells: Int = 0, threshold: Double): DataFrame = {
     val spark = vecs.sparkSession
-    // nCells = 0 (default) resolves the occupancy-constant pair rule
-    // ([[Adaptive.cellsForPairs]], N/128 — the scaladoc's scaling rule,
-    // now the default): Σ cell² stays linear in N. 16 at every driver SF.
-    val cells = if (nCells > 0) nCells else Adaptive.cellsForPairs(vecs.count())
+    val cells =
+      if (nCells > 0) nCells else Adaptive.cellsForPairs(graft.sqlx.Counts.of(vecs))
     val (assigned, _) = IvfIndex.assign(vecs, cells)
-    val a = assigned.select(col("vec_id"), col("emb"), col("cell"),
-      sqrt(graft.functions.GraftFunctions.dot(spark, col("emb"), col("emb"))).as("nrm"))
-    // in-cell pairs above threshold: equi-join on cell, upper triangle
-    val l = a.select(col("cell"), col("vec_id").as("va"),
-      col("emb").as("ea"), col("nrm").as("na"))
-    val r = a.select(col("cell"), col("vec_id").as("vb"),
-      col("emb").as("eb"), col("nrm").as("nb"))
-    val pairs = l.join(r, Seq("cell")).where(col("va") < col("vb"))
-      .withColumn("cosine",
-        when(col("na") =!= 0.0 && col("nb") =!= 0.0,
-          graft.functions.GraftFunctions.dot(spark, col("ea"), col("eb")) /
-            (col("na") * col("nb"))))
-      .where(round(col("cosine"), 6) >= threshold)
-      .select(col("va").as("src"), col("vb").as("dst"))
+    val a = assigned.select(col("vec_id"), col("cell"))
+    val pairs = cellPairs(vecs, cells, threshold)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
     val comps = graft.dedup.ConnectedComponents.components(pairs)
       .withColumnRenamed("node", "vec_id")
       .withColumnRenamed("component", "group_id")

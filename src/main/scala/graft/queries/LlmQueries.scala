@@ -237,11 +237,19 @@ object LlmQueries {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
 
   /** Memoized + persisted corpus bucket table per (session, dir): ann_lsh
-    * and dedup_embedding_lsh share one O(N·L·B) bucketing pass. */
-  private def corpusBuckets(s: org.apache.spark.sql.SparkSession, d: String) =
-    graft.sqlx.FrameCache.getOrElseUpdate(graft.sqlx.FrameCache.key(s, "buckets", d))(
-      HyperplaneLSH.buckets(corpusEmb(s, d), dim = 64)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    * and dedup_embedding_lsh_hi share one O(N·L·B) bucketing pass. The
+    * memo carries the table WITH the width it was hashed at
+    * (HyperplaneLSH.BucketTable) so probe-side hashing reuses it instead
+    * of re-deriving from a count (round-14 review finding); the frame
+    * itself persists through FrameCache so clear() still unpersists it. */
+  private def corpusBuckets(s: org.apache.spark.sql.SparkSession,
+                            d: String): HyperplaneLSH.BucketTable =
+    graft.sqlx.Memo.getOrElseUpdate(graft.sqlx.FrameCache.key(s, "buckets-bt", d)) {
+      val bt = HyperplaneLSH.bucketTable(corpusEmb(s, d), dim = 64)
+      bt.copy(df = graft.sqlx.FrameCache.getOrElseUpdate(
+        graft.sqlx.FrameCache.key(s, "buckets", d))(
+        bt.df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+    }
 
   /** Shared oracle CTEs replaying the hyperplane LSH bucketing: md5 ±1
     * planes (HyperplaneLSH.planesSql — the Spark builder's mirror), sign
@@ -253,8 +261,9 @@ object LlmQueries {
   // MinBits floor decides (≤ 2048 vectors), so width = 8 exactly as
   // before; at stress scale the width grows so occupancy — and the
   // candidate join — stays linear (round-14 scale-stress finding)
-  private val lshBucketCtes: String =
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+  private def lshBucketCtes(
+      corpusSql: String = "SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings"): String =
+    s"""e AS ($corpusSql),
        |pl AS (
        |${HyperplaneLSH.planesSql(dim = 64, tables = 16,
                                   bits = HyperplaneLSH.bitsSql("e"))}
@@ -273,14 +282,52 @@ object LlmQueries {
        |  FROM vb, (SELECT unnest(range(CAST(${HyperplaneLSH.bitsSql("e")} AS BIGINT))) AS b) g
        |)""".stripMargin
 
-  // Oracle-green since the Rademacher derandomization: the oracle replays
-  // planes, sign buckets, Hamming-1 probes, the candidate join and the
-  // exact rescore bit-for-bit, so even the LSH miss pattern matches.
+  /** Embedding near-dup at the REGISTERED (low, 0.4) threshold — routed
+    * by graft.ann.EmbeddingNearDup to the k-means-cell plan: sign-LSH's
+    * per-table hit rate at cos 0.4 decays with the adaptive width (30×
+    * scale exponent 1.43 and collapsing recall in round 14's harness),
+    * while the occupancy-constant cells keep the candidate bill O(N) at
+    * any threshold (exponent 0.51 — the SemDeDup scale shape). The
+    * oracle replays the md5-derandomized k-means fit (ivfFitCtes — the
+    * dedup_semantic CTEs) and the in-cell pair rescore bit-for-bit. The
+    * sign-LSH regime keeps its own registered pair query below
+    * (`dedup_embedding_lsh_hi`) plus the top-k path (`ann_lsh`). */
   private val dedupEmbeddingLsh = Q(
-    (s, d) => HyperplaneLSH.nearDupPairs(corpusEmb(s, d), dim = 64,
-        threshold = EmbDedupThreshold, precomputedBuckets = Some(corpusBuckets(s, d)))
+    (s, d) => graft.ann.EmbeddingNearDup.pairs(corpusEmb(s, d), dim = 64,
+        threshold = EmbDedupThreshold)
       .orderBy("vec_a", "vec_b"),
-    s"""WITH $lshBucketCtes,
+    s"""WITH ${ivfFitCtes(k = 16, iters = 5, dim = 64, seed = 42L, maxTrain = 65536)},
+       |vn AS (SELECT vec_id, emb, cell FROM asg)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       ${cosRndSql("a.emb", "b.emb")} AS cosine
+       |FROM vn a JOIN vn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |WHERE ${cosRndSql("a.emb", "b.emb")} >= $EmbDedupThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin)
+
+  /** The sign-LSH pair regime, exercised where it is the RIGHT plan: a
+    * re-ingested shard (every vec_id % 37 = 5 vector re-arrives under a
+    * shifted id — the dedup_incremental convention applied to embeddings)
+    * deduped at cos ≥ 0.9. Here p_bit ≥ 0.9, so 16 tables + Hamming-1
+    * probes hold recall ~1 at any adaptive width — and the union corpus
+    * (2 054 vectors at sf0.1) tips the occupancy-adaptive width OFF its
+    * floor (9 bits), so the width rule itself is oracle-pinned at a
+    * driver SF, not just in the stress harness. The oracle replays
+    * planes, sign buckets, probes, the one-sided candidate join, the
+    * hot-bucket guard and the exact rescore bit-for-bit. */
+  private val reingestCorpusSql: String =
+    """SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, embedding::DOUBLE[] AS emb FROM embeddings
+      |  WHERE vec_id % 37 = 5""".stripMargin
+  private val dedupEmbeddingLshHi = Q(
+    (s, d) => {
+      val e = corpusEmb(s, d)
+      val corpus = e.unionByName(e.where(col("vec_id") % 37 === 5)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("emb")))
+      graft.ann.EmbeddingNearDup.pairs(corpus, dim = 64, threshold = 0.9)
+        .orderBy("vec_a", "vec_b")
+    },
+    s"""WITH ${lshBucketCtes(reingestCorpusSql)},
        |hotb AS (SELECT tbl, bucket FROM vprobe GROUP BY 1, 2
        |         HAVING COUNT(*) > ${HyperplaneLSH.MaxBucket}),
        |pa AS (SELECT v.vec_id, v.tbl, v.bucket FROM vprobe v
@@ -296,7 +343,7 @@ object LlmQueries {
        |SELECT c.vec_a, c.vec_b,
        |       ${cosRndSql("ea.emb", "eb.emb")} AS cosine
        |FROM cand c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b
-       |WHERE ${cosRndSql("ea.emb", "eb.emb")} >= $EmbDedupThreshold
+       |WHERE ${cosRndSql("ea.emb", "eb.emb")} >= 0.9
        |ORDER BY vec_a, vec_b""".stripMargin)
 
   private val annLsh = Q(
@@ -307,7 +354,7 @@ object LlmQueries {
       HyperplaneLSH.approxTopK(e, q, dim = 64, k = 10,
         precomputedBuckets = Some(corpusBuckets(s, d))).orderBy("query_id", "rank")
     },
-    s"""WITH $lshBucketCtes,
+    s"""WITH ${lshBucketCtes()},
        |q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id % 100 = 0),
        |qb AS (
        |  SELECT q.query_id, pl.tbl,
@@ -732,13 +779,11 @@ object LlmQueries {
           org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(dir.toString)
-      val sq = stream.writeStream
+      graft.streaming.Drain.availableNow(stream.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
           graft.ann.IvfPq.appendToIndex(batch.sparkSession, path, batch, incrementId = id + 1)
           ()
-        }
-        .start()
-      try sq.processAllAvailable() finally sq.stop()
+        })
       graft.ann.IvfPq.approxTopKStored(s, path, e, q, k = 10, dim = 64)
         .orderBy("query_id", "rank")
     },
@@ -1847,6 +1892,7 @@ object LlmQueries {
     "stream_ann_ingest" -> streamAnnIngest,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
+    "dedup_embedding_lsh_hi" -> dedupEmbeddingLshHi,
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
     "text_tokens" -> textTokens,

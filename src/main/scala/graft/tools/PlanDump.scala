@@ -20,7 +20,8 @@ object PlanDump {
       "sig_ema_crossover" -> "signals: filter + lag windows over the (cached) feature table",
       "fund_balance_sheet" -> "two scan-side aggs + broadcast customer join + window pass",
       "dedup_minhash" -> "banded bucket equi-join + candidate-restricted exact verify, no cartesian",
-      "dedup_embedding_lsh" -> "hyperplane bucket join + exact cosine re-score, no nested loop",
+      "dedup_embedding_lsh" -> "cell-routed (low threshold): k-means cell equi-join + exact cosine re-score, no nested loop",
+      "dedup_embedding_lsh_hi" -> "sign-LSH regime: hyperplane bucket join + exact cosine re-score, no nested loop",
       "ann_topk" -> "broadcast query side + codegen graft_dot, top-k window",
       "fund_quality_scores" -> "distributed exact quantile: no single-partition window",
       "watermark_incremental_features" -> "stale-symbol semi-join gates the event scan",

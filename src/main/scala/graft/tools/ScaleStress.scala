@@ -50,7 +50,11 @@ object ScaleStress {
     // pair, decontamination, packing, and the zorder/skew write paths
     "dedup_simhash", "dedup_jaccard", "text_dup_spans", "corpus_bpe_encode",
     "decontaminate", "corpus_pack", "text_perplexity", "events_zorder",
-    "skew_join_segments")
+    "skew_join_segments",
+    // round 15: the sign-LSH pair regime kept its own registered query
+    // after the low-threshold re-route — measure it where it claims to
+    // scale (high threshold, re-ingested-shard corpus)
+    "dedup_embedding_lsh_hi")
 
   def synthesize(spark: SparkSession, baseDir: String, outDir: String, k: Int): Unit = {
     val fs = new org.apache.hadoop.fs.Path(outDir)

@@ -30,6 +30,42 @@ class AdaptiveSpec extends SparkSpec {
       assert(occ(n) <= 2 * HyperplaneLSH.TargetOccupancy, s"occupancy at n=$n is ${occ(n)}")
   }
 
+  test("bucket width caps at 31 bits so int bucket arithmetic never wraps") {
+    // uncapped, n > ~17B picks widths whose shiftleft(1, bit) Spark masks
+    // mod 32 and whose int-cast sum wraps — buckets would silently alias
+    assert(HyperplaneLSH.MaxBits == 31)
+    assert(HyperplaneLSH.adaptiveBits(Long.MaxValue) == 31)
+    assert(HyperplaneLSH.adaptiveBits(20_000_000_000L) == 31) // ~36 uncapped
+    // the SQL mirror carries the same cap
+    assert(HyperplaneLSH.bitsSql("e").contains(s"LEAST(${HyperplaneLSH.MaxBits}"))
+    // max bit index 30: shift and bucket stay inside a signed 32-bit int
+    assert((1 << (HyperplaneLSH.MaxBits - 1)) > 0)
+  }
+
+  test("EmbeddingNearDup routes by regime and the cell branch keeps planted recall") {
+    // low threshold -> k-means cells (vec_a/vec_b/cosine contract shared)
+    val rnd = new scala.util.Random(20260816L)
+    val base = (0 until 1500).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian())))
+    val planted = (0 until 25).map { i =>
+      val (id, v) = base(i * 11)
+      (id + 100000L, v.map(x => x + 0.05 * rnd.nextGaussian()))
+    }
+    val vecs = (base ++ planted).toDF("vec_id", "emb")
+    val cellPairs = EmbeddingNearDup.pairs(vecs, dim = 64, threshold = 0.4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val expected = (0 until 25).map(i => (base(i * 11)._1, base(i * 11)._1 + 100000L)).toSet
+    // near-identical vectors (cos ~0.99) almost always share a k-means
+    // cell, but a pair sitting ON a Voronoi boundary can still split —
+    // that is the documented SemDeDup trade, so the pin is high recall,
+    // not perfection (this seed: 24/25, the miss straddles a boundary)
+    val cellRecall = expected.count(cellPairs.contains).toDouble / expected.size
+    assert(cellRecall >= 0.9, s"cell recall $cellRecall; missing ${expected -- cellPairs}")
+    // high threshold -> sign-LSH branch (same pairs for planted dups)
+    val lshPairs = EmbeddingNearDup.pairs(vecs, dim = 64, threshold = 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(expected.subsetOf(lshPairs), s"missing planted (lsh): ${expected -- lshPairs}")
+  }
+
   test("adaptive width keeps planted near-dup recall on a corpus past the boundary") {
     // 6000 vectors -> adaptiveBits = 10 (four times the buckets of the
     // fixed width); 30 planted pairs at cosine ~0.98 must all surface
