@@ -164,7 +164,9 @@ object StreamingBatchQueries {
     * explicit schema + the same ts normalization as the batch reader,
     * micro-batched via maxFilesPerTrigger) through the production windowed
     * aggregation (EventAggregates.windowedCounts), drain it into a memory
-    * sink with processAllAvailable, and return the sink table. The oracle
+    * sink with a self-terminating AvailableNow run (graft.streaming.Drain
+    * — no idle trigger polling for host load to stretch), and return the
+    * sink table. The oracle
     * is the batch aggregation over the same rows — stream ≡ batch is
     * exactly the Structured Streaming contract (FileStreamSpec asserts it
     * per-row too). approx_users (HLL++) is projected out: deterministic,
@@ -181,12 +183,10 @@ object StreamingBatchQueries {
         dir.resolve("events.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       val qname = s"stream_file_source_${memSinkId.incrementAndGet()}"
-      val q = graft.streaming.EventAggregates
+      graft.streaming.Drain.availableNow(graft.streaming.EventAggregates
         .windowedCounts(Tables.eventsStream(s, dir.toString))
         .writeStream.format("memory").queryName(qname)
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
-        .start()
-      try q.processAllAvailable() finally q.stop()
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()))
       s.table(qname)
         .select(unix_micros(col("window_start")).as("window_start_us"),
           unix_micros(col("window_end")).as("window_end_us"),
@@ -272,12 +272,10 @@ object StreamingBatchQueries {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val q = pairs(graft.streaming.StreamNearDup.bandedDocs(
+      graft.streaming.Drain.availableNow(pairs(graft.streaming.StreamNearDup.bandedDocs(
           Tables.documentsStream(s, dir.toString, maxFilesPerTrigger = 4)))
         .writeStream.format("memory").queryName(qname)
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-        .start()
-      try q.processAllAvailable() finally q.stop()
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()))
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     graft.dedup.Jaccard.pairsForCandidates(
         graft.dedup.Jaccard.cachedShingles(s, d),
@@ -363,10 +361,8 @@ object StreamingBatchQueries {
         .withColumn("success_probability", round(col("success_probability"), 6))
         .where(col("success_probability") >= RecommendQueries.ProbabilityFloor)
         .select("symbol_id", "date", "success_probability")
-      val q = scored.writeStream.format("memory").queryName(qname)
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.Drain.availableNow(scored.writeStream.format("memory").queryName(qname)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()))
       s.table(qname).orderBy("symbol_id", "date")
     }) { (s, d) =>
     val margin = graft.ml.GbtSql.marginSql(
@@ -416,15 +412,13 @@ object StreamingBatchQueries {
       graft.etl.MaterializedAgg.writeInit(
         ev.where(col("event_id") % 4 === 0).withColumn("date", col("ts").cast("date")),
         keys, "value", root)
-      val q = Tables.eventsStream(s, dir.toString)
+      graft.streaming.Drain.availableNow(Tables.eventsStream(s, dir.toString)
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
           graft.etl.MaterializedAgg.refreshOnce(batch.sparkSession, root, id,
             batch.withColumn("date", col("ts").cast("date")), keys, "value")
           ()
-        }
-        .start()
-      try q.processAllAvailable() finally q.stop()
+        })
       graft.etl.MaterializedAgg.read(s, root, keys).orderBy("event_type", "date")
     },
     EtlQueries.mvEventsRollupSql)
@@ -458,15 +452,13 @@ object StreamingBatchQueries {
       graft.etl.MaterializedAgg.writeInit(
         ev.withColumn("date", col("ts").cast("date")), keys, "value", root)
       val remaining = ev.where(!gone).withColumn("date", col("ts").cast("date"))
-      val q = Tables.eventsStream(s, dir.toString)
+      graft.streaming.Drain.availableNow(Tables.eventsStream(s, dir.toString)
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
           graft.etl.MaterializedAgg.retractOnce(batch.sparkSession, root, id,
             batch.withColumn("date", col("ts").cast("date")), remaining, keys, "value")
           ()
-        }
-        .start()
-      try q.processAllAvailable() finally q.stop()
+        })
       graft.etl.MaterializedAgg.read(s, root, keys).orderBy("event_type", "date")
     },
     EtlQueries.mvEventsRollupMinusForgottenSql)
