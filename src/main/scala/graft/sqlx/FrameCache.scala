@@ -20,10 +20,14 @@ object FrameCache {
   def getOrElseUpdate(k: String)(build: => DataFrame): DataFrame =
     frames.getOrElseUpdate(k, build)
 
-  /** Unpersist every cached frame and forget it. */
+  /** Unpersist every cached frame and forget it — and drop the [[Memo]]
+    * values derived from the same corpora (bucket tables holding these
+    * frames, quantizer fits, counts), so one clear() resets the whole
+    * derived-state layer together. */
   def clear(): Unit = {
     frames.values.foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
     frames.clear()
+    Memo.clear()
   }
 
   def size: Int = frames.size
