@@ -77,7 +77,6 @@ object SemDeDup {
     * `group_id` is the component representative (min vec_id); vectors with
     * no in-cell partner above `threshold` form singleton groups. */
   def dedup(vecs: DataFrame, nCells: Int = 0, threshold: Double): DataFrame = {
-    val spark = vecs.sparkSession
     val cells =
       if (nCells > 0) nCells else Adaptive.cellsForPairs(graft.sqlx.Counts.of(vecs))
     val (assigned, _) = IvfIndex.assign(vecs, cells)

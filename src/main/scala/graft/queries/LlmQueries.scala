@@ -236,8 +236,9 @@ object LlmQueries {
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
 
-  /** Memoized + persisted corpus bucket table per (session, dir): ann_lsh
-    * and dedup_embedding_lsh_hi share one O(N·L·B) bucketing pass. The
+  /** Memoized + persisted corpus bucket table per (session, dir) —
+    * ann_lsh's repeat runs (and any future base-corpus LSH consumer)
+    * share one O(N·L·B) bucketing pass. The
     * memo carries the table WITH the width it was hashed at
     * (HyperplaneLSH.BucketTable) so probe-side hashing reuses it instead
     * of re-deriving from a count (round-14 review finding); the frame
