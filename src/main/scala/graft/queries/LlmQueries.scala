@@ -389,7 +389,14 @@ object LlmQueries {
     * iteration by iteration. The squared distance mirrors the JVM's
     * ascending-dimension accumulation as a sequential list dot product
     * over the difference vector. Produces `e(vec_id, emb)`, `c$iters`
-    * (final centroids) and `asg(vec_id, emb, cell)`. */
+    * (final centroids) and `asg(vec_id, emb, cell)`.
+    *
+    * The sharing points (`samp`, every `c$n`, `asg`) are `MATERIALIZED`:
+    * DuckDB inlines plain CTEs per reference, and each `c$n` is referenced
+    * twice (by `a$(n+1)` and `c$(n+1)`) — inlined, the fit chain replays
+    * exponentially (2^iters), which is the docs/ORACLES.md hazard class
+    * that emptied CORRECTNESS_r10/r11. Materializing is the SQL-side
+    * mirror of the Scala `Memo` fit cache. */
   private def ivfFitCtes(k: Int, iters: Int, dim: Int, seed: Long, maxTrain: Int,
                          fitWhere: String = "TRUE",
                          embExpr: String = "embedding::DOUBLE[]"): String = {
@@ -400,12 +407,12 @@ object LlmQueries {
       s"""e AS (SELECT vec_id, $embExpr AS emb FROM embeddings),
          |ef AS (SELECT * FROM e WHERE $fitWhere),
          |st AS (SELECT CAST((COUNT(*) + ${maxTrain - 1}) // $maxTrain AS BIGINT) AS stride FROM ef),
-         |samp AS (
+         |samp AS MATERIALIZED (
          |  SELECT vec_id, emb FROM ef, st
          |  WHERE CAST(('0x' || substr(md5(vec_id || ':$seed'), 1, 8)) AS BIGINT) % st.stride = 0
          |),
          |init AS (SELECT emb, row_number() OVER (ORDER BY md5(vec_id || ':$seed'), vec_id) AS rn FROM samp),
-         |c0 AS (SELECT CAST(rn - 1 AS INTEGER) AS cell, emb AS cent FROM init WHERE rn <= $k)""".stripMargin
+         |c0 AS MATERIALIZED (SELECT CAST(rn - 1 AS INTEGER) AS cell, emb AS cent FROM init WHERE rn <= $k)""".stripMargin
     val iterBlocks = (1 to iters).map { n =>
       s"""a$n AS (
          |  SELECT s.vec_id, s.emb, c.cell, ${d2("s.emb", "c.cent")} AS d2
@@ -422,7 +429,7 @@ object LlmQueries {
          |  FROM b$n, (SELECT unnest(generate_series(1, $dim)) AS i) dims
          |  WHERE rk = 1 GROUP BY 1, 2
          |),
-         |c$n AS (
+         |c$n AS MATERIALIZED (
          |  SELECT p.cell, COALESCE(gl.cent, p.cent) AS cent
          |  FROM c${n - 1} p
          |  LEFT JOIN (SELECT cell, list(m ORDER BY i) AS cent FROM g$n GROUP BY 1) gl USING (cell)
@@ -438,7 +445,7 @@ object LlmQueries {
          |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
          |  FROM fa
          |),
-         |asg AS (SELECT vec_id, emb, cell FROM fb WHERE rk = 1)""".stripMargin
+         |asg AS MATERIALIZED (SELECT vec_id, emb, cell FROM fb WHERE rk = 1)""".stripMargin
     (head +: iterBlocks :+ assignBlock).mkString(",\n")
   }
 
@@ -538,9 +545,9 @@ object LlmQueries {
     val subChains = (0 until m).map { j =>
       val sj = seed + j
       val fitHead =
-        s"""s$j AS (SELECT vec_id, list_slice(emb, ${j * sd + 1}, ${(j + 1) * sd}) AS emb FROM samp),
+        s"""s$j AS MATERIALIZED (SELECT vec_id, list_slice(emb, ${j * sd + 1}, ${(j + 1) * sd}) AS emb FROM samp),
            |i$j AS (SELECT emb, row_number() OVER (ORDER BY md5(vec_id || ':$sj'), vec_id) AS rn FROM s$j),
-           |c${j}_0 AS (SELECT CAST(rn - 1 AS INTEGER) AS code, emb AS cent FROM i$j WHERE rn <= $codes)""".stripMargin
+           |c${j}_0 AS MATERIALIZED (SELECT CAST(rn - 1 AS INTEGER) AS code, emb AS cent FROM i$j WHERE rn <= $codes)""".stripMargin
       val iterBlocks = (1 to iters).map { n =>
         s"""a$j$n AS (
            |  SELECT s.vec_id, s.emb, c.code, ${d2("s.emb", "c.cent")} AS d2
@@ -557,7 +564,7 @@ object LlmQueries {
            |  FROM b$j$n, (SELECT unnest(generate_series(1, $sd)) AS i) dims
            |  WHERE rk = 1 GROUP BY 1, 2
            |),
-           |c${j}_$n AS (
+           |c${j}_$n AS MATERIALIZED (
            |  SELECT p.code, COALESCE(gl.cent, p.cent) AS cent
            |  FROM c${j}_${n - 1} p
            |  LEFT JOIN (SELECT code, list(m ORDER BY i) AS cent FROM g$j$n GROUP BY 1) gl USING (code)
