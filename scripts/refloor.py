@@ -45,10 +45,16 @@ def main():
     fresh = bench["queries"]
 
     new_q, alltime = {}, {}
-    for q in sorted(set(fresh) | set(old_q)):
+    # union includes alltime-only names: a query removed in an EARLIER
+    # refloor lives only in old_alltime, and iterating fresh|old_q alone
+    # would silently drop its history on the next run — contradicting the
+    # "kept for archaeology, never read by the gate" policy
+    for q in sorted(set(fresh) | set(old_q) | set(old_alltime)):
         f, o = fresh.get(q), old_q.get(q)
         if f is None:            # query removed at HEAD: drop from the gate,
-            alltime[q] = old_alltime.get(q, o)   # keep history
+            hist = old_alltime.get(q, o)         # keep history
+            if hist is not None:
+                alltime[q] = hist
             continue
         if q in changed or o is None:
             new_q[q] = f         # deliberate plan change (or new query): HEAD is the floor

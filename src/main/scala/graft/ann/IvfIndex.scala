@@ -100,11 +100,14 @@ object IvfIndex {
     // (ivf/pq/ivfpq/health/forget/semantic over the same corpus) share
     // ONE fit per session instead of refitting per query. Non-file
     // corpora have no collision-proof fingerprint and fit fresh.
-    val centroids = graft.sqlx.PlanFingerprint.of(vecs) match {
+    // the memoized arrays are shared across every IVF-family query in the
+    // session — hand each caller its own deep copy so no future mutation
+    // can corrupt later queries (k·d doubles, negligible next to the fit)
+    val centroids = (graft.sqlx.PlanFingerprint.of(vecs) match {
       case Some(fp) =>
         graft.sqlx.Memo.getOrElseUpdate(s"ivf-fit:$fp:$nCells:$seed:$maxTrain")(fit())
       case None => fit()
-    }
+    }).map(_.clone())
     val assigned = vecs.select(col("vec_id"), col("emb"),
       graft.functions.NearestCell.nearest(spark, col("emb"), centroids).as("cell"))
     val cents = centroids.zipWithIndex.toSeq

@@ -53,12 +53,16 @@ object IvfPq {
     // session-memoized like IvfIndex.assign's coarse fit: both halves are
     // pure functions of (corpus content, params), so the IVFPQ-family
     // registered queries share one two-fit per session
-    graft.sqlx.PlanFingerprint.of(vecs) match {
+    // deep-copied per caller: the memo serves the same arrays to every
+    // IVFPQ-family query in the session, so a mutation by any future
+    // caller would silently corrupt later queries on the same corpus
+    val (coarse, cbs) = graft.sqlx.PlanFingerprint.of(vecs) match {
       case Some(fp) =>
         graft.sqlx.Memo.getOrElseUpdate(
           s"ivfpq-fit:$fp:$dim:$nCells:$m:$codes:$seed:$maxTrain")(build())
       case None => build()
     }
+    (coarse.map(_.clone()), cbs.map(_.map(_.clone())))
   }
 
   /** One codegen projection computes the WHOLE index row: coarse cell +

@@ -74,11 +74,12 @@ object Pq {
     // session-memoized like the IVF coarse fit (IvfIndex.assign): the
     // codebooks are a pure function of (corpus content, params)
     def build() = fitFromSample(collectSample(vecs, seed, maxTrain), dim, m, codes, seed)
-    graft.sqlx.PlanFingerprint.of(vecs) match {
+    // deep copy per caller — the memoized codebooks are shared session-wide
+    (graft.sqlx.PlanFingerprint.of(vecs) match {
       case Some(fp) =>
         graft.sqlx.Memo.getOrElseUpdate(s"pq-fit:$fp:$dim:$m:$codes:$seed:$maxTrain")(build())
       case None => build()
-    }
+    }).map(_.map(_.clone()))
   }
 
   /** The md5-stride training sample, collected (bounded by maxTrain). */

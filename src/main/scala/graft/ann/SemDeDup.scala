@@ -50,13 +50,23 @@ object SemDeDup {
     * trade (a near-dup pair landing in two cells is missed) —
     * deterministic and oracle-replayable via the md5-derandomized fit. */
   def cellPairs(vecs: DataFrame, nCells: Int = 0, threshold: Double): DataFrame = {
-    val spark = vecs.sparkSession
     // nCells = 0 (default) resolves the occupancy-constant pair rule
     // ([[Adaptive.cellsForPairs]], N/128 — the scaladoc's scaling rule,
     // now the default): Σ cell² stays linear in N. 16 at every driver SF.
     val cells =
       if (nCells > 0) nCells else Adaptive.cellsForPairs(graft.sqlx.Counts.of(vecs))
     val (assigned, _) = IvfIndex.assign(vecs, cells)
+    pairsFromAssigned(assigned, threshold)
+  }
+
+  /** The pair-generation half over an ALREADY-ASSIGNED frame — shared by
+    * [[cellPairs]] and [[dedup]] so dedup pays the k-means fit and the
+    * full-corpus assignment exactly once. (For file-backed corpora the
+    * session `Memo` makes a second fit a cache hit anyway, but in-memory
+    * corpora have no collision-proof fingerprint and would re-fit — the
+    * reuse here is what bounds dedup to one fit on EVERY corpus.) */
+  private def pairsFromAssigned(assigned: DataFrame, threshold: Double): DataFrame = {
+    val spark = assigned.sparkSession
     val a = assigned.select(col("vec_id"), col("emb"), col("cell"),
       sqrt(graft.functions.GraftFunctions.dot(spark, col("emb"), col("emb"))).as("nrm"))
     // in-cell pairs above threshold: equi-join on cell, upper triangle
@@ -81,7 +91,7 @@ object SemDeDup {
       if (nCells > 0) nCells else Adaptive.cellsForPairs(graft.sqlx.Counts.of(vecs))
     val (assigned, _) = IvfIndex.assign(vecs, cells)
     val a = assigned.select(col("vec_id"), col("cell"))
-    val pairs = cellPairs(vecs, cells, threshold)
+    val pairs = pairsFromAssigned(assigned, threshold)
       .select(col("vec_a").as("src"), col("vec_b").as("dst"))
     val comps = graft.dedup.ConnectedComponents.components(pairs)
       .withColumnRenamed("node", "vec_id")

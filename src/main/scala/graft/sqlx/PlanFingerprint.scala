@@ -13,19 +13,35 @@ import scala.collection.concurrent.TrieMap
   * rejected for the same reason SourceFingerprint's scaladoc gives: a
   * collision silently serves a stale derived frame.
   *
-  * Returns None when the plan is not purely file-backed (any
-  * LocalRelation leaf, or no input files at all): local-relation plans
-  * canonicalize to their SCHEMA, not their rows, so two different
-  * in-memory corpora would collide — callers must not memoize on such
-  * plans. */
+  * Returns None unless EVERY leaf is a file-source relation (and the plan
+  * scans at least one file). This is a whitelist, not a LocalRelation
+  * blacklist: in-memory leaves that are NOT LocalRelation — LogicalRDD /
+  * ExternalRDD from `createDataFrame(parallelize(...))`, streaming
+  * relations — also canonicalize without row content, so a plan mixing a
+  * file scan with such a leaf would fingerprint on file metadata alone
+  * and the memo could silently serve stale counts/fits for different
+  * in-memory data. Only leaves whose content IS their files are safe to
+  * key on. */
 object PlanFingerprint {
+
+  /** A leaf whose entire content is identified by its input files:
+    * DSv1 `LogicalRelation(HadoopFsRelation)` or a DSv2 relation over a
+    * `FileTable` (parquet/csv/json/orc under either source list). */
+  private def isFileBackedLeaf(
+      leaf: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    leaf match {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.isInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+      case d: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        d.table.isInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileTable]
+      case _ => false
+    }
 
   def of(df: DataFrame): Option[String] = {
     val plan = df.queryExecution.analyzed
-    val hasLocal = plan.collectLeaves()
-      .exists(_.getClass.getSimpleName.contains("LocalRelation"))
+    val allFileBacked = plan.collectLeaves().forall(isFileBackedLeaf)
     val files = df.inputFiles
-    if (hasLocal || files.isEmpty) None
+    if (!allFileBacked || files.isEmpty) None
     else scala.util.Try {
       // one listStatus per PARENT directory, not one RPC per file — a
       // 100 TB table has 10⁵ part files in a handful of directories, and
@@ -57,7 +73,10 @@ object PlanFingerprint {
   * [[FrameCache]]. Keys MUST embed a [[PlanFingerprint]] (or an equally
   * collision-proof content key): values are served verbatim on a key hit.
   * Values must be deterministic — a concurrent double-build is resolved
-  * by last-write-wins, which is only safe when both builds are equal. */
+  * by last-write-wins, which is only safe when both builds are equal.
+  * Memoized values are shared across every later query in the session:
+  * treat them as frozen. Getters that return mutable structures (the
+  * quantizer fits' Array[Array[Double]]) deep-copy before handing out. */
 object Memo {
   private val m = TrieMap.empty[String, Any]
 

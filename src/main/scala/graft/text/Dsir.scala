@@ -57,10 +57,25 @@ object Dsir {
     * the same plan over rewritten data) silently serves the wrong
     * persisted feature frame and therefore wrong DSIR weights. Non-file
     * corpora key on the plan OBJECT's identity — never shared across
-    * distinct frames, so repeat calls on the SAME frame still memoize. */
+    * distinct frames, so repeat calls on the SAME frame still memoize.
+    * Identity means a GUARANTEED-unique id (an AtomicLong issued once per
+    * plan via a weak map), not `System.identityHashCode`: identity hashes
+    * are 32-bit and CAN collide between two live plan objects — the same
+    * collision class this key exists to reject. The map keys on plan
+    * EQUALITY, which is safe in the strong direction (equal analyzed
+    * plans ⇒ equal leaves ⇒ identical data: LocalRelation equality
+    * compares its rows, LogicalRDD compares RDD references) and holds
+    * plans weakly so keying a frame never pins it for the session. */
+  private val localIds =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[AnyRef, java.lang.Long]())
+  private val nextLocalId = new java.util.concurrent.atomic.AtomicLong(0L)
   private def corpusKey(docs: DataFrame): String =
-    graft.sqlx.PlanFingerprint.of(docs).getOrElse(
-      s"local@${System.identityHashCode(docs.queryExecution.analyzed)}")
+    graft.sqlx.PlanFingerprint.of(docs).getOrElse {
+      val id = localIds.computeIfAbsent(
+        docs.queryExecution.analyzed, _ => nextLocalId.incrementAndGet())
+      s"local@$id"
+    }
 
   /** (doc_id, n_feats, log_weight, is_selected) for every non-target doc. */
   def weights(docs: DataFrame, isTarget: Column): DataFrame = {

@@ -45,4 +45,20 @@ class PlanFingerprintSpec extends SparkSpec {
     assert(PlanFingerprint.of(mixed).isEmpty,
       "local rows are invisible to the canonicalized plan string — must not memoize")
   }
+
+  test("RDD-backed leaves refuse a fingerprint too (whitelist, not a LocalRelation blacklist)") {
+    // createDataFrame(parallelize(...)) canonicalizes without row content,
+    // exactly like LocalRelation — the round-15 ADVICE gap: mixed with a
+    // file scan it used to fingerprint on file metadata alone
+    val rdd = spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(7L)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType)))
+    val rddDf = spark.createDataFrame(rdd, schema)
+    assert(PlanFingerprint.of(rddDf).isEmpty, "pure RDD plan must not fingerprint")
+    val dir = java.nio.file.Files.createTempDirectory("graft-fp3").toString
+    Seq(1L).toDF("id").write.mode("overwrite").parquet(s"$dir/t.parquet")
+    val mixed = spark.read.parquet(s"$dir/t.parquet").unionByName(rddDf)
+    assert(PlanFingerprint.of(mixed).isEmpty,
+      "an RDD leaf beside a file scan must refuse — its rows are invisible to the key")
+  }
 }
