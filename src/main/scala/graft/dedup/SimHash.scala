@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   * [[graft.ann.RandomProjection]], so the registered `dedup_simhash` query
   * replays exactly in the DuckDB oracle ([[bitsSqlLo]]/[[bitsSqlHi]] are the
   * SQL mirrors kept beside the JVM implementation so the two cannot drift).
-  * Banded + Hamming≤3 ≡ all-pairs + Hamming≤3 (pigeonhole), so the oracle
-  * may verify with a plain fingerprint self-join.
+  * Banded + Hamming≤3 ≡ all-pairs + Hamming≤3 (pigeonhole) UNDER the
+  * default hot-bucket cap's threshold, and the oracle replays the band
+  * structure and the cap rule exactly (HAVING COUNT(*) <= cap), so the
+  * contract holds bit-for-bit even on data that saturates a bucket.
   */
 object SimHash {
 
@@ -41,6 +43,25 @@ object SimHash {
         graft.functions.SimHash64.fingerprint(docs.sparkSession,
           split(trim(col("text")), " ")).as("simhash"))
 
+  /** Hot-bucket skew guard, DEFAULT-ON like [[MinHashLSH.MaxBucketSize]]
+    * and [[graft.ann.HyperplaneLSH]]'s cap: a band bucket with more than
+    * this many members contributes no candidate pairs. The 4×16 band
+    * structure is fixed by the pigeonhole guarantee, so past N ≫ 2¹⁶ the
+    * band join densifies quadratically from RANDOM collisions — an
+    * m-member bucket is m²/2 candidate pairs, and the cap bounds every
+    * bucket's bill the same way the other near-dup paths bound theirs.
+    * Recall posture: a bucket this hot is a degenerate band signature —
+    * ≥1024 docs agreeing on 16 fingerprint bits at random is ~impossible
+    * (p = 2⁻¹⁶ per pair), so saturation means exact-dup-like clusters the
+    * upstream hash dedup (dedup_exact) already catches; a true near-dup
+    * pair keeps its other three bands. The oracle replays the same rule
+    * (HAVING COUNT(*) <= cap on the band bucket), so the contract is
+    * exact under ANY data — at every driver SF no bucket nears the cap,
+    * so adopting the default moved no committed oracle hash
+    * (SimHashHotBucketSpec plants a saturated bucket and pins both the
+    * drop and the survival of an ordinary pair). */
+  val MaxBucketSize = 1024
+
   /** Pairs within the given Hamming distance, found via 16-bit band buckets.
     *
     * Scale note (round-14 capacity audit): the 4×16 band structure is
@@ -50,17 +71,17 @@ object SimHash {
     * corpus. Past N ≫ 2¹⁶ the band join therefore densifies
     * quadratically from RANDOM collisions (p = 4·2⁻¹⁶ per pair — the
     * constant is tiny, the asymptote is real: ~10⁸ random candidates at
-    * 67 M docs). Deployments at that scale either accept `maxBucket`
+    * 67 M docs). [[MaxBucketSize]] (default-on since round 16) bounds the
+    * per-bucket bill; deployments needing exact banded ≡ all-pairs
+    * equivalence under adversarial saturation pass `maxBucket = None`
     * (drops every pair of a saturated band bucket — recall loss is
     * possible because a true near-dup is only guaranteed ONE shared
     * band) or use the capped shingle-based [[MinHashLSH]] path, which is
     * this engine's primary near-dup operator; the full fix is Manku et
     * al.'s permuted-prefix sorted-block scheme (WWW 2007), not built
-    * here. The registered `dedup_simhash` query runs uncapped — its
-    * oracle's banded ≡ all-pairs equivalence is exactly the uncapped
-    * guarantee. */
+    * here. */
   def nearDuplicates(docs: DataFrame, maxHamming: Int = 3,
-                     maxBucket: Option[Int] = None): DataFrame = {
+                     maxBucket: Option[Int] = Some(MaxBucketSize)): DataFrame = {
     require(maxHamming <= 3, "4 bands of 16 bits guarantee recall only for distance <= 3")
     val fp = fingerprints(docs) // never-null by construction (see above)
     val bandedAll = fp.select(col("doc_id"), col("simhash"),
@@ -71,6 +92,8 @@ object SimHash {
     val banded = maxBucket match {
       case None => bandedAll
       case Some(cap) =>
+        // hot set is metadata-sized (buckets over cap) — the anti-join
+        // broadcasts, and the rollup shuffles on the join's own key
         val hot = bandedAll.groupBy("band", "bucket")
           .agg(count(lit(1)).as("m")).where(col("m") > cap)
           .select("band", "bucket")
