@@ -36,6 +36,14 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  /** Hard driver-working-set bound for the collected word table (words):
+    * past this, [[merges]] raises the effective `minFreq` to the smallest
+    * frequency threshold that fits — see the cap note on [[merges]]. 10⁷
+    * words ≈ 1–2 GB of driver strings+freqs, the Heaps'-law vocabulary of
+    * a clean web-scale corpus; the only way to exceed it is the
+    * frequency-1 junk tail the threshold rule drops first. */
+  val MaxWordTable: Long = 10_000_000L
+
   /** (step, left, right, merged, pair_count) for the first `nMerges`
     * merges learned from `docs`(textCol).
     *
@@ -57,33 +65,71 @@ object Bpe {
     * merge, so the cap cannot have surfaced-or-hidden a merge; relative
     * order among retained pairs whose count gap is < D is the accepted
     * approximation every production trainer makes (BpeSpec pins empirical
-    * sequence-invariance on the fixture corpus). */
+    * sequence-invariance on the fixture corpus).
+    *
+    * `maxWords` (default [[MaxWordTable]]) is the HARD bound `minFreq`
+    * alone could not give: at a true 10⁸–10⁹-distinct tail even
+    * `minFreq = 2` can retain a multi-GB word table on the driver. When
+    * the `minFreq`-filtered table still exceeds `maxWords`, the effective
+    * threshold is raised to the smallest frequency f* whose
+    * `count(freq ≥ f*) ≤ maxWords` — computed from the per-frequency
+    * histogram (distinct frequency VALUES, a metadata-sized collect), so
+    * the cap never global-sorts or tops-K the word table itself. Raising
+    * a frequency floor is the same rule as `minFreq`, so the SAME
+    * dropped-pair-mass audit covers everything below the effective
+    * threshold. Degenerate escape: if even the single highest frequency
+    * class outnumbers `maxWords` (only adversarial corpora — it means
+    * >maxWords DISTINCT words sharing one count), that class is kept
+    * whole and the breach is WARN-logged: merge quality degrades loudly,
+    * the driver holds one frequency class, never the unbounded tail. */
   def merges(docs: DataFrame, textCol: String, nMerges: Int,
-             minFreq: Long = 1L): DataFrame = {
+             minFreq: Long = 1L, maxWords: Long = MaxWordTable): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
 
     // word-frequency table: the bounded working set — ONE distributed
-    // aggregation; the minFreq cap filters it before collection
+    // aggregation; the minFreq + maxWords caps filter it before collection
     val wordTable = docs
       .select(explode(split(trim(col(textCol)), " ")).as("word"))
       .where(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
+    val t = wordTable.persist()
     val (wordFreq, droppedMass) =
-      if (minFreq <= 1L) {
-        (wordTable.as[(String, Long)].collect(), 0L)
-      } else {
-        val t = wordTable.persist()
-        val kept = t.where(col("freq") >= minFreq).as[(String, Long)].collect()
+      try {
+        val effMinFreq = {
+          val nKept = t.where(col("freq") >= minFreq).count()
+          if (nKept <= maxWords) minFreq
+          else {
+            // per-frequency histogram: distinct COUNT values, bounded by
+            // the max word frequency's log-ish spread — metadata-sized
+            val byFreq = t.where(col("freq") >= minFreq)
+              .groupBy("freq").agg(count(lit(1)).as("n"))
+              .as[(Long, Long)].collect().sortBy(-_._1)
+            var cum = 0L
+            var cut = 0L
+            for ((f, n) <- byFreq if cut == 0L)
+              if (cum + n <= maxWords) cum += n else cut = f + 1L
+            if (cum == 0L) {
+              // the top frequency class alone exceeds maxWords: keep it
+              // whole (dropping ALL words has no merge at all) and say so
+              System.err.println(s"[bpe] WARN: the highest-frequency class " +
+                s"(${byFreq.head._2} words at freq ${byFreq.head._1}) alone exceeds " +
+                s"maxWords=$maxWords — keeping that class; the bound is breached loudly")
+              byFreq.head._1
+            } else cut
+          }
+        }
+        val kept = t.where(col("freq") >= effMinFreq).as[(String, Long)].collect()
         // max undercount of ANY pair: total pair slots in dropped words —
         // char count is ≥ codepoint count, so D only gets more conservative
         // on astral-plane text
-        val dropped = t.where(col("freq") < minFreq)
-          .agg(coalesce(sum(col("freq") * (length(col("word")) - 1)), lit(0L)))
-          .as[Long].head()
-        t.unpersist()
+        val dropped =
+          if (effMinFreq <= 1L) 0L
+          else t.where(col("freq") < effMinFreq)
+            .agg(coalesce(sum(col("freq") * (length(col("word")) - 1)), lit(0L)))
+            .as[Long].head()
         (kept, dropped)
-      }
+      } finally t.unpersist()
 
     val learned = learn(wordFreq, nMerges)
     learned.find(_._5 <= droppedMass).foreach { m =>

@@ -92,6 +92,40 @@ class BpeSpec extends SparkSpec {
     assert(capped.nonEmpty && capped.forall(_._5 >= 40L))
   }
 
+  test("maxWords cap: the frequency-threshold rule bounds the collected table " +
+    "and learns exactly the reference over the retained words") {
+    // four frequency classes: 2 words @40, 2 @3, 5 @1 — maxWords = 2 must
+    // raise the effective floor to 4 (freq-40 class fits, freq-3 would
+    // overflow), so learning sees ONLY the two @40 words
+    val common = Seq.fill(40)("lower newest").mkString(" ")
+    val mid = Seq.fill(3)("wider older").mkString(" ")
+    val tail = Seq("qa1", "qa2", "qa3", "qa4", "qa5").mkString(" ")
+    val texts = Seq(common, mid, tail)
+    val df = texts.toDF("text")
+    // 24 merges exhaust the two retained words' pair space, so the capped
+    // run must STOP where the uncapped run keeps learning from the @3 class
+    val capped = Bpe.merges(df, "text", 24, maxWords = 2L)
+      .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val want = refBpe(wordFreqs(texts).filter(_._2 >= 4L), 24)
+    assert(capped == want, s"\ncapped $capped\nwant   $want")
+    assert(capped.nonEmpty && capped.forall(_._5 >= 40L),
+      s"a sub-threshold word leaked into learning: $capped")
+    // default bound: same fixture uncapped learns from all three classes
+    val uncapped = Bpe.merges(df, "text", 24)
+      .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(uncapped == refBpe(wordFreqs(texts), 24))
+    assert(uncapped.size > capped.size, "fixture must distinguish capped from uncapped")
+  }
+
+  test("maxWords cap: a single over-cap frequency class is kept whole (loud degenerate escape)") {
+    // three distinct words sharing one frequency: no threshold fits
+    // maxWords = 2, so the class is retained rather than learning nothing
+    val texts = Seq(Seq.fill(5)("lower newest widest").mkString(" "))
+    val got = Bpe.merges(texts.toDF("text"), "text", 4, maxWords = 2L)
+      .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == refBpe(wordFreqs(texts), 4), s"degenerate class must learn whole: $got")
+  }
+
   test("minFreq cap: an all-tail corpus collapses to zero merges") {
     val df = Seq("each word appears exactly once here").toDF("text")
     assert(Bpe.merges(df, "text", 5, minFreq = 2L).collect().isEmpty)
