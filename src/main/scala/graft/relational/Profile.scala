@@ -76,17 +76,22 @@ object Profile {
     // approx mode: the canonical-string build + md5 run as a codegen'd
     // PROJECTION (graft_hash52) feeding the aggregate — and that pass is
     // CPU-bound (11 md5s per row), so when the scan yields fewer splits
-    // than cores (a single test-SF parquet file ⇒ the whole sketch pass
-    // serializes on one task — measured 2.1 s of md5 on one core at
-    // sf0.1) it is repartitioned first. Conditional on purpose: at
-    // production scale the input splits already exceed the cores and the
-    // shuffle would be a pure pessimization.
+    // than 2× cores (a single test-SF parquet file ⇒ the whole sketch
+    // pass serializes on one task — measured 2.1 s of md5 on one core at
+    // sf0.1) it is repartitioned to 2× cores: exactly `cores` equal
+    // tasks are the worst shape under co-tenant CPU steal (one stolen
+    // core doubles the pass — the round-15 driver host read 5.4× its
+    // floor at loadavg 12 while a quiet host read 1.1×), while 2× gives
+    // the scheduler slack to rebalance around a slow core at a
+    // negligible shuffle cost for a pass this small. Conditional on
+    // purpose: at production scale the input splits already exceed the
+    // threshold and the shuffle would be a pure pessimization.
     val src =
       if (exact) df
       else {
         val cores = df.sparkSession.sparkContext.defaultParallelism
         val splits = df.queryExecution.toRdd.getNumPartitions
-        val wide = if (splits < cores) df.repartition(cores) else df
+        val wide = if (splits < 2 * cores) df.repartition(2 * cores) else df
         wide.select(col("*") +: fields.map { f =>
           graft.functions.Kmv.hash52Col(df.sparkSession,
             canonical(col(f.name), f.dataType)).as(s"__h52_${f.name}")
