@@ -108,10 +108,10 @@ object Bench {
     // structurally — regex over the whole file would let a metadata key
     // shadow a query name.
     val sfBase = java.nio.file.Paths.get(sfDir).normalize().getFileName.toString
-    val baselinePath = java.nio.file.Paths.get("BASELINE_QUERIES.json")
-    val baseline: Map[String, Double] =
-      if (sfBase == "sf0.1" && java.nio.file.Files.exists(baselinePath)) {
-        val txt = new String(java.nio.file.Files.readAllBytes(baselinePath), "UTF-8")
+    def loadFloors(file: String): Map[String, Double] = {
+      val path = java.nio.file.Paths.get(file)
+      if (sfBase == "sf0.1" && java.nio.file.Files.exists(path)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
         // locate the "queries" object and scan to its matching close brace
         // (values are flat numbers — no nested objects inside)
         val qKey = txt.indexOf("\"queries\"")
@@ -124,6 +124,8 @@ object Bench {
           .filter { case (k, _) => SparkEntry.queries.contains(k) }
           .toMap
       } else Map.empty
+    }
+    val baseline = loadFloors("BASELINE_QUERIES.json")
     val common = timings.keys.filter(baseline.contains).toSeq
     val baseTotal = common.map(baseline).sum
     val vsBaseline = if (baseTotal > 0) common.map(timings).sum / baseTotal else 0.0
@@ -134,9 +136,29 @@ object Bench {
     if (over2x.nonEmpty)
       println(s"WARNING: ${over2x.size} queries exceed 2x their committed baseline: " +
         over2x.map(k => s"$k ${"%.2f".format(timings(k) / baseline(k))}x").mkString(", "))
+    // Second reference: the DRIVER host's own best-ever per-query times
+    // (DRIVER_FLOORS.json — min-merged from the committed BENCH_r*.json
+    // summary tails by scripts/driver_floors.py). BASELINE_QUERIES.json is
+    // measured on the builder's quiet host; two rounds running, the driver
+    // bench started at loadavg ~11-12 and read n_over_2x 7-8 where the same
+    // HEAD read 0 quiet — with no same-host reference, a loaded run cannot
+    // distinguish "host" from "regression". vs_driver_floor answers "how
+    // does this run compare to what THIS host class has already proven it
+    // can do": a query over 2× its quiet baseline but near its driver floor
+    // is host noise; over 2× BOTH references is a real regression.
+    val driverFloor = loadFloors("DRIVER_FLOORS.json")
+    val dfCommon = timings.keys.filter(driverFloor.contains).toSeq
+    val dfTotal = dfCommon.map(driverFloor).sum
+    val vsDriverFloor = if (dfTotal > 0) dfCommon.map(timings).sum / dfTotal else 0.0
+    val dfOver2x = dfCommon
+      .filter(k => timings(k) > 2.0 * driverFloor(k) && timings(k) - driverFloor(k) > 1.5)
+      .sortBy(k => -(timings(k) / driverFloor(k)))
+    val dfFields =
+      if (driverFloor.isEmpty) ""
+      else s""","vs_driver_floor":${"%.3f".format(vsDriverFloor)},"n_driver_floor":${dfCommon.size},"driver_over_2x":${dfOver2x.take(10).map(k => s"${q(k)}:${"%.2f".format(timings(k) / driverFloor(k))}").mkString("{", ",", "}")}"""
     val vsFields =
-      if (baseline.isEmpty) ""
-      else s""","vs_baseline":${"%.3f".format(vsBaseline)},"n_over_2x":${over2x.size},"over_2x":${over2x.take(10).map(k => s"${q(k)}:${"%.2f".format(timings(k) / baseline(k))}").mkString("{", ",", "}")},"jitter_over_2x":${jitter.take(10).map(k => s"${q(k)}:${"%.2f".format(timings(k) / baseline(k))}").mkString("{", ",", "}")}"""
+      (if (baseline.isEmpty) ""
+       else s""","vs_baseline":${"%.3f".format(vsBaseline)},"n_over_2x":${over2x.size},"over_2x":${over2x.take(10).map(k => s"${q(k)}:${"%.2f".format(timings(k) / baseline(k))}").mkString("{", ",", "}")},"jitter_over_2x":${jitter.take(10).map(k => s"${q(k)}:${"%.2f".format(timings(k) / baseline(k))}").mkString("{", ",", "}")}""") + dfFields
 
     val runsDetail = allRuns.map { case (k, ts) =>
       s"${q(k)}:[${ts.map("%.3f".format(_)).mkString(",")}]"
