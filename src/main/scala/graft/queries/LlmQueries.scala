@@ -150,16 +150,36 @@ object LlmQueries {
        |  FROM bits GROUP BY 1
        |)""".stripMargin
 
-  // Banded + Hamming≤3 ≡ all-pairs + Hamming≤3 (pigeonhole over 4 bands),
-  // so the oracle verifies with a plain fingerprint self-join.
+  // The oracle replays the band structure AND the default hot-bucket cap
+  // (HAVING mirror, like the MinHash/HyperplaneLSH oracles) — DuckDB's >>
+  // is the same arithmetic shift as Spark's shiftright, and & 65535 makes
+  // the band extraction sign-agnostic on both engines. Under the cap's
+  // threshold this is still all-pairs + Hamming≤3 (pigeonhole), which is
+  // why the committed hash did not move when the cap became the default.
   private val dedupSimhash = Q(
     (s, d) => SimHash.nearDuplicates(Tables.documents(s, d), maxHamming = 3)
       .orderBy("doc_a", "doc_b"),
-    s"""WITH $simhashFpCtes
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |       CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
-       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    s"""WITH $simhashFpCtes,
+       |banded AS MATERIALIZED (
+       |  SELECT doc_id, fp, band, (fp >> (band * 16)) & 65535 AS bucket
+       |  FROM fp CROSS JOIN (SELECT unnest(range(4)) AS band)
+       |),
+       |ok AS (
+       |  SELECT band, bucket FROM banded
+       |  GROUP BY 1, 2 HAVING COUNT(*) <= ${SimHash.MaxBucketSize}
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.fp AS fa, b.fp AS fb
+       |  FROM banded a
+       |  JOIN ok ON a.band = ok.band AND a.bucket = ok.bucket
+       |  JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |       CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(fa, fb)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin)
 
   /** §2 #55ac anchor: the same fingerprint computation, but the Spark side
