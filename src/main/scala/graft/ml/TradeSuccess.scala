@@ -136,7 +136,7 @@ object TradeSuccess {
     * bit-for-bit. */
   def loadedFitted(spark: SparkSession, dir: String): Fitted =
     loadedCache.getOrElseUpdate(graft.sqlx.FrameCache.key(spark, "gbt-loaded", dir), {
-      val path = s"${sys.props("java.io.tmpdir")}/graft-gbt-model-${Integer.toHexString(dir.hashCode)}"
+      val path = s"${sys.props("java.io.tmpdir")}/graft-gbt-model-${graft.sqlx.PathTag.of(dir)}"
       save(fitted(spark, dir), path)
       load(spark, path)
     })

@@ -353,7 +353,7 @@ object AggregateQueries {
   private val sketchStoreRollup = Q(
     (s, d) => {
       val k = 512
-      val tag = Integer.toHexString(d.hashCode)
+      val tag = graft.sqlx.PathTag.of(d)
       val store = s"${sys.props("java.io.tmpdir")}/graft-sketch-store-$tag"
       // ONE pass over the data: hash in a codegen projection, bounded
       // bottom-k state per (event_type, week), persisted

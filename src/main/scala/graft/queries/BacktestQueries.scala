@@ -265,7 +265,7 @@ object BacktestQueries {
   private val tradesCsvRoundtrip = Q(
     (s, d) => {
       val src = tradesFundamentalsJoin.run(s, d)
-      val path = s"${sys.props("java.io.tmpdir")}/graft-trades-csv-${Integer.toHexString(d.hashCode)}"
+      val path = s"${sys.props("java.io.tmpdir")}/graft-trades-csv-${graft.sqlx.PathTag.of(d)}"
       graft.sources.CsvTables.write(src, path)
       graft.sources.CsvTables.read(s, path, src.schema)
         .orderBy("symbol_id", "entry_date", "trade_strategy")

@@ -29,7 +29,7 @@ object BucketedQueries {
     * read back, roll up per symbol and join — the shuffle-free core (no
     * presentation sort). */
   def symbolStats(s: SparkSession, d: String): DataFrame = {
-    val suffix = Integer.toHexString(d.hashCode)
+    val suffix = graft.sqlx.PathTag.of(d)
     val featT = s"graft_feat_sym_$suffix"
     val sigT = s"graft_sig_sym_$suffix"
     // mark written only AFTER both writes succeed — adding the key first

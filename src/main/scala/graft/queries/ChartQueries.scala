@@ -113,7 +113,7 @@ object ChartQueries {
   private val tradeOverlayFrame = Q(
     (s, d) => {
       val src = BacktestQueries.simulatedTrades(s, d)
-      val path = s"${sys.props("java.io.tmpdir")}/graft-backtest-trades-csv-${Integer.toHexString(d.hashCode)}"
+      val path = s"${sys.props("java.io.tmpdir")}/graft-backtest-trades-csv-${graft.sqlx.PathTag.of(d)}"
       graft.sources.CsvTables.write(src, path)
       val t = graft.sources.CsvTables.read(s, path, src.schema)
       def side(marker: String, dateCol: String) =

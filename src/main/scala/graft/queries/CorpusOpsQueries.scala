@@ -395,7 +395,7 @@ object CorpusOpsQueries {
     (s, d) => {
       val docs = Tables.documents(s, d)
         .withColumn("shard", (col("doc_id") % JsonlShards).cast("int"))
-      val path = s"${sys.props("java.io.tmpdir")}/graft-docs-jsonl-${Integer.toHexString(d.hashCode)}"
+      val path = s"${sys.props("java.io.tmpdir")}/graft-docs-jsonl-${graft.sqlx.PathTag.of(d)}"
       graft.sources.JsonlTables.write(docs, path, "shard")
       graft.sources.JsonlTables.read(s, path, docs.schema).orderBy("doc_id")
     },

@@ -92,7 +92,7 @@ object EtlQueries {
       val processed = Watermarks.staleSymbols(wm)
         .where(col("symbol_id") % 3 =!= 0).select("symbol_id")
       val updated = Watermarks.updateWatermarks(wm, processed, success = true)
-      val root = s"${sys.props("java.io.tmpdir")}/graft-wm-store-${Integer.toHexString(d.hashCode)}"
+      val root = s"${sys.props("java.io.tmpdir")}/graft-wm-store-${graft.sqlx.PathTag.of(d)}"
       Watermarks.writeState(updated, root)
       Watermarks.staleSymbols(Watermarks.readState(s, root))
     },
@@ -215,7 +215,7 @@ object EtlQueries {
   private val eventsDayScan = Q(
     (s, d) => {
       import graft.sqlx.Exact
-      val path = s"${sys.props("java.io.tmpdir")}/graft-events-bydate-${Integer.toHexString(d.hashCode)}"
+      val path = s"${sys.props("java.io.tmpdir")}/graft-events-bydate-${graft.sqlx.PathTag.of(d)}"
       val ev = graft.Tables.events(s, d).withColumn("date", col("ts").cast("date"))
       graft.sources.PartitionedTables.write(ev, path, Seq("date"))
       graft.sources.PartitionedTables.read(s, path)
@@ -327,7 +327,7 @@ object EtlQueries {
   private val eventsCompaction = Q(
     (s, d) => {
       import graft.sqlx.Exact
-      val tag = Integer.toHexString(d.hashCode)
+      val tag = graft.sqlx.PathTag.of(d)
       val frag = s"${sys.props("java.io.tmpdir")}/graft-events-frag-$tag"
       val packed = s"${sys.props("java.io.tmpdir")}/graft-events-packed-$tag"
       val target = 2500L
@@ -414,7 +414,7 @@ object EtlQueries {
   private val eventsMaintenanceCycle = Q(
     (s, d) => {
       import graft.sqlx.Exact
-      val tag = Integer.toHexString(d.hashCode)
+      val tag = graft.sqlx.PathTag.of(d)
       val root = s"${sys.props("java.io.tmpdir")}/graft-events-maint-$tag"
       new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -477,7 +477,7 @@ object EtlQueries {
   private val eventsForget = Q(
     (s, d) => {
       import graft.sqlx.Exact
-      val tag = Integer.toHexString(d.hashCode)
+      val tag = graft.sqlx.PathTag.of(d)
       val root = s"${sys.props("java.io.tmpdir")}/graft-events-forget-$tag"
       new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -538,7 +538,7 @@ object EtlQueries {
   private val mvDeleteRefresh = Q(
     (s, d) => {
       val keys = Seq("event_type", "date")
-      val tag = Integer.toHexString(d.hashCode)
+      val tag = graft.sqlx.PathTag.of(d)
       val root = s"${sys.props("java.io.tmpdir")}/graft-mv-retract-$tag"
       val ev = graft.Tables.events(s, d).withColumn("date", col("ts").cast("date"))
       graft.etl.MaterializedAgg.writeInit(ev, keys, "value", root)
@@ -563,7 +563,7 @@ object EtlQueries {
   private val forgetCascade = Q(
     (s, d) => {
       import graft.sqlx.Exact
-      val tag = Integer.toHexString(d.hashCode)
+      val tag = graft.sqlx.PathTag.of(d)
       val root = s"${sys.props("java.io.tmpdir")}/graft-forget-cascade-$tag"
       val rootMv = s"$root-mv"
       val fsys = new org.apache.hadoop.fs.Path(root)
@@ -622,7 +622,7 @@ object EtlQueries {
     * this row witnesses the COMPOSITION. */
   private val forgetCascadeFull = Q(
     (s, d) => {
-      val tag = Integer.toHexString(d.hashCode)
+      val tag = graft.sqlx.PathTag.of(d)
       val root = s"${sys.props("java.io.tmpdir")}/graft-forget-full-$tag"
       val fsys = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -693,7 +693,7 @@ object EtlQueries {
   private val storeCommitChain = Q(
     (s, d) => {
       import s.implicits._
-      val tag = Integer.toHexString(d.hashCode)
+      val tag = graft.sqlx.PathTag.of(d)
       val base = s"${sys.props("java.io.tmpdir")}/graft-commit-chain-$tag"
       val root = s"$base/_current"
       val fsys = new org.apache.hadoop.fs.Path(base)
@@ -759,7 +759,7 @@ object EtlQueries {
   private val eventsSchemaEvolution = Q(
     (s, d) => {
       import graft.sqlx.Exact
-      val tag = Integer.toHexString(d.hashCode)
+      val tag = graft.sqlx.PathTag.of(d)
       val root = s"${sys.props("java.io.tmpdir")}/graft-events-schevo-$tag"
       new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -816,7 +816,7 @@ object EtlQueries {
   private val mvIncrementalRefresh = Q(
     (s, d) => {
       val keys = Seq("event_type", "date")
-      val tag = Integer.toHexString(d.hashCode)
+      val tag = graft.sqlx.PathTag.of(d)
       val root = s"${sys.props("java.io.tmpdir")}/graft-mv-events-$tag"
       val ev = graft.Tables.events(s, d).withColumn("date", col("ts").cast("date"))
       graft.etl.MaterializedAgg.writeInit(
@@ -841,7 +841,7 @@ object EtlQueries {
   private val eventsSkippingScan = Q(
     (s, d) => {
       import graft.sqlx.Exact
-      val tag = Integer.toHexString(d.hashCode)
+      val tag = graft.sqlx.PathTag.of(d)
       val root = s"${sys.props("java.io.tmpdir")}/graft-events-zordered-$tag"
       val ev = graft.Tables.events(s, d).select(
         col("event_id"), col("user_id"), col("event_type"), col("value"),
@@ -892,7 +892,7 @@ object EtlQueries {
   private val eventsMetadataCount = Q(
     (s, d) => {
       import s.implicits._
-      val tag = Integer.toHexString(d.hashCode)
+      val tag = graft.sqlx.PathTag.of(d)
       val root = s"${sys.props("java.io.tmpdir")}/graft-events-metacount-$tag"
       val ev = graft.Tables.events(s, d).select(
         col("event_id"), col("user_id"), col("value"),
@@ -951,7 +951,7 @@ object EtlQueries {
   private val eventsPointLookup = Q(
     (s, d) => {
       import graft.sqlx.Exact
-      val tag = Integer.toHexString(d.hashCode)
+      val tag = graft.sqlx.PathTag.of(d)
       val root = s"${sys.props("java.io.tmpdir")}/graft-events-hashed-$tag"
       val ev = graft.Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))

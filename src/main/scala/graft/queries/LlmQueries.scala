@@ -506,7 +506,7 @@ object LlmQueries {
       val e = corpusEmb(s, d)
       val q = e.where(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
-      val path = s"${sys.props("java.io.tmpdir")}/graft-ivf-${Integer.toHexString(d.hashCode)}"
+      val path = s"${sys.props("java.io.tmpdir")}/graft-ivf-${graft.sqlx.PathTag.of(d)}"
       graft.ann.IvfIndex.writeIndex(e, path)
       graft.ann.IvfIndex.approxTopKStored(s, path, q, k = 10).orderBy("query_id", "rank")
     },
@@ -529,7 +529,7 @@ object LlmQueries {
       val e = corpusEmb(s, d)
       val q = e.where(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
-      val path = s"${sys.props("java.io.tmpdir")}/graft-ivf-incr-${Integer.toHexString(d.hashCode)}"
+      val path = s"${sys.props("java.io.tmpdir")}/graft-ivf-incr-${graft.sqlx.PathTag.of(d)}"
       graft.ann.IvfIndex.writeIndex(e.where(col("vec_id") % 10 =!= 7), path)
       graft.ann.IvfIndex.appendToIndex(s, path, e.where(col("vec_id") % 10 === 7), incrementId = 1L)
       graft.ann.IvfIndex.approxTopKStored(s, path, q, k = 10).orderBy("query_id", "rank")
@@ -720,7 +720,7 @@ object LlmQueries {
       // full serving path: PQ-coded cell-partitioned store, then a
       // partition-pruned probe (IvfPqSpec asserts stored ≡ in-memory and
       // the pruned scan); raw vectors touched only for the re-rank
-      val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-${Integer.toHexString(d.hashCode)}"
+      val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-${graft.sqlx.PathTag.of(d)}"
       graft.ann.IvfPq.writeIndex(e, path, dim = 64)
       graft.ann.IvfPq.approxTopKStored(s, path, e, q, k = 10, dim = 64)
         .orderBy("query_id", "rank")
@@ -763,7 +763,7 @@ object LlmQueries {
       val e = corpusEmb(s, d)
       val q = e.where(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
-      val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-incr-${Integer.toHexString(d.hashCode)}"
+      val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-incr-${graft.sqlx.PathTag.of(d)}"
       graft.ann.IvfPq.writeIndex(e.where(col("vec_id") % 10 =!= 7), path, dim = 64)
       graft.ann.IvfPq.appendToIndex(s, path, e.where(col("vec_id") % 10 === 7), incrementId = 1L)
       graft.ann.IvfPq.approxTopKStored(s, path, e, q, k = 10, dim = 64)
@@ -791,7 +791,7 @@ object LlmQueries {
       val e = corpusEmb(s, d)
       val q = e.where(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
-      val tag = Integer.toHexString(d.hashCode)
+      val tag = graft.sqlx.PathTag.of(d)
       val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-stream-$tag"
       val dir = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"),
@@ -832,7 +832,7 @@ object LlmQueries {
     (s, d) => {
       val e = corpusEmb(s, d)
       val inc = e.where(col("vec_id") % 10 === 7)
-      val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-health-${Integer.toHexString(d.hashCode)}"
+      val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-health-${graft.sqlx.PathTag.of(d)}"
       graft.ann.IvfPq.writeIndex(e.where(col("vec_id") % 10 =!= 7), path, dim = 64)
       graft.ann.IvfPq.appendToIndex(s, path, inc, incrementId = 1L)
       graft.ann.IvfPq.indexHealth(s, path, e, inc.select("vec_id"), dim = 64)
@@ -900,7 +900,7 @@ object LlmQueries {
       val inc = shifted.where(col("vec_id") % 10 === 7)
       val q = shifted.where(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
-      val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-refit-${Integer.toHexString(d.hashCode)}"
+      val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-refit-${graft.sqlx.PathTag.of(d)}"
       graft.ann.IvfPq.writeIndex(shifted.where(col("vec_id") % 10 =!= 7), path, dim = 64)
       graft.ann.IvfPq.appendToIndex(s, path, inc, incrementId = 1L)
       val refit = graft.ann.IvfPq.refitIfDrifted(
@@ -939,7 +939,7 @@ object LlmQueries {
       val e = corpusEmb(s, d)
       val q = e.where(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
-      val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-forget-${Integer.toHexString(d.hashCode)}"
+      val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-forget-${graft.sqlx.PathTag.of(d)}"
       graft.ann.IvfPq.writeIndex(e, path, dim = 64)
       graft.ann.IvfPq.deleteFromIndex(
         s, path, e.where(col("vec_id") % 10 === 3).select("vec_id"), incrementId = 1L)

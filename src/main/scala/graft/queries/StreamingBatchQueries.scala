@@ -176,7 +176,7 @@ object StreamingBatchQueries {
   private val streamFileSource = Q(
     (s, d) => {
       val dir = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), s"graft-stream-src-${Integer.toHexString(d.hashCode)}")
+        sys.props("java.io.tmpdir"), s"graft-stream-src-${graft.sqlx.PathTag.of(d)}")
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(d, "events.parquet"),
@@ -251,7 +251,7 @@ object StreamingBatchQueries {
     // to this layout so an older 2-file staging is never reused.
     val dir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
-      s"graft-$dirTag-8f-${Integer.toHexString(d.hashCode)}-${sourceFingerprint(s, d)}")
+      s"graft-$dirTag-8f-${graft.sqlx.PathTag.of(d)}-${sourceFingerprint(s, d)}")
     if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
       toStage.repartition(8).write.mode("overwrite").parquet(dir.toString)
     }
@@ -346,7 +346,7 @@ object StreamingBatchQueries {
     (s, d) => {
       val batch = graft.ml.TradeSuccess.scoringFrame(s, d)
       val dir = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), s"graft-stream-feat-${Integer.toHexString(d.hashCode)}")
+        sys.props("java.io.tmpdir"), s"graft-stream-feat-${graft.sqlx.PathTag.of(d)}")
       // restaged UNCONDITIONALLY, unlike the near-dup staging: that one
       // stages a raw table (cannot drift), this one stages a COMPUTED
       // frame — a _SUCCESS guard would keep serving stale features across
@@ -397,7 +397,7 @@ object StreamingBatchQueries {
   private val streamMvRefresh = Q(
     (s, d) => {
       val keys = Seq("event_type", "date")
-      val tag = Integer.toHexString(d.hashCode)
+      val tag = graft.sqlx.PathTag.of(d)
       val root = s"${sys.props("java.io.tmpdir")}/graft-mv-stream-$tag"
       // fingerprinted like runNearDupStream's corpus staging: regenerated
       // testdata at the same path must invalidate the staged raw slice
@@ -438,7 +438,7 @@ object StreamingBatchQueries {
   private val streamMvRetraction = Q(
     (s, d) => {
       val keys = Seq("event_type", "date")
-      val tag = Integer.toHexString(d.hashCode)
+      val tag = graft.sqlx.PathTag.of(d)
       val root = s"${sys.props("java.io.tmpdir")}/graft-mv-stream-retract-$tag"
       val dir = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"),

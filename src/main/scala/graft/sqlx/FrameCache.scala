@@ -13,9 +13,20 @@ import scala.collection.concurrent.TrieMap
 object FrameCache {
   private val frames = TrieMap.empty[String, DataFrame]
 
+  // Guaranteed-unique per-live-session ids (same discipline as Dsir's
+  // local corpus keys, round 16): 32-bit identityHashCode CAN collide
+  // between two live sessions, which would silently share cached frames
+  // across sessions. Weak keys: caching a frame never pins its session.
+  private val sessionIds =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Long]())
+  private val nextSessionId = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Session-scoped cache key. */
-  def key(spark: SparkSession, parts: String*): String =
-    (System.identityHashCode(spark).toString +: parts).mkString(":")
+  def key(spark: SparkSession, parts: String*): String = {
+    val sid = sessionIds.computeIfAbsent(spark, _ => nextSessionId.incrementAndGet())
+    (s"s$sid" +: parts).mkString(":")
+  }
 
   def getOrElseUpdate(k: String)(build: => DataFrame): DataFrame =
     frames.getOrElseUpdate(k, build)

@@ -1,0 +1,21 @@
+package graft.sqlx
+
+/** Collision-proof per-corpus-dir tag for session-staged store paths
+  * (`/tmp/graft-*-$tag`): 96 bits of md5 over the dir string.
+  *
+  * Replaces `Integer.toHexString(dir.hashCode)` (round 16): 32-bit
+  * String.hashCode is the same collision class [[PlanFingerprint]] and
+  * [[graft.sources.SourceFingerprint]] reject for memo keys — and store
+  * paths ARE keys: one session can legitimately run the same registered
+  * query over several corpus dirs (ScaleStress times every query on the
+  * base corpus and the synthesized 10×/30×/100× corpora back-to-back),
+  * and a tag collision would silently share a staged store, an ANN
+  * index, or a fitted-model directory across different corpora. md5 here
+  * costs nothing (once per query call, driver-side) and removes the
+  * class. */
+object PathTag {
+  def of(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+}

@@ -21,7 +21,7 @@ object ProfileStream {
     }
     time("warm count")(graft.Tables.documents(s, d).count())
     val dir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft-neardup-src2-${Integer.toHexString(d.hashCode)}")
+      sys.props("java.io.tmpdir"), s"graft-neardup-src2-${graft.sqlx.PathTag.of(d)}")
     if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
       graft.Tables.documents(s, d).repartition(2).write.mode("overwrite").parquet(dir.toString)
     time("static banding count cold")(
