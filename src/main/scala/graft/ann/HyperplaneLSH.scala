@@ -80,6 +80,23 @@ object HyperplaneLSH {
     * full-corpus job the precomputation exists to avoid. */
   final case class BucketTable(df: DataFrame, bits: Int)
 
+  /** Broadcast the exact-rescore embedding sides of the candidate joins
+    * when the corpus is at most this many bytes (N·dim·8, raw vector
+    * payload). The candidate stream is Θ(N·L·(B+1)·occ) id-pairs — at
+    * 100× stress scale ~4·10⁸ rows — and joining the embeddings back via
+    * sort-merge SORTS that stream twice (once per side); the round-16
+    * 100× run died spilling exactly there (UnsafeExternalSorter, "No
+    * space left on device") with ~77 GB of scratch. A broadcast-hash
+    * rescore never sorts the candidate stream: it flows straight through
+    * the join into the threshold filter. 256 MB ≈ 512k vectors at
+    * dim 64 — comfortably executor-sized; past it the hint falls away and
+    * the join reverts to shuffle (a real cluster's distributed scratch
+    * absorbs the sort — and at that N the documented near-dup path is the
+    * k-means-cell plan anyway). Auto-broadcast alone does not cover this:
+    * its default threshold (10 MB) gives up three orders of magnitude
+    * below what an executor comfortably holds. */
+  val RescoreBroadcastMaxBytes: Long = 256L << 20
+
   /** DuckDB mirror of the plane construction: a `(tbl, bit, plane)` table
     * for `FROM (SELECT unnest(range($tables)) AS t), (SELECT
     * unnest(range($bits)) AS b)`. Kept beside the Spark builder below so
@@ -194,8 +211,13 @@ object HyperplaneLSH {
         greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"))
       .distinct()
     val vn = vecs.withColumn("nrm", sqrt(dot(spark, col("emb"), col("emb"))))
-    val a = vn.select(col("vec_id").as("vec_a"), col("emb").as("ea"), col("nrm").as("na"))
-    val b = vn.select(col("vec_id").as("vec_b"), col("emb").as("eb"), col("nrm").as("nb"))
+    // executor-memory-sized corpora broadcast the rescore sides so the
+    // Θ(N·L·(B+1)·occ) candidate stream never pays a sort-merge sort —
+    // see [[RescoreBroadcastMaxBytes]]
+    val bcast = graft.sqlx.Counts.of(vecs) * dim * 8L <= RescoreBroadcastMaxBytes
+    def side(df: DataFrame) = if (bcast) broadcast(df) else df
+    val a = side(vn.select(col("vec_id").as("vec_a"), col("emb").as("ea"), col("nrm").as("na")))
+    val b = side(vn.select(col("vec_id").as("vec_b"), col("emb").as("eb"), col("nrm").as("nb")))
     cand.join(a, "vec_a").join(b, "vec_b")
       .select(col("vec_a"), col("vec_b"),
         round(when(col("na") =!= 0.0 && col("nb") =!= 0.0,
@@ -226,7 +248,11 @@ object HyperplaneLSH {
     val cand = qb.join(vb, Seq("table", "bucket"))
       .where(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id").distinct()
-    val vn = vecs.withColumn("nrm", sqrt(dot(spark, col("emb"), col("emb"))))
+    // same executor-sized broadcast rule as nearDupPairs' rescore: the
+    // candidate stream must not pay a sort-merge sort per side
+    val bcast = graft.sqlx.Counts.of(vecs) * dim * 8L <= RescoreBroadcastMaxBytes
+    def side(df: DataFrame) = if (bcast) broadcast(df) else df
+    val vn = side(vecs.withColumn("nrm", sqrt(dot(spark, col("emb"), col("emb")))))
     val qn = queries.withColumn("qnrm", sqrt(dot(spark, col("qemb"), col("qemb"))))
     val scored = cand
       .join(vn, "vec_id")
