@@ -65,8 +65,21 @@ def main() -> None:
             continue
         if art.get("sf") != 0.1:
             continue
-        qs = tail_queries(art.get("tail", ""))
+        tail = art.get("tail", "")
+        qs = tail_queries(tail)
         if not qs:
+            # silent-{} has two causes: no "queries" key at all (a non-bench
+            # artifact — fine), or a capture truncated BEFORE the object's
+            # closing '}' — the latter silently drops the whole round from
+            # the floor set, so make it loud (a capture-format drift would
+            # otherwise shrink the floors with no diagnostic).
+            if '"queries"' in tail:
+                print(
+                    f"  WARNING {path}: tail contains \"queries\" but no "
+                    "parseable entries - truncated before the closing brace? "
+                    "round dropped from floors",
+                    file=sys.stderr,
+                )
             continue
         sources.append(path)
         for name, sec in qs.items():

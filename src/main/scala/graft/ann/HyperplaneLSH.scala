@@ -94,8 +94,20 @@ object HyperplaneLSH {
     * absorbs the sort — and at that N the documented near-dup path is the
     * k-means-cell plan anyway). Auto-broadcast alone does not cover this:
     * its default threshold (10 MB) gives up three orders of magnitude
-    * below what an executor comfortably holds. */
+    * below what an executor comfortably holds.
+    *
+    * The gate compares the cap against N·dim·8 × [[RescoreOverheadFactor]],
+    * not raw payload: the broadcast row carries the nrm column plus
+    * UnsafeRow array headers, and the built hash relation roughly doubles
+    * the serialized bytes again — ~2× is the measured envelope. The two
+    * rescore sides alias ONE shared projection, so ReuseExchange ships a
+    * single broadcast copy (two independently-projected sides would not
+    * canonicalize to the same exchange and would double the footprint). */
   val RescoreBroadcastMaxBytes: Long = 256L << 20
+
+  /** Serialized-footprint multiplier over the raw N·dim·8 vector payload
+    * (nrm column + UnsafeRow headers + hash-relation build). */
+  val RescoreOverheadFactor: Long = 2L
 
   /** DuckDB mirror of the plane construction: a `(tbl, bit, plane)` table
     * for `FROM (SELECT unnest(range($tables)) AS t), (SELECT
@@ -213,11 +225,16 @@ object HyperplaneLSH {
     val vn = vecs.withColumn("nrm", sqrt(dot(spark, col("emb"), col("emb"))))
     // executor-memory-sized corpora broadcast the rescore sides so the
     // Θ(N·L·(B+1)·occ) candidate stream never pays a sort-merge sort —
-    // see [[RescoreBroadcastMaxBytes]]
-    val bcast = graft.sqlx.Counts.of(vecs) * dim * 8L <= RescoreBroadcastMaxBytes
-    def side(df: DataFrame) = if (bcast) broadcast(df) else df
-    val a = side(vn.select(col("vec_id").as("vec_a"), col("emb").as("ea"), col("nrm").as("na")))
-    val b = side(vn.select(col("vec_id").as("vec_b"), col("emb").as("eb"), col("nrm").as("nb")))
+    // see [[RescoreBroadcastMaxBytes]]. ONE shared projection, aliased
+    // per side: identical canonicalized children let ReuseExchange ship a
+    // single broadcast copy for both joins. (Counts.of memoizes only
+    // file-backed plans — an in-memory vecs frame pays a count job here.)
+    val bcast = graft.sqlx.Counts.of(vecs) * dim * 8L * RescoreOverheadFactor <=
+      RescoreBroadcastMaxBytes
+    val proj = vn.select(col("vec_id"), col("emb"), col("nrm"))
+    val shared = if (bcast) broadcast(proj) else proj
+    val a = shared.toDF("vec_a", "ea", "na")
+    val b = shared.toDF("vec_b", "eb", "nb")
     cand.join(a, "vec_a").join(b, "vec_b")
       .select(col("vec_a"), col("vec_b"),
         round(when(col("na") =!= 0.0 && col("nb") =!= 0.0,
@@ -250,7 +267,8 @@ object HyperplaneLSH {
       .select("query_id", "vec_id").distinct()
     // same executor-sized broadcast rule as nearDupPairs' rescore: the
     // candidate stream must not pay a sort-merge sort per side
-    val bcast = graft.sqlx.Counts.of(vecs) * dim * 8L <= RescoreBroadcastMaxBytes
+    val bcast = graft.sqlx.Counts.of(vecs) * dim * 8L * RescoreOverheadFactor <=
+      RescoreBroadcastMaxBytes
     def side(df: DataFrame) = if (bcast) broadcast(df) else df
     val vn = side(vecs.withColumn("nrm", sqrt(dot(spark, col("emb"), col("emb")))))
     val qn = queries.withColumn("qnrm", sqrt(dot(spark, col("qemb"), col("qemb"))))

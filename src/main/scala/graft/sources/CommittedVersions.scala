@@ -188,12 +188,23 @@ object CommittedVersions {
   /** Stage-and-CAS convenience for the common one-small-table version dir:
     * writes `df` to a unique `_staged-*` sibling, then [[tryPublish]]es it
     * as `v=expected`; throws the loud [[ConcurrentCommitException]] naming
-    * the store when a rival won. */
+    * the store when a rival won.
+    *
+    * The staged write coalesces to `maxFiles` (default ONE): every current
+    * store publishes a metadata-sized state — a row per symbol, a manifest,
+    * a generation pointer, a tombstone key-set — and writing such a table
+    * at shuffle parallelism lands up to 32 tiny files per version, times
+    * versions per run; the per-file open/commit overhead was the top
+    * inflater of the watermark queries on every loaded driver bench
+    * (round-16 verdict). `coalesce` collapses only the final stage — any
+    * upstream shuffle (the state derivation) keeps its parallelism. A
+    * future store whose versions carry real data should raise `maxFiles`
+    * toward its write parallelism rather than skip the bound. */
   def publishVersion(df: org.apache.spark.sql.DataFrame, root: String,
-                     expected: Long, store: String): Unit = {
+                     expected: Long, store: String, maxFiles: Int = 1): Unit = {
     val spark = df.sparkSession
     val staged = s"$root/_staged-${java.util.UUID.randomUUID}"
-    df.write.mode("overwrite").parquet(staged)
+    df.coalesce(maxFiles).write.mode("overwrite").parquet(staged)
     if (!tryPublish(spark, root, expected, staged))
       throw new ConcurrentCommitException(
         s"$store: version v=$expected under $root was committed by another " +

@@ -16,7 +16,9 @@ object FrameCache {
   // Guaranteed-unique per-live-session ids (same discipline as Dsir's
   // local corpus keys, round 16): 32-bit identityHashCode CAN collide
   // between two live sessions, which would silently share cached frames
-  // across sessions. Weak keys: caching a frame never pins its session.
+  // across sessions. Weak keys mean the id MAP never pins a session —
+  // but a cached DataFrame strongly references its session, so a session
+  // with any frame in `frames` stays reachable until clear().
   private val sessionIds =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Long]())

@@ -1,7 +1,10 @@
 package graft.sqlx
 
 /** Collision-proof per-corpus-dir tag for session-staged store paths
-  * (`/tmp/graft-*-$tag`): 96 bits of md5 over the dir string.
+  * (`/tmp/graft-*-$tag`): 48 bits of md5 over the dir string (6 bytes,
+  * 12 hex chars — birthday-collision odds ~n²/2⁴⁹, vanishing for the
+  * handful of corpus dirs a session ever touches, vs ~n²/2³³ for the
+  * 32-bit hashCode this replaced).
   *
   * Replaces `Integer.toHexString(dir.hashCode)` (round 16): 32-bit
   * String.hashCode is the same collision class [[PlanFingerprint]] and
