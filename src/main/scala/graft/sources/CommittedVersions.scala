@@ -30,7 +30,16 @@ final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
   * exactly one writer wins each version, the loser gets a loud
   * [[ConcurrentCommitException]] instead of silently orphaning the
   * winner's work, and a crashed writer leaves only unreferenced staging /
-  * claim garbage (vacuumed later) — never a blocked version number. */
+  * claim garbage (vacuumed later) — never a blocked version number.
+  *
+  * Round 17 makes the filesystem binding explicit: both atomic
+  * primitives dispatch through the pluggable [[CommitArbiter]] seam.
+  * HDFS-class and local filesystems get the default arbiter; S3-class
+  * object stores (no atomic rename, no conditional create through
+  * Hadoop) are REFUSED before any I/O unless a conditional-primitive
+  * arbiter is registered — the per-filesystem guarantee matrix lives in
+  * `docs/COMMITS.md`. The read half ([[list]]/[[latest]]) is listing +
+  * marker checks and works unguarded on any strongly-consistent store. */
 object CommittedVersions {
 
   private def fsOf(spark: SparkSession, path: String) =
@@ -49,33 +58,14 @@ object CommittedVersions {
   def latest(spark: SparkSession, root: String): Option[Long] =
     list(spark, root).maxOption
 
-  /** Atomic exclusive file create — true iff THIS caller created it. The
-    * one filesystem primitive every CAS here reduces to. On HDFS,
-    * create(overwrite=false) is atomic at the namenode; Hadoop's LOCAL
-    * filesystems however implement it as a non-atomic exists()-then-create
-    * (measured: 8 racing threads all "won"), so local paths route through
-    * java.nio's createFile — a real O_CREAT|O_EXCL. A generic IOException
-    * re-checks existence so an actual IO failure surfaces instead of
-    * silently reading as "lost the race". */
-  private[graft] def tryCreateExclusive(spark: SparkSession, file: String): Boolean = {
-    val p = new Path(file)
-    val fs = fsOf(spark, file)
-    fs match {
-      case _: org.apache.hadoop.fs.LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
-        val local = java.nio.file.Paths.get(p.toUri.getPath)
-        Option(local.getParent).foreach(java.nio.file.Files.createDirectories(_))
-        try { java.nio.file.Files.createFile(local); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      case _ =>
-        Option(p.getParent).foreach(fs.mkdirs(_))
-        try { fs.create(p, false).close(); true }
-        catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-          case _: java.nio.file.FileAlreadyExistsException => false
-          case e: java.io.IOException => if (fs.exists(p)) false else throw e
-        }
-    }
-  }
+  /** Atomic exclusive file create — true iff THIS caller created it. One
+    * of the two primitives every CAS here reduces to, dispatched through
+    * the per-filesystem [[CommitArbiter]] seam (the default Hadoop
+    * arbiter serves HDFS-class and local filesystems; object-store
+    * schemes fail loudly unless a conditional-primitive arbiter is
+    * registered — see docs/COMMITS.md). */
+  private[graft] def tryCreateExclusive(spark: SparkSession, file: String): Boolean =
+    CommitArbiter.forPath(file).tryCreateExclusive(spark, file)
 
   /** Allocate a fresh id ≥ `start` by exclusive create of
     * `claimDir/claim-<id>` — collision-free under any number of concurrent
@@ -120,32 +110,14 @@ object CommittedVersions {
     * filter in [[list]] never sees it); there is no claim to break and no
     * wedged next version. */
   /** Atomic no-overwrite rename — false iff dst already exists (or the
-    * rename raced and lost). FileSystem.rename is NOT this primitive: its
-    * contract moves src INTO an existing dst directory, mv-style (measured:
-    * a blind rename onto a committed version "succeeded" by nesting the
-    * staged dir inside it). Local paths use java.nio Files.move without
-    * REPLACE_EXISTING (rename(2): ENOTEMPTY on a non-empty dst — committed
-    * version dirs are never empty); remote filesystems go through
-    * FileContext.rename with the default Options.Rename.NONE, atomic at
-    * the namenode. */
+    * rename raced and lost). The second [[CommitArbiter]] primitive,
+    * dispatched per filesystem like [[tryCreateExclusive]]. */
   private def tryAtomicRename(spark: SparkSession, src: Path, dst: Path): Boolean =
-    fsOf(spark, dst.toString) match {
-      case _: org.apache.hadoop.fs.LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
-        try {
-          java.nio.file.Files.move(
-            java.nio.file.Paths.get(src.toUri.getPath),
-            java.nio.file.Paths.get(dst.toUri.getPath))
-          true
-        } catch { case _: java.io.IOException => false }
-      case _ =>
-        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-          dst.toUri, spark.sparkContext.hadoopConfiguration)
-        try { fc.rename(src, dst); true }
-        catch { case _: java.io.IOException => false }
-    }
+    CommitArbiter.forPath(dst.toString).tryAtomicRename(spark, src, dst)
 
   def tryPublish(spark: SparkSession, root: String, expected: Long,
                  staged: String): Boolean = {
+    CommitArbiter.forPath(root) // refuse unsupported filesystems BEFORE any I/O
     val fs = fsOf(spark, root)
     val dst = new Path(root, s"v=$expected")
     def attempt(): Boolean = tryAtomicRename(spark, new Path(staged), dst)
@@ -203,6 +175,7 @@ object CommittedVersions {
   def publishVersion(df: org.apache.spark.sql.DataFrame, root: String,
                      expected: Long, store: String, maxFiles: Int = 1): Unit = {
     val spark = df.sparkSession
+    CommitArbiter.forPath(root) // refuse unsupported filesystems BEFORE the staged write
     val staged = s"$root/_staged-${java.util.UUID.randomUUID}"
     df.coalesce(maxFiles).write.mode("overwrite").parquet(staged)
     if (!tryPublish(spark, root, expected, staged))

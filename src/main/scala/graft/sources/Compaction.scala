@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions.col
   * operator oracle-checkable. The rewrite goes to a NEW root (read and
   * overwrite of the same path in one job is unsafe in any engine); a real
   * deployment swaps the root atomically (rename / catalog pointer flip)
-  * and vacuums the old generation after readers drain.
+  * and vacuums the old generation after readers drain — on filesystems
+  * without atomic rename that flip must go through the
+  * [[CommittedVersions]] pointer CAS, whose per-filesystem guarantees
+  * (and the object-store [[CommitArbiter]] seam) are in docs/COMMITS.md.
   *
   * At production scale targetRowsPerFile is derived from the target file
   * BYTES (128 MiB–1 GiB) over the table's measured bytes-per-row; the

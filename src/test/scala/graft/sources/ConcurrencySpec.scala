@@ -278,4 +278,59 @@ class ConcurrencySpec extends SparkSpec {
       .map(_.select("vec_id").as[Long].collect().toSet).reduce(_ union _)
     assert(ids.toSet == want)
   }
+
+  // ---- commit-filesystem envelope (docs/COMMITS.md) -------------------
+
+  test("commit envelope: S3-class and unknown schemes are refused loudly BEFORE any I/O") {
+    // no hadoop-aws on this classpath: if the refusal came after a
+    // getFileSystem call these would die with "No FileSystem for scheme"
+    // instead of the protocol's own exception — the assertion pins that
+    // the scheme gate runs first.
+    for (bad <- Seq("s3a://bucket/store", "s3://bucket/store", "gs://bucket/store",
+                    "wasbs://c@a.blob.example/store", "mockfs://x/store")) {
+      val e = intercept[UnsupportedCommitFilesystemException] {
+        CommittedVersions.publishVersion(Seq(1L).toDF("x"), bad, 1L, "envelope-test")
+      }
+      assert(e.getMessage.contains("CommitArbiter.register"),
+        s"refusal for $bad must name the seam to plug: ${e.getMessage}")
+      val c = intercept[UnsupportedCommitFilesystemException] {
+        CommittedVersions.claimId(spark, s"$bad/_claims", 1L)
+      }
+      assert(c.getMessage.contains("refused"), s"claimId must refuse $bad too: ${c.getMessage}")
+    }
+  }
+
+  test("commit envelope: a registered arbiter is dispatched to for every primitive of a publish chain") {
+    val creates = new java.util.concurrent.atomic.AtomicInteger(0)
+    val renames = new java.util.concurrent.atomic.AtomicInteger(0)
+    // counting delegator over the default arbiter: behaviorally identical,
+    // so a concurrent suite publishing to file:// during the window is
+    // unaffected — registration overrides resolution, not behavior
+    val counting = new CommitArbiter {
+      def tryCreateExclusive(s: org.apache.spark.sql.SparkSession, f: String) = {
+        creates.incrementAndGet(); HadoopCommitArbiter.tryCreateExclusive(s, f)
+      }
+      def tryAtomicRename(s: org.apache.spark.sql.SparkSession,
+                          src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path) = {
+        renames.incrementAndGet(); HadoopCommitArbiter.tryAtomicRename(s, src, dst)
+      }
+    }
+    CommitArbiter.register("file", counting)
+    try {
+      val root = tmp("arbiter-dispatch"); clear(root)
+      CommittedVersions.publishVersion(Seq(1L).toDF("x"), root, 1L, "dispatch-test")
+      val id = CommittedVersions.claimId(spark, s"$root/_claims", 1L)
+      assert(id == 1L)
+      assert(renames.get() >= 1, "publish chain never reached the registered arbiter's rename")
+      assert(creates.get() >= 1, "claim chain never reached the registered arbiter's create")
+      assert(CommittedVersions.latest(spark, root).contains(1L))
+    } finally CommitArbiter.deregister("file")
+    // post-deregistration the default resolution is back (snapshot-compare:
+    // a concurrent suite's publish during the registration window may have
+    // legitimately inflated the counter)
+    val snapshot = renames.get()
+    val root2 = tmp("arbiter-default"); clear(root2)
+    CommittedVersions.publishVersion(Seq(2L).toDF("x"), root2, 1L, "dispatch-test")
+    assert(renames.get() == snapshot, "deregistered arbiter still receiving calls")
+  }
 }
