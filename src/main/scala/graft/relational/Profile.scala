@@ -11,17 +11,24 @@ import org.apache.spark.sql.types._
   * then unpivoted driver-side into per-column rows (the unpivot touches
   * metadata, never data).
   *
-  * Distinct counts: `exact = true` is AUDIT-ONLY — it full-shuffles every
-  * cell of the table as strings and exists to anchor the approx twin's
+  * Distinct counts: `exact = true` is AUDIT-ONLY — it counts every
+  * column's distinct values exactly and exists to anchor the approx twin's
   * error bound at test SF; at 100 TB run `exact = false`
-  * (`table_profile_approx`), the single-scan KMV sketch path. The audit mode
-  * melts the table into (column, canonical value) pairs — an injective string encoding, so distinct-pair count =
-  * COUNT(DISTINCT col) — and counts distinct pairs per column: map-side
-  * partial dedup means the shuffle carries only distinct pairs, never the
-  * N-aggregate Expand blow-up Spark plans for multi-column COUNT(DISTINCT)
-  * (measured 6× slower than this shape at sf0.1). Exact mode therefore
-  * costs two columnar scans (stats + melt); `exact = false` keeps one scan
-  * with a KMV bottom-k sketch per column (graft.functions.Kmv, k=2048,
+  * (`table_profile_approx`), the single-scan KMV sketch path. The audit
+  * mode caches the table once and submits one NATIVE `COUNT(DISTINCT c)`
+  * job per column CONCURRENTLY over the shared cache: each job is a plain
+  * two-stage hash aggregate over one cached column — typed values, no
+  * string casts, map-side partial dedup so the shuffle carries only that
+  * column's distinct values — and the concurrent submission keeps all
+  * cores busy even when the cached scan has few splits (the round-16
+  * shape, a rows×cols string melt feeding a global distinct, put the
+  * 11×N string-cast explode on the scan's task count — the single most
+  * load-sensitive query on every loaded driver bench; the one-aggregation
+  * multi-COUNT(DISTINCT) alternative was measured 6× slower still, via
+  * Spark's Expand). Exact mode therefore costs one source scan (cache
+  * build) + metadata-cheap cached passes; `exact = false` keeps one
+  * uncached scan with a KMV bottom-k sketch per column
+  * (graft.functions.Kmv, k=2048,
   * rsd ≈ 2.2%) — same one-pass mergeable posture as the HLL++ it replaced,
   * but deterministic md5 arithmetic, so the whole approx profile is
   * hash-checked against a DuckDB replay ([[kmvDistinctSql]]) instead of
@@ -97,25 +104,30 @@ object Profile {
             canonical(col(f.name), f.dataType)).as(s"__h52_${f.name}")
         }: _*)
       }
-    // exact: melt → distinct (column, value) pairs → count per column;
-    // 11 longs collected driver-side (metadata, independent of table size)
+    // exact: one shared cache, one native COUNT(DISTINCT) job per column,
+    // submitted concurrently (Spark's scheduler interleaves them; results
+    // are 11 longs collected driver-side — metadata, independent of table
+    // size). + 0.0 normalizes floating -0.0 → 0.0 so the count matches
+    // engines that collapse the two (the cast-to-string oracle does).
+    val cachedOpt = if (exact) Some(df.persist()) else None
     val exactDistinct: Map[String, Long] =
-      if (!exact) Map.empty
-      else df.select(explode(array(fields.map { f =>
-          // + 0.0 normalizes floating -0.0 → 0.0 before the string cast:
-          // native COUNT(DISTINCT) treats them as one value but their
-          // strings ("-0.0"/"0.0") differ
-          val v = f.dataType match {
-            case FloatType | DoubleType => col(f.name) + lit(0.0)
-            case _ => col(f.name)
+      cachedOpt match {
+        case None => Map.empty
+        case Some(cached) =>
+          cached.count() // materialize the cache with ONE source scan
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          implicit val ec: ExecutionContext = ExecutionContext.global
+          val jobs = fields.map { f =>
+            val v = f.dataType match {
+              case FloatType | DoubleType => col(f.name) + lit(0.0)
+              case _ => col(f.name)
+            }
+            Future(f.name ->
+              cached.select(countDistinct(v).as("n")).head().getLong(0))
           }
-          struct(lit(f.name).as("c"), v.cast("string").as("v"))
-        }: _*)).as("p"))
-        .select(col("p.c").as("c"), col("p.v").as("v"))
-        .where(col("v").isNotNull)
-        .distinct()
-        .groupBy("c").agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          Await.result(Future.sequence(jobs), Duration.Inf).toMap
+      }
     val statCols: Seq[Column] = count(lit(1)).as("n_rows") +: fields.flatMap { f =>
       val c = col(f.name)
       val base = Seq(count(c).as(s"${f.name}__nonnull")) ++
@@ -138,8 +150,11 @@ object Profile {
       base ++ typed
     }
     // the 1-row stats result is checkpointed so the per-column selects
-    // below re-read a materialized row instead of re-running the aggregate
-    val row = src.agg(statCols.head, statCols.tail: _*).localCheckpoint()
+    // below re-read a materialized row instead of re-running the aggregate;
+    // in exact mode it reads the shared cache (localCheckpoint is eager,
+    // so the unpersist below never races the stats job)
+    val row = cachedOpt.getOrElse(src).agg(statCols.head, statCols.tail: _*).localCheckpoint()
+    cachedOpt.foreach(_.unpersist(false))
 
     val nullD = lit(null).cast("double")
     val nullS = lit(null).cast("string")
