@@ -17,8 +17,20 @@ package graft.sqlx
   * costs nothing (once per query call, driver-side) and removes the
   * class. */
 object PathTag {
-  def of(dir: String): String =
-    java.security.MessageDigest.getInstance("MD5")
+  // tag -> corpus dir, every tag this JVM ever minted: the registry that
+  // lets FrameCache.clearSessionStores() vacuum exactly this session's
+  // staged /tmp/graft-* stores without touching anything else. Bounded by
+  // the number of distinct corpus dirs a session touches (a handful).
+  private val minted = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def of(dir: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString
+    minted.put(tag, dir)
+    tag
+  }
+
+  /** Every tag minted by this JVM (see [[FrameCache.clearSessionStores]]). */
+  private[graft] def mintedTags: Set[String] = minted.keySet.toSet
 }
