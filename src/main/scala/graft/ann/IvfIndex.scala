@@ -374,9 +374,10 @@ object IvfIndex {
         // the retry (and every probe) fails loudly instead
         val (fs, marker) = commitMarker(spark, path)
         fs.delete(marker, false)
-        val cents = spark.read.parquet(s"$path/centroids")
-          .orderBy("cell").collect()
-          .map(r => r.getAs[Seq[Double]]("centroid").toArray)
+        // centroid table is k rows of driver metadata — driver-side read,
+        // no Spark job (round 17)
+        val cents = graft.sources.TinyParquet.rows(spark, s"$path/centroids")
+          .sortBy(_.int("cell")).map(_.doubles("centroid")).toArray
         val assigned = newVecs.select(col("vec_id"), col("emb"),
           graft.functions.NearestCell.nearest(spark, col("emb"), cents).as("cell"))
         assigned.write.mode("append").partitionBy("cell").parquet(s"$path/assigned")
@@ -395,7 +396,12 @@ object IvfIndex {
   def approxTopKStored(spark: org.apache.spark.sql.SparkSession, path: String,
                        queries: DataFrame, k: Int, nProbe: Int = 8): DataFrame = {
     requireCommitted(spark, path)
-    val cents = spark.read.parquet(s"$path/centroids")
+    // centroids as a LOCAL relation: the probe's broadcast cross then
+    // builds without a file-scan job (round 17)
+    import spark.implicits._
+    val cents = graft.sources.TinyParquet.rows(spark, s"$path/centroids")
+      .map(r => (r.int("cell"), r.doubles("centroid").toSeq))
+      .toDF("cell", "centroid")
     val qcells = probeCells(queries, cents, nProbe)
     val probed = qcells.select("cell").distinct().collect()
       .map(_.getInt(0)).sorted.toSeq

@@ -128,14 +128,16 @@ object IvfPq {
     val (fs, marker) = commitMarker(spark, path)
     require(fs.exists(marker),
       s"$path has no _index_commit marker: writeIndex did not complete (or is mid-rebuild)")
-    val coarse = spark.read.parquet(s"$path/centroids")
-      .orderBy("cell").collect()
-      .map(r => r.getAs[Seq[Double]]("centroid").toArray)
-    val cbRows = spark.read.parquet(s"$path/codebooks")
-      .orderBy("j", "code").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getAs[Seq[Double]]("cent").toArray))
+    // centroid/codebook tables are k·m rows of driver metadata: read them
+    // on the driver (TinyParquet) — each spark.read...collect() here was a
+    // measured fixed-cost job on every append/refit (round 17)
+    val coarse = graft.sources.TinyParquet.rows(spark, s"$path/centroids")
+      .sortBy(_.int("cell")).map(_.doubles("centroid")).toArray
+    val cbRows = graft.sources.TinyParquet.rows(spark, s"$path/codebooks")
+      .map(r => (r.int("j"), r.int("code"), r.doubles("cent")))
     val m = cbRows.map(_._1).max + 1
-    val cbs = Array.tabulate(m)(j => cbRows.filter(_._1 == j).sortBy(_._2).map(_._3))
+    val cbs = Array.tabulate(m)(j =>
+      cbRows.filter(_._1 == j).sortBy(_._2).map(_._3).toArray)
     (coarse, cbs)
   }
 
@@ -294,15 +296,25 @@ object IvfPq {
     val (fs, marker) = commitMarker(spark, path)
     require(fs.exists(marker),
       s"$path has no _index_commit marker: writeIndex did not complete (or is mid-rebuild)")
-    val cents = spark.read.parquet(s"$path/centroids")
-    val cbDf = spark.read.parquet(s"$path/codebooks") // (j, code, cent, cn2)
+    import spark.implicits._
+    // quantizer metadata as LOCAL relations (driver-read, k·m rows): their
+    // broadcasts then build without a file-scan job each — three fewer
+    // fixed-cost jobs per stored probe (round-17 measurement); the CODES
+    // table stays a parquet scan, it is the data
+    val centRows = graft.sources.TinyParquet.rows(spark, s"$path/centroids")
+    val cents = centRows.map(r => (r.int("cell"), r.doubles("centroid").toSeq))
+      .toDF("cell", "centroid")
+    val cbRows = graft.sources.TinyParquet.rows(spark, s"$path/codebooks")
+    val cbDf = cbRows
+      .map(r => (r.int("j"), r.int("code"), r.doubles("cent").toSeq, r.double("cn2")))
+      .toDF("j", "code", "cent", "cn2") // (j, code, cent, cn2)
     val codesDf = spark.read.parquet(s"$path/codes")
     // m from the stored schema (no job); sd from the stored sub-centroid
     // width, VALIDATED against the caller's dim — graft_dot truncates to
     // the shorter array, so an unchecked mismatch would return silently
     // wrong neighbours instead of failing
     val m = codesDf.columns.count(_.startsWith("code_"))
-    val sd = cbDf.select("cent").head.getAs[Seq[Double]](0).length
+    val sd = cbRows.head.doubles("cent").length
     require(m * sd == dim,
       s"stored index is m=$m × sd=$sd (dim ${m * sd}); caller passed dim=$dim")
     val qcells = IvfIndex.probeCells(queries, cents, nProbe)
@@ -467,11 +479,15 @@ object IvfPq {
     val (fs, marker) = commitMarker(spark, path)
     require(fs.exists(marker),
       s"$path has no _index_commit marker: writeIndex/append did not complete (or is mid-mutation)")
+    import spark.implicits._
     val codesDf = spark.read.parquet(s"$path/codes")
     val m = codesDf.columns.count(_.startsWith("code_"))
     val sd = dim / m
-    val nCells = spark.read.parquet(s"$path/centroids").count().toInt
-    val cb = spark.read.parquet(s"$path/codebooks").select("j", "code", "cent")
+    // metadata counts/tables from driver-side reads — no per-call jobs
+    val nCells = graft.sources.TinyParquet.rows(spark, s"$path/centroids").size
+    val cb = graft.sources.TinyParquet.rows(spark, s"$path/codebooks")
+      .map(r => (r.int("j"), r.int("code"), r.doubles("cent").toSeq))
+      .toDF("j", "code", "cent")
     val dec = (c: org.apache.spark.sql.Column) =>
       c.cast(org.apache.spark.sql.types.DecimalType(25, 10))
     val terms = Pq.meltCodes(codesDf, m, Seq("vec_id", "cell"))
@@ -545,11 +561,12 @@ object IvfPq {
     val imbalance = h.headOption.map(_.getDouble(4)).getOrElse(1.0)
     val drifted = mseRatio >= mseRatioTrigger || imbalance >= imbalanceTrigger
     if (drifted) {
-      // geometry from the stored index, not parameter defaults
-      val nCells = spark.read.parquet(s"$path/centroids").count().toInt
-      val cb = spark.read.parquet(s"$path/codebooks")
-      val m = cb.agg(max(col("j"))).head().getInt(0) + 1
-      val codes = cb.agg(max(col("code"))).head().getInt(0) + 1
+      // geometry from the stored index, not parameter defaults —
+      // driver-side metadata reads (three Spark jobs here before round 17)
+      val nCells = graft.sources.TinyParquet.rows(spark, s"$path/centroids").size
+      val cbRows = graft.sources.TinyParquet.rows(spark, s"$path/codebooks")
+      val m = cbRows.map(_.int("j")).max + 1
+      val codes = cbRows.map(_.int("code")).max + 1
       val appliedBefore = IndexLedger.applied(spark, path)
       writeIndex(corpus, path, dim, nCells = nCells, m = m, codes = codes,
         seed = seed, maxTrain = maxTrain)

@@ -41,11 +41,19 @@ object ConnectedComponents {
     var converged = e.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
-      // fixpoint = identical edge set (exact, not a hash heuristic); both
-      // sides are already distinct so two anti-joins decide it
-      converged = next.except(e).union(e.except(next)).isEmpty
-      e = next
+      // fixpoint = identical edge set (exact, not a hash heuristic). The
+      // round's edges and the convergence diff are computed in ONE
+      // materialized action: a full-outer join of next against e (both
+      // distinct, so it is 1:1) is checkpointed, the diff test and the
+      // next round's edge set are then cheap scans of the checkpoint —
+      // round 17 replaced the separate except∪except job per round, which
+      // re-shuffled both edge sets a second time just to compare them.
+      val next = smallStar(largeStar(e))
+      val cp = next.withColumn("_n", lit(1))
+        .join(e.withColumn("_o", lit(1)), Seq("u", "v"), "full_outer")
+        .localCheckpoint()
+      converged = cp.where(col("_n").isNull || col("_o").isNull).isEmpty
+      e = cp.where(col("_n") === 1).select("u", "v")
       iter += 1
     }
     require(converged, s"connected components did not converge in $maxIter rounds")

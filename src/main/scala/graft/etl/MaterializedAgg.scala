@@ -99,11 +99,17 @@ object MaterializedAgg {
   private def manifestVersions(spark: SparkSession, root: String): Seq[Long] =
     graft.sources.CommittedVersions.list(spark, s"$root/_manifest")
 
+  /** The manifest is ≤ NBuckets rows: read it on the driver
+    * ([[graft.sources.TinyParquet]]) — a Spark job per manifest read was
+    * measured fixed cost on every refresh/retract/read (round 17). */
+  private def manifestAt(spark: SparkSession, root: String, v: Long): Seq[MvManifestRow] =
+    graft.sources.TinyParquet.rows(spark, s"$root/_manifest/v=$v")
+      .map(r => MvManifestRow(r.int("bucket"), r.long("gen"), r.long("applied_batch")))
+
   private def readManifest(spark: SparkSession, root: String): (Long, Seq[MvManifestRow]) = {
     val v = manifestVersions(spark, root).maxOption.getOrElse(
       sys.error(s"no committed manifest under $root — writeInit never completed"))
-    import spark.implicits._
-    (v, spark.read.parquet(s"$root/_manifest/v=$v").as[MvManifestRow].collect().toSeq)
+    (v, manifestAt(spark, root, v))
   }
 
   /** Commit manifest version `v` via the shared check-and-fail CAS
@@ -138,11 +144,12 @@ object MaterializedAgg {
     versions.dropRight(RetainManifests).foreach { v =>
       fs.delete(new Path(s"$root/_manifest/v=$v"), true)
     }
-    import spark.implicits._
-    val live: Set[(Int, Long)] = versions.takeRight(RetainManifests).flatMap { v =>
-      spark.read.parquet(s"$root/_manifest/v=$v").as[MvManifestRow].collect()
-        .map(r => (r.bucket, r.gen))
-    }.toSet
+    // each retained manifest read once, on the driver; the oldest-head
+    // claim floor below reuses this pass instead of re-reading
+    val retained: Seq[(Long, Seq[MvManifestRow])] =
+      versions.takeRight(RetainManifests).map(v => v -> manifestAt(spark, root, v))
+    val live: Set[(Int, Long)] =
+      retained.flatMap(_._2.map(r => (r.bucket, r.gen))).toSet
     val maxLive = live.map(_._2).maxOption.getOrElse(0L)
     val cutoff = System.currentTimeMillis() - OrphanAgeMs
     val dataRoot = new Path(s"$root/data")
@@ -170,9 +177,8 @@ object MaterializedAgg {
     // retained writer claims from its read manifest's max gen + 1); the
     // newer heads' claims must survive or a stale rival could re-claim a
     // generation that is still live
-    val oldestRetainedHead = versions.takeRight(RetainManifests).headOption.map { v =>
-      spark.read.parquet(s"$root/_manifest/v=$v").as[MvManifestRow].collect()
-        .map(_.gen).maxOption.getOrElse(0L)
+    val oldestRetainedHead = retained.headOption.map {
+      case (_, rows) => rows.map(_.gen).maxOption.getOrElse(0L)
     }.getOrElse(0L)
     graft.sources.CommittedVersions.vacuumClaims(
       spark, s"$root/data/_genclaims", oldestRetainedHead)
@@ -394,26 +400,41 @@ object MaterializedAgg {
         // 27 integer digits would cast to NULL and silently poison the
         // group without tripping the negative-count guard. A group with
         // surviving non-null values (n_vals > 0) can never have a NULL
-        // sum_dec legitimately — raise it loudly before anything is written
-        val poisoned = updated
-          .where(col("n_vals") > 0 && col("sum_dec").isNull).limit(1).collect()
+        // sum_dec legitimately. All three abort guards (decimal poisoning,
+        // negative counts, orphaned delete groups) are metadata-sized
+        // probes over the persisted state — they run as ONE Spark action
+        // (a union of limit-1 branches) instead of three, a fixed-cost
+        // job per guard on every retract (round-17 measurement); priority
+        // among simultaneous violations is decided on the driver below.
+        def witness(df: DataFrame, kind: String) =
+          df.select(lit(kind).as("kind"),
+            to_json(struct(df.columns.map(col): _*)).as("row")).limit(1)
+        val issues = witness(updated.where(col("n_vals") > 0 && col("sum_dec").isNull),
+            "poisoned")
+          .unionByName(witness(updated.where(col("n_rows") < 0 || col("n_vals") < 0),
+            "bad"))
+          // orphaned deletes (a group the state never had) are the same
+          // contract breach — they'd vanish silently through the left join
+          .unionByName(witness(del.join(state, keys, "left_anti"), "orphan"))
+          .collect()
+        def firstOf(kind: String) = issues.collectFirst {
+          case r if r.getString(0) == kind => r.getString(1)
+        }
+        val poisoned = firstOf("poisoned")
         require(poisoned.isEmpty,
           s"retract: decimal headroom exhausted — group " +
-            s"${poisoned.headOption.map(_.toString).getOrElse("")} has a stored " +
+            s"${poisoned.getOrElse("")} has a stored " +
             "sum past the (37,10) cast's 27 integer digits and the subtraction " +
             "cast it to NULL; nothing was written")
-        val bad = updated.where(col("n_rows") < 0 || col("n_vals") < 0)
-          .limit(1).collect()
+        val bad = firstOf("bad")
         require(bad.isEmpty,
           s"retract: delete batch subtracts more rows than the view holds for " +
-            s"group ${bad.headOption.map(_.toString).getOrElse("")} — deletes must " +
+            s"group ${bad.getOrElse("")} — deletes must " +
             "be rows the view folded in; nothing was written")
-        // orphaned deletes (a group the state never had) are the same
-        // contract breach — they'd vanish silently through the left join
-        val orphan = del.join(state, keys, "left_anti").limit(1).collect()
+        val orphan = firstOf("orphan")
         require(orphan.isEmpty,
           s"retract: delete batch names a group the view does not hold " +
-            s"(${orphan.headOption.map(_.toString).getOrElse("")})")
+            s"(${orphan.getOrElse("")})")
         val survivors = updated.where(col("n_rows") > 0)
         val dirtyKeys = survivors.where(col("dirty")).select(keys.map(col): _*)
         val recomputed = remaining.join(dirtyKeys, keys, "left_semi")

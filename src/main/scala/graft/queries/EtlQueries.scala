@@ -573,18 +573,27 @@ object EtlQueries {
       val ev = graft.Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
           col("ts").cast("date").as("date"))
-      ev.repartition(4)
-        .write.parquet(graft.sources.TableMaintenance.dataPath(root, 1L))
-      graft.sources.TableMaintenance.initGen(s, root, Seq("user_id"), Seq("user_id"))
-      graft.etl.MaterializedAgg.writeInit(ev, keys, "value", rootMv)
-      // the request
+      // the base store and the MV are DIFFERENT stores: their staging and
+      // their halves of the takedown have no happens-before edge, so each
+      // pair runs concurrently (guide §2.6) — program order is preserved
+      // WITHIN each store (write→init→forget→maintain; init→retract)
       val gone = col("user_id") % 23 === 7
-      graft.sources.TableMaintenance.forget(s, root, "user_id",
-        ev.where(gone).select("user_id"))
-      graft.sources.TableMaintenance.maintain(
-        s, root, "user_id", 50000L, Seq("user_id"), Seq("user_id"))
-      graft.etl.MaterializedAgg.retract(
-        s, rootMv, ev.where(gone), ev.where(!gone), keys, "value")
+      graft.sqlx.Par.run(
+        () => {
+          ev.repartition(4)
+            .write.parquet(graft.sources.TableMaintenance.dataPath(root, 1L))
+          graft.sources.TableMaintenance.initGen(s, root, Seq("user_id"), Seq("user_id"))
+        },
+        () => graft.etl.MaterializedAgg.writeInit(ev, keys, "value", rootMv))
+      graft.sqlx.Par.run(
+        () => {
+          graft.sources.TableMaintenance.forget(s, root, "user_id",
+            ev.where(gone).select("user_id"))
+          graft.sources.TableMaintenance.maintain(
+            s, root, "user_id", 50000L, Seq("user_id"), Seq("user_id"))
+        },
+        () => graft.etl.MaterializedAgg.retract(
+          s, rootMv, ev.where(gone), ev.where(!gone), keys, "value"))
       val fromStore = graft.sources.TableMaintenance.readCurrent(s, root)
         .groupBy("event_type", "date")
         .agg(count(lit(1)).as("n_rows"), Exact.decSumAgg(col("value")).as("value_sum"))
@@ -630,24 +639,35 @@ object EtlQueries {
       val docs = graft.Tables.documents(s, d).select("doc_id", "source", "n_chars")
       val emb = graft.Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      // stage the three serving surfaces from the same corpus
-      docs.repartition(4)
-        .write.parquet(graft.sources.TableMaintenance.dataPath(s"$root/store", 1L))
-      graft.sources.TableMaintenance.initGen(
-        s, s"$root/store", Seq("doc_id"), Seq("doc_id"))
-      graft.etl.MaterializedAgg.writeInit(docs, Seq("source"), "n_chars", s"$root/mv")
-      graft.ann.IvfPq.writeIndex(emb, s"$root/index", dim = 64)
-      // ONE takedown request: documents (= vectors) with id % 23 = 7
+      // stage the three serving surfaces from the same corpus, then apply
+      // the takedown to each — the surfaces are INDEPENDENT stores, so
+      // staging and the three request halves run concurrently (guide
+      // §2.6); program order holds within each surface (write→init→
+      // forget→maintain; init→retract; write→delete)
       val gone = col("doc_id") % 23 === 7
-      graft.sources.TableMaintenance.forget(
-        s, s"$root/store", "doc_id", docs.where(gone).select("doc_id"))
-      graft.sources.TableMaintenance.maintain(
-        s, s"$root/store", "doc_id", 50000L, Seq("doc_id"), Seq("doc_id"))
-      graft.etl.MaterializedAgg.retract(
-        s, s"$root/mv", docs.where(gone), docs.where(!gone), Seq("source"), "n_chars")
-      graft.ann.IvfPq.deleteFromIndex(
-        s, s"$root/index", emb.where(col("vec_id") % 23 === 7).select("vec_id"),
-        incrementId = 1L)
+      graft.sqlx.Par.run(
+        () => {
+          docs.repartition(4)
+            .write.parquet(graft.sources.TableMaintenance.dataPath(s"$root/store", 1L))
+          graft.sources.TableMaintenance.initGen(
+            s, s"$root/store", Seq("doc_id"), Seq("doc_id"))
+        },
+        () => graft.etl.MaterializedAgg.writeInit(
+          docs, Seq("source"), "n_chars", s"$root/mv"),
+        () => graft.ann.IvfPq.writeIndex(emb, s"$root/index", dim = 64))
+      // ONE takedown request: documents (= vectors) with id % 23 = 7
+      graft.sqlx.Par.run(
+        () => {
+          graft.sources.TableMaintenance.forget(
+            s, s"$root/store", "doc_id", docs.where(gone).select("doc_id"))
+          graft.sources.TableMaintenance.maintain(
+            s, s"$root/store", "doc_id", 50000L, Seq("doc_id"), Seq("doc_id"))
+        },
+        () => graft.etl.MaterializedAgg.retract(
+          s, s"$root/mv", docs.where(gone), docs.where(!gone), Seq("source"), "n_chars"),
+        () => graft.ann.IvfPq.deleteFromIndex(
+          s, s"$root/index", emb.where(col("vec_id") % 23 === 7).select("vec_id"),
+          incrementId = 1L))
       // independent read-back of every surface
       val fromStore = graft.sources.TableMaintenance.readCurrent(s, s"$root/store")
         .groupBy(col("source").as("grp"))
@@ -725,10 +745,11 @@ object EtlQueries {
       val head2 = graft.sources.CommittedVersions.latest(s, root).get
       graft.sources.CommittedVersions.publishVersion(
         payload("b", nB), root, head2 + 1L, "commit-chain")
-      // the committed chain, read back from disk
+      // the committed chain, read back from disk — one-row payloads, read
+      // driver-side (a Spark job per version before round 17)
       val chain = graft.sources.CommittedVersions.list(s, root).sorted.map { v =>
-        val r = s.read.parquet(s"$root/v=$v").head()
-        (v, r.getString(r.fieldIndex("writer")), r.getLong(r.fieldIndex("n")), false)
+        val r = graft.sources.TinyParquet.rows(s, s"$root/v=$v").head
+        (v, r.string("writer"), r.long("n"), false)
       }
       (chain ++ conflict).toDF("version", "writer", "n", "conflict")
         .orderBy("version", "writer")

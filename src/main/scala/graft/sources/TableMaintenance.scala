@@ -70,12 +70,22 @@ object TableMaintenance {
   /** Full head state: (pointer version, generation, purged_through) —
     * `purged_through` is the highest tombstone version PHYSICALLY applied
     * to that generation's files; tombstones above it are still pending
-    * (masked at read, purged by the next [[maintain]]). */
+    * (masked at read, purged by the next [[maintain]]). The pointer is a
+    * ONE-ROW table: it is read on the driver ([[TinyParquet]]) — round 17
+    * measured a full Spark job per pointer read, ~70 ms of fixed cost a
+    * store operation pays up to five times over. */
   def headState(spark: SparkSession, root: String): (Long, Long, Long) = {
     val v = pointerVersions(spark, root).maxOption.getOrElse(
       sys.error(s"no committed generation pointer under $root"))
-    val r = spark.read.parquet(s"$root/_current/v=$v").head()
-    (v, r.getLong(r.fieldIndex("gen")), purgedThroughOf(r))
+    val (gen, purged) = pointerAt(spark, root, v)
+    (v, gen, purged)
+  }
+
+  /** (gen, purged_through) of pointer version `v` — driver-side read. */
+  private def pointerAt(spark: SparkSession, root: String, v: Long): (Long, Long) = {
+    val r = TinyParquet.rows(spark, s"$root/_current/v=$v").headOption.getOrElse(
+      sys.error(s"empty generation pointer at $root/_current/v=$v"))
+    (r.long("gen"), purgedThroughOf(r))
   }
 
   /** Pointer rows committed before the round-13 purge horizon carried only
@@ -87,13 +97,12 @@ object TableMaintenance {
     * allocation floor reuse a dead tombstone version at or below the true
     * purge horizon after a vacuum, the lost-delete this watermark exists
     * to prevent (round-14 review finding). */
-  private def purgedThroughOf(r: org.apache.spark.sql.Row): Long =
-    if (!r.schema.fieldNames.contains("purged_through")) 0L
+  private def purgedThroughOf(r: TinyParquet.Rec): Long =
+    if (!r.has("purged_through")) 0L
     else {
-      val i = r.fieldIndex("purged_through")
-      require(!r.isNullAt(i),
+      require(!r.isNull("purged_through"),
         "corrupt generation pointer: purged_through present but NULL")
-      r.getLong(i)
+      r.long("purged_through")
     }
 
   /** The committed current generation. */
@@ -117,10 +126,17 @@ object TableMaintenance {
                 statsCols: Seq[String], bloomCols: Seq[String],
                 basedOnVersion: Long, purgedThrough: Long = 0L): Unit = {
     import spark.implicits._
-    StatsManifest.build(spark, dataPath(root, gen), statsCols)
-      .coalesce(1).write.mode("overwrite").parquet(statsPath(root, gen))
+    // the two index harvests read the same files but share no state:
+    // submit them concurrently so the second's tasks back-fill the
+    // first's tail (optimization-guide §2.6) — both still land strictly
+    // before the pointer flip, so the commit contract is unchanged
+    val statsJob = concurrent.Future(
+      StatsManifest.build(spark, dataPath(root, gen), statsCols)
+        .coalesce(1).write.mode("overwrite").parquet(statsPath(root, gen)))(
+      concurrent.ExecutionContext.global)
     BloomSkipIndex.build(spark, dataPath(root, gen), bloomCols)
       .coalesce(1).write.mode("overwrite").parquet(bloomPath(root, gen))
+    concurrent.Await.result(statsJob, concurrent.duration.Duration.Inf)
     CommittedVersions.publishVersion(
       Seq((gen, purgedThrough)).toDF("gen", "purged_through").coalesce(1),
       s"$root/_current", basedOnVersion + 1L,
@@ -180,8 +196,11 @@ object TableMaintenance {
     versions.dropRight(RetainGens + 1).foreach { v =>
       f.delete(new Path(s"$root/_current/v=$v"), true)
     }
-    val liveGens = pointerVersions(spark, root).map(v =>
-      spark.read.parquet(s"$root/_current/v=$v").head().getLong(0)).toSet
+    // every retained pointer is read ONCE, on the driver (they are one-row
+    // tables); liveGens and the purge floor below share this single pass
+    val retainedPointers = pointerVersions(spark, root).map(v =>
+      pointerAt(spark, root, v))
+    val liveGens = retainedPointers.map(_._1).toSet
     val maxLive = liveGens.maxOption.getOrElse(0L)
     val cutoff = System.currentTimeMillis() - OrphanAgeMs
     f.listStatus(new Path(root)).toSeq
@@ -206,9 +225,7 @@ object TableMaintenance {
     // the request asked to forget). Version-number reuse is prevented by
     // [[forget]] allocating above the pointer's own purged_through
     // watermark, which survives any tombstone vacuum.
-    val minPurged = pointerVersions(spark, root).map { v =>
-      purgedThroughOf(spark.read.parquet(s"$root/_current/v=$v").head())
-    }.minOption.getOrElse(0L)
+    val minPurged = retainedPointers.map(_._2).minOption.getOrElse(0L)
     val ddir = deletesDir(root)
     CommittedVersions.list(spark, ddir).filter(_ <= minPurged).foreach { v =>
       f.delete(new Path(s"$ddir/v=$v"), true)
@@ -352,7 +369,7 @@ object TableMaintenance {
     * retention window — the time-travel surface. */
   def pointerHistory(spark: SparkSession, root: String): Seq[(Long, Long)] =
     pointerVersions(spark, root).sorted.map { v =>
-      v -> spark.read.parquet(s"$root/_current/v=$v").head().getLong(0)
+      v -> pointerAt(spark, root, v)._1
     }
 
   /** Time travel: the data as of pointer version `version` (Delta's

@@ -1,0 +1,142 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.spark.sql.SparkSession
+
+/** Driver-side reader for METADATA-SIZED parquet state — generation
+  * pointers (1 row), MV manifests (≤ NBuckets rows), commit-chain
+  * payloads, quantizer centroid/codebook tables (k·m rows).
+  *
+  * Why not `spark.read.parquet(dir).collect()`: every such read is a full
+  * Spark job — scheduler round-trip, file-index build, task launch — and
+  * the versioned-store operators string DOZENS of them per query (round-17
+  * JobProf: the store-churn queries ran 30-95 jobs each with ~70 ms of
+  * fixed cost per tiny job, about half their wall time). A one-row pointer
+  * read is driver work by nature; Delta reads its transaction log exactly
+  * this way (LogStore streams the JSON on the driver, no job). The row
+  * scale boundary is the caller's contract: everything read here must be
+  * O(metadata), never O(corpus).
+  *
+  * Scope: the flat primitive types the stores actually persist (long, int,
+  * double, boolean, string) plus `array<double>` (quantizer centroids) in
+  * Spark's standard 3-level LIST layout. Anything else fails loudly —
+  * widening silently would invite corpus-sized payloads through a reader
+  * that holds everything on the driver. Absent optional fields read as
+  * null, matching what `.collect()` surfaces. Committed-version dirs are
+  * read AFTER the caller resolved `v=N` through [[CommittedVersions.list]]
+  * (`_SUCCESS`-gated), so crash-consistency is unchanged. */
+object TinyParquet {
+
+  /** One decoded row; typed getters mirror Row's. `null` = SQL NULL. */
+  final case class Rec(values: Map[String, Any]) {
+    private def get(n: String): Any = values.getOrElse(n,
+      sys.error(s"TinyParquet: no field '$n' in ${values.keys.mkString(",")}"))
+    def isNull(n: String): Boolean = get(n) == null
+    def long(n: String): Long = get(n) match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case x => sys.error(s"TinyParquet: field '$n' is not integral: $x")
+    }
+    def int(n: String): Int = get(n) match {
+      case i: Int => i
+      case x => sys.error(s"TinyParquet: field '$n' is not int: $x")
+    }
+    def string(n: String): String = get(n).asInstanceOf[String]
+    def double(n: String): Double = get(n) match {
+      case d: Double => d
+      case x => sys.error(s"TinyParquet: field '$n' is not double: $x")
+    }
+    def bool(n: String): Boolean = get(n).asInstanceOf[Boolean]
+    def doubles(n: String): Array[Double] = get(n) match {
+      case a: Array[Double] => a
+      case x => sys.error(s"TinyParquet: field '$n' is not array<double>: $x")
+    }
+    def has(n: String): Boolean = values.contains(n)
+  }
+
+  /** All rows of every `*.parquet` part file directly under `dir`, decoded
+    * on the driver. File order is name-sorted; row order within a file is
+    * file order — callers needing an order sort on a column, exactly as
+    * they would after `.collect()`. */
+  def rows(spark: SparkSession, dir: String): Seq[Rec] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    val parts = fs.listStatus(p).toSeq
+      .filter { s =>
+        val n = s.getPath.getName
+        s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .sortBy(_.getPath.getName)
+    parts.flatMap { st =>
+      val out = Seq.newBuilder[Rec]
+      // the (ReadSupport, Path) builder is deprecated in parquet-java but
+      // is the only Group-reader entry point shipped in Spark's jars
+      val reader: ParquetReader[Group] = {
+        @annotation.nowarn("cat=deprecation")
+        def build = ParquetReader.builder(new GroupReadSupport(), st.getPath)
+          .withConf(conf).build()
+        build
+      }
+      try {
+        var g = reader.read()
+        while (g != null) {
+          out += decode(g)
+          g = reader.read()
+        }
+      } finally reader.close()
+      out.result()
+    }
+  }
+
+  private def decode(g: Group): Rec = {
+    val t = g.getType
+    val fields = (0 until t.getFieldCount).map { i =>
+      val f = t.getType(i)
+      val name = f.getName
+      val v: Any =
+        if (g.getFieldRepetitionCount(i) == 0) null
+        else if (f.isPrimitive) primitive(g, i, f.asPrimitiveType())
+        else if (f.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.ListLogicalTypeAnnotation])
+          doubleList(g.getGroup(i, 0))
+        else sys.error(s"TinyParquet: unsupported group field '$name' " +
+          s"(only flat primitives and array<double> are metadata-store types)")
+      name -> v
+    }.toMap
+    Rec(fields)
+  }
+
+  private def primitive(g: Group, i: Int,
+                        pt: org.apache.parquet.schema.PrimitiveType): Any = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    pt.getPrimitiveTypeName match {
+      case INT64 => g.getLong(i, 0)
+      case INT32 => g.getInteger(i, 0)
+      case DOUBLE => g.getDouble(i, 0)
+      case FLOAT => g.getFloat(i, 0).toDouble
+      case BOOLEAN => g.getBoolean(i, 0)
+      case BINARY if pt.getLogicalTypeAnnotation
+        .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        g.getString(i, 0)
+      case other => sys.error(s"TinyParquet: unsupported primitive $other " +
+        s"for field '${pt.getName}'")
+    }
+  }
+
+  /** Spark's 3-level LIST of double: outer (LIST) group holds a repeated
+    * inner group whose single field is the element. */
+  private def doubleList(outer: Group): Array[Double] = {
+    val n = outer.getFieldRepetitionCount(0)
+    val a = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      a(j) = outer.getGroup(0, j).getDouble(0, 0)
+      j += 1
+    }
+    a
+  }
+}
