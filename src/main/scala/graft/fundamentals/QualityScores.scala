@@ -68,7 +68,10 @@ object QualityScores {
           "is_margin_score", "is_growth_score", "income_statement_quality_score",
           "overall_quality_score", "is_high_quality", "is_investment_grade",
           "has_red_flags").map(col)): _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // localCheckpoint truncates the score-ladder lineage so the five
+        // enrichment consumers plan against a scan, not the quality tree
+        // (Statements.full's rationale; round 17)
+        .localCheckpoint()
     }
 
   private def build(spark: SparkSession, dir: String): DataFrame = {

@@ -114,10 +114,18 @@ object Statements {
 
   /** All fbs_/fcf_/fis_ features in one window pass (memoized + persisted
     * per (session, dir): three statement queries + the score build share
-    * one evaluation; the frame is small — one row per customer-quarter). */
+    * one evaluation; the frame is small — one row per customer-quarter).
+    * localCheckpoint (not persist), the signalFeatures discipline: this is
+    * the ~400-column statement tree, and EVERY downstream query otherwise
+    * re-analyzes/re-optimizes that whole logical plan before the cache
+    * lookup even happens — round-17 profiling measured the model/bot
+    * queries spending multi-second pure-driver gaps in exactly that walk.
+    * The checkpoint truncates lineage to a scan; the frame is one row per
+    * customer-quarter, so losing columnar cache pruning costs microseconds
+    * while the planning win is seconds per consumer. */
   def full(spark: SparkSession, dir: String): DataFrame =
     graft.sqlx.FrameCache.getOrElseUpdate(graft.sqlx.FrameCache.key(spark, "stmt", dir))(
-      build(spark, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      build(spark, dir).localCheckpoint())
 
   /** Columns are computed GROUPED BY WINDOW PARTITIONING, not in reference
     * order: row-level ratios first, then every symbol-ordered window

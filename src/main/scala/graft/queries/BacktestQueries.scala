@@ -240,7 +240,9 @@ object BacktestQueries {
   private def enrichedSpark(s: org.apache.spark.sql.SparkSession, d: String) =
     graft.sqlx.FrameCache.getOrElseUpdate(graft.sqlx.FrameCache.key(s, "enriched", d))(
       Enrich.joinFundamentals(Enrich.tradeEntries(s, d), graft.fundamentals.QualityScores.scores(s, d))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        // localCheckpoint: five consumers plan against a scan instead of
+        // re-walking the as-of-join + score lineage (round 17)
+        .localCheckpoint())
 
   private val tradesFundamentalsJoin = Q(
     (s, d) => enrichedSpark(s, d)
