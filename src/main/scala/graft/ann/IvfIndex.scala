@@ -327,8 +327,11 @@ object IvfIndex {
       fs.delete(marker, false)
       val (assigned, cents) = assign(vecs, cells, seed, maxTrain)
       IndexLedger.reset(spark, path)
-      assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/assigned")
-      cents.write.mode("overwrite").parquet(s"$path/centroids")
+      // independent directories, concurrent writes (guide §2.6); the
+      // marker still lands only after both, so the commit is unchanged
+      graft.sqlx.Par.run(
+        () => assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/assigned"),
+        () => cents.write.mode("overwrite").parquet(s"$path/centroids"))
       fs.create(marker, true).close()
     } finally IndexLedger.releaseMutationLock(spark, path)
   }

@@ -108,15 +108,19 @@ object IvfPq {
       fs.delete(marker, false)
       IndexLedger.reset(spark, path)
       val (coarse, cbs) = fitBoth(vecs, dim, cells, m, codes, seed, maxTrain)
-      indexRows(vecs, coarse, cbs)
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
-      coarse.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
-        .toDF("cell", "centroid")
-        .write.mode("overwrite").parquet(s"$path/centroids")
+      // the three store pieces are independent directories: write them
+      // concurrently (guide §2.6) — the commit marker still lands only
+      // after ALL of them, so crash consistency is unchanged.
       // codebooks persisted WITH their quantized |cent|² so the stored
       // probe's cn2 is bit-identical to the in-memory path by construction
-      Pq.codebookDf(spark, cbs)
-        .write.mode("overwrite").parquet(s"$path/codebooks")
+      graft.sqlx.Par.run(
+        () => indexRows(vecs, coarse, cbs)
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes"),
+        () => coarse.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+          .toDF("cell", "centroid")
+          .write.mode("overwrite").parquet(s"$path/centroids"),
+        () => Pq.codebookDf(spark, cbs)
+          .write.mode("overwrite").parquet(s"$path/codebooks"))
       fs.create(marker, true).close()
     } finally IndexLedger.releaseMutationLock(spark, path)
   }
