@@ -249,15 +249,30 @@ object MaterializedAgg {
   // ------------------------------------------------------------ public API
 
   /** Initialize the view store from a base frame: all buckets at gen 1,
-    * manifest v=1, applied-batch mark reset. */
+    * manifest v=1, applied-batch mark reset. Unlike refresh/retract —
+    * which must know their touched buckets BEFORE reading old state —
+    * init has no prior state, so the bucket list is discovered from the
+    * staged `bucket=` directories the partitionBy write itself produces:
+    * one Spark action total, no persist, no separate distinct job
+    * (round 17; the extra job was pure fixed cost on every writeInit). */
   def writeInit(base: DataFrame, keys: Seq[String], valueCol: String, root: String): Unit = {
     val spark = base.sparkSession
-    fileSystem(spark, root).delete(new Path(root), true)
+    val fs = fileSystem(spark, root)
+    fs.delete(new Path(root), true)
     val state = partials(base, keys, valueCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val buckets = state.select("bucket").distinct().collect().map(_.getInt(0)).toSeq.sorted
-    writeGen(spark, root, state, buckets, 1L)
-    state.unpersist(false)
+    val stage = s"$root/data/_stage-gen-1"
+    state.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(stage)
+    val buckets = fs.listStatus(new Path(stage)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("bucket="))
+      .map(_.stripPrefix("bucket=").toInt).sorted
+    buckets.foreach { b =>
+      val dst = new Path(s"$root/data/bucket=$b/gen=1")
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(new Path(s"$stage/bucket=$b"), dst))
+        sys.error(s"writeInit: failed to publish $dst from staging")
+    }
+    fs.delete(new Path(stage), true)
     writeManifest(spark, root, 1L, buckets.map(MvManifestRow(_, 1L, -1L)))
   }
 
