@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains emit one-line JSON contracts on stdout; sbt's
+// default logged output strategy prefixes every forked-process line with
+// "[info] ", which has kept the driver's JSON parse failing for rounds
+// (every BENCH_r*.json: parsed: null). StdoutOutput passes the child's
+// stdout through unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

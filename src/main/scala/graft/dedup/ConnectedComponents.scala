@@ -37,7 +37,7 @@ object ConnectedComponents {
     var e = edges
       .select(greatest(col("src"), col("dst")).as("u"), least(col("src"), col("dst")).as("v"))
       .where(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+      .transform(graft.sqlx.Lineage.truncate)
     var converged = e.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -51,7 +51,7 @@ object ConnectedComponents {
       val next = smallStar(largeStar(e))
       val cp = next.withColumn("_n", lit(1))
         .join(e.withColumn("_o", lit(1)), Seq("u", "v"), "full_outer")
-        .localCheckpoint()
+        .transform(graft.sqlx.Lineage.truncate)
       converged = cp.where(col("_n").isNull || col("_o").isNull).isEmpty
       e = cp.where(col("_n") === 1).select("u", "v")
       iter += 1

@@ -117,7 +117,7 @@ object MinHashLSH {
     // sides — and they cannot share a plan subtree, so without the
     // materialization the corpus-sized banding pass would run three times
     // (review finding; the oracle shares its `bands` CTE the same way)
-    val bb = bandBuckets(sh).localCheckpoint()
+    val bb = bandBuckets(sh).transform(graft.sqlx.Lineage.truncate)
     // oversized buckets excluded BEFORE the self-join: the size rollup
     // shuffles on the same (band, bucket) key the join uses, and the hot
     // set is metadata-sized (buckets over cap), so the anti-join

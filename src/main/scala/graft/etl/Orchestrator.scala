@@ -75,12 +75,12 @@ object Orchestrator {
         graft.features.Recursive.withRecursive(
           graft.features.Indicators.withHighLow(
             graft.features.Indicators.windowed(r("bars"), Seq(3, 5, 10, 20, 50))))
-          .localCheckpoint())),
+          .transform(graft.sqlx.Lineage.truncate))),
     Step("signals", Seq("features"), (s, d, r) =>
       graft.sqlx.FrameCache.getOrElseUpdate(
         graft.sqlx.FrameCache.key(s, "pipeline-signals", d, eventsFingerprint(s, d)))(
         graft.signals.Strategies.all(r("features"),
-          ribbonPeriods = Seq(3, 5, 10, 20), trendSma = 20).localCheckpoint())),
+          ribbonPeriods = Seq(3, 5, 10, 20), trendSma = 20).transform(graft.sqlx.Lineage.truncate))),
     Step("fundamentals", Nil, (s, d, _) => graft.fundamentals.Statements.full(s, d)),
     Step("sentiment", Nil, (s, d, _) => graft.text.SentimentAgg.aggregated(s, d)))
 }

@@ -122,7 +122,7 @@ object Watermarks {
       // staged write otherwise re-reads v=$v lazily, and under sustained
       // contention rivals' vacuums can delete it mid-job — surfacing as a
       // FileNotFound the CCE-only retry below would not catch
-      val cur = spark.read.parquet(s"$root/v=$v").localCheckpoint()
+      val cur = spark.read.parquet(s"$root/v=$v").transform(graft.sqlx.Lineage.truncate)
       try return writeState(f(cur), root, retain = retain, basedOn = v)
       catch { case _: graft.sources.ConcurrentCommitException => i += 1 }
     }

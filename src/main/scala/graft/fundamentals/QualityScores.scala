@@ -71,7 +71,7 @@ object QualityScores {
         // localCheckpoint truncates the score-ladder lineage so the five
         // enrichment consumers plan against a scan, not the quality tree
         // (Statements.full's rationale; round 17)
-        .localCheckpoint()
+        .transform(graft.sqlx.Lineage.truncate)
     }
 
   private def build(spark: SparkSession, dir: String): DataFrame = {

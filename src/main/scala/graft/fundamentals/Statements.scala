@@ -125,7 +125,7 @@ object Statements {
     * while the planning win is seconds per consumer. */
   def full(spark: SparkSession, dir: String): DataFrame =
     graft.sqlx.FrameCache.getOrElseUpdate(graft.sqlx.FrameCache.key(spark, "stmt", dir))(
-      build(spark, dir).localCheckpoint())
+      build(spark, dir).transform(graft.sqlx.Lineage.truncate))
 
   /** Columns are computed GROUPED BY WINDOW PARTITIONING, not in reference
     * order: row-level ratios first, then every symbol-ordered window

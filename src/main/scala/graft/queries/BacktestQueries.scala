@@ -242,7 +242,7 @@ object BacktestQueries {
       Enrich.joinFundamentals(Enrich.tradeEntries(s, d), graft.fundamentals.QualityScores.scores(s, d))
         // localCheckpoint: five consumers plan against a scan instead of
         // re-walking the as-of-join + score lineage (round 17)
-        .localCheckpoint())
+        .transform(graft.sqlx.Lineage.truncate))
 
   private val tradesFundamentalsJoin = Q(
     (s, d) => enrichedSpark(s, d)

@@ -1478,10 +1478,10 @@ object LlmQueries {
     * lists are |queries|·k rows (metadata-sized). */
   private def bm25TopK(s: org.apache.spark.sql.SparkSession, d: String) =
     graft.sqlx.FrameCache.getOrElseUpdate(graft.sqlx.FrameCache.key(s, "bm25topk", d))(
-      graft.text.Bm25.moreLikeThis(s, d, k = 10).localCheckpoint())
+      graft.text.Bm25.moreLikeThis(s, d, k = 10).transform(graft.sqlx.Lineage.truncate))
   private def annTopK(s: org.apache.spark.sql.SparkSession, d: String) =
     graft.sqlx.FrameCache.getOrElseUpdate(graft.sqlx.FrameCache.key(s, "anntopk", d))(
-      Cosine.topK(s, d).localCheckpoint())
+      Cosine.topK(s, d).transform(graft.sqlx.Lineage.truncate))
 
   private val textBm25 = Q(
     (s, d) => graft.text.Bm25.moreLikeThis(s, d, k = 10).orderBy("query_id", "rank"),

@@ -32,7 +32,7 @@ object SignalQueries {
       // full feature expression tree (>1.3 MiB task binaries)
       Recursive.withRecursive(
         Indicators.withHighLow(Indicators.windowed(bars, Seq(3, 5, 10, 20, 50))))
-        .localCheckpoint()
+        .transform(graft.sqlx.Lineage.truncate)
     }
 
   /** Memoized union of all 11 strategies over the shared feature frame —
@@ -45,7 +45,7 @@ object SignalQueries {
   def allSignals(s: SparkSession, d: String): DataFrame =
     graft.sqlx.FrameCache.getOrElseUpdate(graft.sqlx.FrameCache.key(s, "sigall", d)) {
       Strategies.all(signalFeatures(s, d), ribbonPeriods = Seq(3, 5, 10, 20), trendSma = 20)
-        .localCheckpoint()
+        .transform(graft.sqlx.Lineage.truncate)
     }
 
   private def run(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =

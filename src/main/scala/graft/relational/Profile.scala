@@ -153,7 +153,7 @@ object Profile {
     // below re-read a materialized row instead of re-running the aggregate;
     // in exact mode it reads the shared cache (localCheckpoint is eager,
     // so the unpersist below never races the stats job)
-    val row = cachedOpt.getOrElse(src).agg(statCols.head, statCols.tail: _*).localCheckpoint()
+    val row = cachedOpt.getOrElse(src).agg(statCols.head, statCols.tail: _*).transform(graft.sqlx.Lineage.truncate)
     cachedOpt.foreach(_.unpersist(false))
 
     val nullD = lit(null).cast("double")

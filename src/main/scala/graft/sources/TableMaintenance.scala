@@ -129,14 +129,16 @@ object TableMaintenance {
     // the two index harvests read the same files but share no state:
     // submit them concurrently so the second's tasks back-fill the
     // first's tail (optimization-guide §2.6) — both still land strictly
-    // before the pointer flip, so the commit contract is unchanged
-    val statsJob = concurrent.Future(
-      StatsManifest.build(spark, dataPath(root, gen), statsCols)
-        .coalesce(1).write.mode("overwrite").parquet(statsPath(root, gen)))(
-      concurrent.ExecutionContext.global)
-    BloomSkipIndex.build(spark, dataPath(root, gen), bloomCols)
-      .coalesce(1).write.mode("overwrite").parquet(bloomPath(root, gen))
-    concurrent.Await.result(statsJob, concurrent.duration.Duration.Inf)
+    // before the pointer flip, so the commit contract is unchanged.
+    // Par.run (not a bare Future) so a failed harvest is only surfaced
+    // AFTER both writes terminated — no orphaned stats write left running
+    // into the failed gen's path behind the caller's back (round-17
+    // advisory).
+    graft.sqlx.Par.run(
+      () => StatsManifest.build(spark, dataPath(root, gen), statsCols)
+        .coalesce(1).write.mode("overwrite").parquet(statsPath(root, gen)),
+      () => BloomSkipIndex.build(spark, dataPath(root, gen), bloomCols)
+        .coalesce(1).write.mode("overwrite").parquet(bloomPath(root, gen)))
     CommittedVersions.publishVersion(
       Seq((gen, purgedThrough)).toDF("gen", "purged_through").coalesce(1),
       s"$root/_current", basedOnVersion + 1L,
@@ -151,6 +153,22 @@ object TableMaintenance {
               statsCols: Seq[String], bloomCols: Seq[String]): Unit =
     commitGen(spark, root, 1L, statsCols, bloomCols,
       basedOnVersion = pointerVersions(spark, root).maxOption.getOrElse(0L))
+
+  /** Total footer row count of generation `gen` from its persisted _stats
+    * manifest — a driver-side O(#files × #statsCols) metadata read
+    * ([[TinyParquet]], the Delta-checkpoint discipline). Per-file count =
+    * max over that file's per-column rows (schema evolution can leave a
+    * column absent from some files; n_rows is identical wherever present).
+    * None when the manifest is missing or empty — callers fall back to an
+    * exact count job. */
+  private def statsRowCount(spark: SparkSession, root: String,
+                            gen: Long): Option[Long] =
+    try {
+      val recs = TinyParquet.rows(spark, statsPath(root, gen))
+      if (recs.isEmpty) None
+      else Some(recs.groupBy(_.string("file")).values
+        .map(_.map(_.long("n_rows")).max).sum)
+    } catch { case _: Throwable => None }
 
   /** The maintenance transaction: bin-pack the current generation's files
     * clustered on `sortCol` (range partitioning keeps each output file's
@@ -177,8 +195,20 @@ object TableMaintenance {
     val next = CommittedVersions.claimId(spark, s"$root/_genclaims", cur + 1L)
     val df = applyTombstones(spark, root,
       spark.read.parquet(dataPath(root, cur)), purgedOld, maxDel)
+    // Bin selection from METADATA, not a count job (guide §6 / round 18):
+    // the current generation's persisted _stats manifest already carries
+    // per-file footer row counts, so the input size is a driver-side read
+    // — the old df.count() was a full extra pass over the data (linear in
+    // the corpus, the dominant term of events_maintenance_cycle's 10×
+    // scaling exponent). Pending tombstones make the footer total an
+    // OVERESTIMATE of the masked row count, which only splits the output
+    // into marginally smaller files (maxRecordsPerFile still bounds each
+    // file; no reader depends on the exact file count). A store whose
+    // manifest is missing/unreadable falls back to the exact count.
+    val footerRows = statsRowCount(spark, root, cur)
+    val nRows = footerRows.getOrElse(df.count())
     val nFiles = math.max(1L, math.ceil(
-      df.count().toDouble / targetRowsPerFile).toLong)
+      nRows.toDouble / targetRowsPerFile).toLong)
     // clear uncommitted leftovers (defensive: the claim makes gen=next ours)
     fs(spark, root).delete(new Path(s"$root/gen=$next"), true)
     df.repartitionByRange(nFiles.toInt, col(sortCol))

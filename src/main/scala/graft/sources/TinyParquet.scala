@@ -113,14 +113,29 @@ object TinyParquet {
   private def primitive(g: Group, i: Int,
                         pt: org.apache.parquet.schema.PrimitiveType): Any = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    // Fail-loudly contract on LOGICAL types too (round-17 advisory): an
+    // INT64 decimal/timestamp or INT32 date would otherwise decode as its
+    // raw physical value — silently wrong. Only String-annotated BINARY
+    // and the plain signed-int annotation Spark writes for int/long pass;
+    // any other annotation errors at the read site.
+    val ann = pt.getLogicalTypeAnnotation
+    val annOk = ann == null ||
+      ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] ||
+      (ann match {
+        case it: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+          it.isSigned && (it.getBitWidth == 32 || it.getBitWidth == 64)
+        case _ => false
+      })
+    if (!annOk) sys.error(s"TinyParquet: unsupported logical type $ann " +
+      s"for field '${pt.getName}' (metadata-store types are flat " +
+      "long/int/double/boolean/string and array<double> only)")
     pt.getPrimitiveTypeName match {
       case INT64 => g.getLong(i, 0)
       case INT32 => g.getInteger(i, 0)
       case DOUBLE => g.getDouble(i, 0)
       case FLOAT => g.getFloat(i, 0).toDouble
       case BOOLEAN => g.getBoolean(i, 0)
-      case BINARY if pt.getLogicalTypeAnnotation
-        .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+      case BINARY if ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
         g.getString(i, 0)
       case other => sys.error(s"TinyParquet: unsupported primitive $other " +
         s"for field '${pt.getName}'")

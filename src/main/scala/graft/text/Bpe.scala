@@ -294,7 +294,7 @@ object Bpe {
     // released HERE, so repeat callers pin nothing across calls
     val out = cur.select(col("word"), col("syms").as("subwords"),
       size(col("syms")).cast("long").as("n_subwords"))
-      .localCheckpoint()
+      .transform(graft.sqlx.Lineage.truncate)
     persisted.foreach(_.unpersist())
     out
   }

@@ -41,7 +41,7 @@ object Decontaminate {
     // semi-join) and each recompute would re-scan the corpus-wide shingle
     // table — materialize it once; it is holdout-sized by construction
     val benchShingles = sh.join(holdIds, "doc_id").select("shingle").distinct()
-      .localCheckpoint()
+      .transform(graft.sqlx.Lineage.truncate)
     val trainSh = sh.join(holdIds, Seq("doc_id"), "left_anti")
     // n_shingles: per-doc count, map-side combinable, no join involved
     val totals = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))

@@ -31,17 +31,22 @@ object JobProf {
     spark.sparkContext.setLogLevel("ERROR")
 
     val jobs = new scala.collection.mutable.LinkedHashMap[Int, J]
-    val stageTask = new scala.collection.mutable.HashMap[Int, Long] // stageId -> task time ms
+    val stageJob = new scala.collection.mutable.HashMap[Int, Int]  // stageId -> jobId
+    val jobExec = new scala.collection.mutable.HashMap[Int, Long]  // jobId -> Σ executorRunTime ms
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = jobs.synchronized {
         val site = e.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n')).getOrElse("?")
         jobs(e.jobId) = J(e.jobId, e.time, -1L, site.take(90))
+        e.stageInfos.foreach(si => stageJob(si.stageId) = e.jobId)
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = jobs.synchronized {
         jobs.get(e.jobId).foreach(_.end = e.time)
       }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = jobs.synchronized {
-        stageTask(e.stageInfo.stageId) = e.stageInfo.taskMetrics.executorRunTime
+        stageJob.get(e.stageInfo.stageId).foreach { jid =>
+          jobExec(jid) = jobExec.getOrElse(jid, 0L) +
+            e.stageInfo.taskMetrics.executorRunTime
+        }
       }
     })
 
@@ -50,11 +55,11 @@ object JobProf {
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       (1 to 2).foreach { r =>
-        jobs.synchronized { jobs.clear() }
+        jobs.synchronized { jobs.clear(); stageJob.clear(); jobExec.clear() }
         val t0 = System.nanoTime()
         val n = fn(spark, d).count()
         val wallMs = (System.nanoTime() - t0) / 1e6
-        val snap = jobs.synchronized { jobs.values.toVector }
+        val (snap, execSnap) = jobs.synchronized { (jobs.values.toVector, jobExec.toMap) }
         val done = snap.filter(_.end > 0)
         // union of job intervals (jobs overlap when submitted concurrently)
         val union = {
@@ -68,10 +73,15 @@ object JobProf {
           if (curE >= 0) tot += curE - curS
           tot
         }
+        // Σ executorRunTime across all stages: the jobtime-vs-drivergap
+        // cross-check — jobtime far above exectime/cores means the "job"
+        // intervals themselves are mostly scheduling, not task work.
+        val execTotal = execSnap.values.sum
         println(f"QUERY $name%-32s run$r wall=${wallMs / 1000}%7.2fs jobs=${done.size}%3d " +
-          f"jobtime=${union / 1000.0}%7.2fs drivergap=${(wallMs - union) / 1000.0}%7.2fs rows=$n")
+          f"jobtime=${union / 1000.0}%7.2fs drivergap=${(wallMs - union) / 1000.0}%7.2fs " +
+          f"exectime=${execTotal / 1000.0}%7.2fs rows=$n")
         done.sortBy(j => -(j.end - j.start)).take(14).foreach { j =>
-          println(f"    ${(j.end - j.start) / 1000.0}%7.2fs  job${j.id}%-4d ${j.name}")
+          println(f"    ${(j.end - j.start) / 1000.0}%7.2fs exec=${execSnap.getOrElse(j.id, 0L) / 1000.0}%7.2fs job${j.id}%-4d ${j.name}")
         }
       }
     }
