@@ -78,6 +78,24 @@ object IvfIndex {
              driverFitMaxCells: Int = DriverFitMaxCells): (DataFrame, DataFrame) = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    val centroids = fittedCentroids(vecs, nCells, seed, maxTrain, driverFitMaxCells)
+    val assigned = vecs.select(col("vec_id"), col("emb"),
+      graft.functions.NearestCell.nearest(spark, col("emb"), centroids).as("cell"))
+    val cents = centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+    (assigned, cents)
+  }
+
+  /** The fitted (and session-memoized) coarse quantizer as driver arrays —
+    * the fit half of [[assign]], split out so [[writeIndex]] can persist
+    * the centroid table driver-side ([[graft.sources.TinyParquet.write]])
+    * without a collect of the DataFrame it would otherwise build. */
+  private def fittedCentroids(vecs: DataFrame, nCells: Int, seed: Long,
+                              maxTrain: Int,
+                              driverFitMaxCells: Int = DriverFitMaxCells): Array[Array[Double]] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
     val total = graft.sqlx.Counts.of(vecs)
     // ceil: a floor stride of total/maxTrain keeps up to 2*maxTrain-1 rows
     // (e.g. total = 2*maxTrain - 1 -> stride 1 keeps everything)
@@ -103,17 +121,11 @@ object IvfIndex {
     // the memoized arrays are shared across every IVF-family query in the
     // session — hand each caller its own deep copy so no future mutation
     // can corrupt later queries (k·d doubles, negligible next to the fit)
-    val centroids = (graft.sqlx.PlanFingerprint.of(vecs) match {
+    (graft.sqlx.PlanFingerprint.of(vecs) match {
       case Some(fp) =>
         graft.sqlx.Memo.getOrElseUpdate(s"ivf-fit:$fp:$nCells:$seed:$maxTrain")(fit())
       case None => fit()
     }).map(_.clone())
-    val assigned = vecs.select(col("vec_id"), col("emb"),
-      graft.functions.NearestCell.nearest(spark, col("emb"), centroids).as("cell"))
-    val cents = centroids.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toSeq) }
-      .toDF("cell", "centroid")
-    (assigned, cents)
   }
 
   /** Index of the closest centroid by squared euclidean distance (first
@@ -325,13 +337,19 @@ object IvfIndex {
     try {
       val (fs, marker) = commitMarker(spark, path)
       fs.delete(marker, false)
-      val (assigned, cents) = assign(vecs, cells, seed, maxTrain)
+      val centroids = fittedCentroids(vecs, cells, seed, maxTrain)
+      val assigned = vecs.select(col("vec_id"), col("emb"),
+        graft.functions.NearestCell.nearest(spark, col("emb"), centroids).as("cell"))
       IndexLedger.reset(spark, path)
-      // independent directories, concurrent writes (guide §2.6); the
-      // marker still lands only after both, so the commit is unchanged
+      // assignments (the data) stay a Spark write; the nCells-row centroid
+      // table is written on the driver (TinyParquet.write) concurrently —
+      // one fixed-cost Spark job removed per build (round 18). The marker
+      // still lands only after both, so the commit is unchanged.
       graft.sqlx.Par.run(
         () => assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/assigned"),
-        () => cents.write.mode("overwrite").parquet(s"$path/centroids"))
+        () => graft.sources.TinyParquet.write(spark, s"$path/centroids",
+          Seq("cell" -> "int", "centroid" -> "array<double>"),
+          centroids.zipWithIndex.toSeq.map { case (c, i) => Seq[Any](i, c) }))
       fs.create(marker, true).close()
     } finally IndexLedger.releaseMutationLock(spark, path)
   }

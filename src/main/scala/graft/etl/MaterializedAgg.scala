@@ -124,9 +124,16 @@ object MaterializedAgg {
     * exactly against the new state). */
   private def writeManifest(spark: SparkSession, root: String, v: Long,
                             rows: Seq[MvManifestRow]): Unit = {
-    import spark.implicits._
-    graft.sources.CommittedVersions.publishVersion(
-      rows.toDF().coalesce(1), s"$root/_manifest", v, "MaterializedAgg manifest")
+    // ≤ NBuckets driver-resident rows: staged driver-side
+    // (TinyParquet.write) — one Spark job per manifest flip removed per
+    // refresh/retract/init (round 18); the CAS publish is unchanged
+    graft.sources.CommittedVersions.publishRowsVersion(
+      spark, s"$root/_manifest", v, "MaterializedAgg manifest",
+      Seq("bucket" -> "int", "gen" -> "long", "applied_batch" -> "long"),
+      // Seq[Any], NOT Seq(...): weak conformance would widen the Int
+      // bucket to Long to unify with the Long fields, and the writer
+      // then fails the int-field cast loudly
+      rows.map(r => Seq[Any](r.bucket, r.gen, r.applied_batch)))
   }
 
   /** Drop manifest versions beyond [[RetainManifests]] and every data

@@ -720,22 +720,25 @@ object EtlQueries {
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fsys.delete(new org.apache.hadoop.fs.Path(base), true)
       val ev = graft.Tables.events(s, d)
-      def payload(writer: String, n: Long) =
-        Seq((writer, n)).toDF("writer", "n").coalesce(1)
-      graft.sources.CommittedVersions.publishVersion(
-        payload("init", 0L), root, 1L, "commit-chain")
+      // one-row driver-resident payloads: staged driver-side
+      // (TinyParquet.write via publishRowsVersion) — five coalesce(1)
+      // Spark jobs of pure fixed cost removed from the chain (round 18);
+      // the CAS protocol under test is byte-for-byte the same rename
+      def publish(writer: String, n: Long, v: Long) =
+        graft.sources.CommittedVersions.publishRowsVersion(
+          s, root, v, "commit-chain",
+          Seq("writer" -> "string", "n" -> "long"), Seq(Seq[Any](writer, n)))
+      publish("init", 0L, 1L)
       // both writers read the same head
       val head = graft.sources.CommittedVersions.latest(s, root).get
       val nA = ev.where(col("event_id") % 2 === 0).count()
       val nB = ev.where(col("event_id") % 2 === 1).count()
       // A commits first and wins v=2
-      graft.sources.CommittedVersions.publishVersion(
-        payload("a", nA), root, head + 1L, "commit-chain")
+      publish("a", nA, head + 1L)
       // B's CAS against its (now stale) head MUST lose loudly
       val conflict =
         try {
-          graft.sources.CommittedVersions.publishVersion(
-            payload("b", nB), root, head + 1L, "commit-chain")
+          publish("b", nB, head + 1L)
           Seq.empty[(Long, String, Long, Boolean)]
         } catch {
           case _: graft.sources.ConcurrentCommitException =>
@@ -743,8 +746,7 @@ object EtlQueries {
         }
       // B re-reads the head (sees A's v=2) and rebases
       val head2 = graft.sources.CommittedVersions.latest(s, root).get
-      graft.sources.CommittedVersions.publishVersion(
-        payload("b", nB), root, head2 + 1L, "commit-chain")
+      publish("b", nB, head2 + 1L)
       // the committed chain, read back from disk — one-row payloads, read
       // driver-side (a Spark job per version before round 17)
       val chain = graft.sources.CommittedVersions.list(s, root).sorted.map { v =>

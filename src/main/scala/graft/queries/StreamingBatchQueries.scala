@@ -183,10 +183,20 @@ object StreamingBatchQueries {
         dir.resolve("events.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       val qname = s"stream_file_source_${memSinkId.incrementAndGet()}"
-      graft.streaming.Drain.availableNow(graft.streaming.EventAggregates
-        .windowedCounts(Tables.eventsStream(s, dir.toString))
-        .writeStream.format("memory").queryName(qname)
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()))
+      // state partitions sized to the micro-batch (the runNearDupStream
+      // discipline): a stateful streaming query fixes its state-store
+      // partition count to spark.sql.shuffle.partitions at START — the
+      // session default (32 at the driver's core count) pays 32 state
+      // commits per trigger for a window count whose state is dozens of
+      // rows; production jobs set this per-stream anyway (round 18)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        graft.streaming.Drain.availableNow(graft.streaming.EventAggregates
+          .windowedCounts(Tables.eventsStream(s, dir.toString))
+          .writeStream.format("memory").queryName(qname)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()))
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(qname)
         .select(unix_micros(col("window_start")).as("window_start_us"),
           unix_micros(col("window_end")).as("window_end_us"),
@@ -242,18 +252,22 @@ object StreamingBatchQueries {
       toStage: org.apache.spark.sql.DataFrame)(
       pairs: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[graft.streaming.StreamNearDup.CandPair])
       : org.apache.spark.sql.DataFrame = {
-    // 8 staged files, 4 per trigger: still exactly TWO triggers (the
+    // 32 staged files, 16 per trigger: still exactly TWO triggers (the
     // fewest that cross a batch boundary, so cross-batch bucket state is
-    // genuinely exercised), but each batch's file-source map stage gets 4
-    // tasks instead of 1 — the banding kernel parallelizes instead of
-    // running single-threaded per 1-file batch (measured 11 s → ~7 s for
-    // the full-corpus replay at sf0.1). The "8f" tag keys the staging dir
-    // to this layout so an older 2-file staging is never reused.
+    // genuinely exercised), but each batch's file-source map stage gets 16
+    // tasks instead of 4 — the banding kernel (shingle + 128-perm MinHash
+    // per doc, the measured per-batch cost: 20 s of executor time over 4
+    // tasks at sf0.1) parallelizes across the cores instead of queueing
+    // (round 17 measured the same move 1→4 tasks at 11 s → ~7 s; round 18
+    // JobProf showed the two trigger jobs still at 3.8 s of 4-task wall).
+    // The "32f" tag keys the staging dir to this layout so an older
+    // staging is never reused. Pair-set equality is arrival-order
+    // invariant (header), so the split changes nothing downstream.
     val dir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
-      s"graft-$dirTag-8f-${graft.sqlx.PathTag.of(d)}-${sourceFingerprint(s, d)}")
+      s"graft-$dirTag-32f-${graft.sqlx.PathTag.of(d)}-${sourceFingerprint(s, d)}")
     if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
-      toStage.repartition(8).write.mode("overwrite").parquet(dir.toString)
+      toStage.repartition(32).write.mode("overwrite").parquet(dir.toString)
     }
     // stream ≡ oracle precondition, checked once per corpus content (both
     // stream queries see the FULL corpus's buckets — arrivals here, the
@@ -273,7 +287,7 @@ object StreamingBatchQueries {
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       graft.streaming.Drain.availableNow(pairs(graft.streaming.StreamNearDup.bandedDocs(
-          Tables.documentsStream(s, dir.toString, maxFilesPerTrigger = 4)))
+          Tables.documentsStream(s, dir.toString, maxFilesPerTrigger = 16)))
         .writeStream.format("memory").queryName(qname)
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()))
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)

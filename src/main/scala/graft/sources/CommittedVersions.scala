@@ -184,6 +184,26 @@ object CommittedVersions {
           "writer — this writer's snapshot is stale; re-read the head and retry")
   }
 
+  /** [[publishVersion]] for DRIVER-RESIDENT metadata rows (round 18): the
+    * staged version dir is written by [[TinyParquet.write]] on the driver
+    * — no Spark job for a one-row generation pointer or a ≤-buckets-row
+    * manifest — then published through the exact same [[tryPublish]] CAS.
+    * Same contract, same crash story (the staged dir is invisible until
+    * the atomic rename); only the staging write's execution engine
+    * changes. Callers whose version payload is a computed DataFrame keep
+    * [[publishVersion]]. */
+  def publishRowsVersion(spark: SparkSession, root: String, expected: Long,
+                         store: String, schema: Seq[(String, String)],
+                         rows: Seq[Seq[Any]]): Unit = {
+    CommitArbiter.forPath(root) // refuse unsupported filesystems BEFORE the staged write
+    val staged = s"$root/_staged-${java.util.UUID.randomUUID}"
+    TinyParquet.write(spark, staged, schema, rows)
+    if (!tryPublish(spark, root, expected, staged))
+      throw new ConcurrentCommitException(
+        s"$store: version v=$expected under $root was committed by another " +
+          "writer — this writer's snapshot is stale; re-read the head and retry")
+  }
+
   /** Remove leftover staging dirs of CRASHED writers. Age-gated: deleting
     * a LIVE rival's staging dir mid-write kills its Spark job with a
     * confusing FileNotFound instead of the clean CAS loss it would

@@ -125,7 +125,6 @@ object TableMaintenance {
   def commitGen(spark: SparkSession, root: String, gen: Long,
                 statsCols: Seq[String], bloomCols: Seq[String],
                 basedOnVersion: Long, purgedThrough: Long = 0L): Unit = {
-    import spark.implicits._
     // the two index harvests read the same files but share no state:
     // submit them concurrently so the second's tasks back-fill the
     // first's tail (optimization-guide §2.6) — both still land strictly
@@ -139,10 +138,13 @@ object TableMaintenance {
         .coalesce(1).write.mode("overwrite").parquet(statsPath(root, gen)),
       () => BloomSkipIndex.build(spark, dataPath(root, gen), bloomCols)
         .coalesce(1).write.mode("overwrite").parquet(bloomPath(root, gen)))
-    CommittedVersions.publishVersion(
-      Seq((gen, purgedThrough)).toDF("gen", "purged_through").coalesce(1),
-      s"$root/_current", basedOnVersion + 1L,
-      "TableMaintenance pointer")
+    // the pointer is ONE driver-resident row: staged driver-side
+    // (TinyParquet.write) — the coalesce(1) Spark job per flip was pure
+    // fixed cost (round 18); the CAS publish itself is unchanged
+    CommittedVersions.publishRowsVersion(
+      spark, s"$root/_current", basedOnVersion + 1L, "TableMaintenance pointer",
+      Seq("gen" -> "long", "purged_through" -> "long"),
+      Seq(Seq(gen, purgedThrough)))
   }
 
   /** Initialize the store: the caller has written raw data under

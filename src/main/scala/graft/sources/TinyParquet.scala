@@ -142,6 +142,88 @@ object TinyParquet {
     }
   }
 
+  /** The WRITE half (round 18): persist METADATA-SIZED rows as one
+    * parquet part file plus `_SUCCESS`, entirely on the driver — the
+    * mirror of [[rows]]. Every `tinyDf.coalesce(1).write.parquet` in the
+    * store protocols was a full Spark job (plan + schedule + task +
+    * FileFormatWriter commit, ~90–150 ms of fixed cost), and the
+    * store-churn queries string several per operation: generation-pointer
+    * flips, MV manifests, quantizer centroid/codebook tables. Delta
+    * writes its transaction log exactly this way (driver-side LogStore
+    * put, no job). Same scale contract as [[rows]]: callers may only
+    * route O(metadata) tables here, never anything corpus-sized.
+    *
+    * `schema` is (name, type) with type ∈ {long, int, double, boolean,
+    * string, array<double>} — the exact set [[rows]] decodes; anything
+    * else fails loudly. Layout matches Spark's writer (optional fields,
+    * 3-level LIST with `list`/`element` names, snappy), so the files stay
+    * readable by BOTH [[rows]] and `spark.read.parquet`. A null value
+    * omits the field (reads back as SQL NULL). The directory is replaced
+    * atomically-enough for the callers' protocols: all of them publish
+    * through a staged dir + rename CAS or a commit marker, so this write
+    * itself never needs to be atomic. */
+  def write(spark: SparkSession, dir: String,
+            schema: Seq[(String, String)], rows: Seq[Seq[Any]]): Unit = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation => LTA, Types => PT}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    fs.delete(p, true)
+    fs.mkdirs(p)
+    val builder = PT.buildMessage()
+    schema.foreach { case (name, tpe) => tpe match {
+      case "long"    => builder.optional(INT64).named(name)
+      case "int"     => builder.optional(INT32).named(name)
+      case "double"  => builder.optional(DOUBLE).named(name)
+      case "boolean" => builder.optional(BOOLEAN).named(name)
+      case "string"  => builder.optional(BINARY).as(LTA.stringType()).named(name)
+      case "array<double>" =>
+        builder.optionalGroup().as(LTA.listType())
+          .repeatedGroup().optional(DOUBLE).named("element").named("list")
+          .named(name)
+      case other => sys.error(s"TinyParquet.write: unsupported type '$other' " +
+        s"for field '$name' (metadata-store types are long/int/double/" +
+        "boolean/string/array<double> only)")
+    }}
+    val mt = builder.named("spark_schema")
+    val factory = new org.apache.parquet.example.data.simple.SimpleGroupFactory(mt)
+    val file = new Path(p, "part-00000.parquet")
+    val writer = {
+      @annotation.nowarn("cat=deprecation")
+      def build = org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(file).withConf(conf).withType(mt)
+        .withCompressionCodec(
+          org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+        .build()
+      build
+    }
+    try {
+      rows.foreach { vals =>
+        require(vals.size == schema.size,
+          s"TinyParquet.write: row arity ${vals.size} != schema arity ${schema.size}")
+        val g = factory.newGroup()
+        schema.zip(vals).foreach { case ((name, tpe), v) =>
+          if (v != null) tpe match {
+            case "long"    => g.add(name, v.asInstanceOf[Long])
+            case "int"     => g.add(name, v.asInstanceOf[Int])
+            case "double"  => g.add(name, v.asInstanceOf[Double])
+            case "boolean" => g.add(name, v.asInstanceOf[Boolean])
+            case "string"  => g.add(name, v.asInstanceOf[String])
+            case "array<double>" =>
+              val outer = g.addGroup(name)
+              v.asInstanceOf[Array[Double]].foreach { d =>
+                outer.addGroup("list").add("element", d)
+              }
+          }
+        }
+        writer.write(g)
+      }
+    } finally writer.close()
+    fs.create(new Path(p, "_SUCCESS"), true).close()
+    ()
+  }
+
   /** Spark's 3-level LIST of double: outer (LIST) group holds a repeated
     * inner group whose single field is the element. */
   private def doubleList(outer: Group): Array[Double] = {
