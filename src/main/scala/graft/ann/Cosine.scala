@@ -54,7 +54,12 @@ object Cosine {
     val q = e.where(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("emb").as("qemb"),
         col("nrm").as("qnrm"), col("label").as("qlabel"))
-    val base = e.crossJoin(broadcast(q))
+    // same serial-stream fix as thresholdPairs: the corpus side reads as
+    // one file, so the |corpus|·|queries| score loop otherwise runs in a
+    // single task; spreading it across the session's cores changes
+    // nothing about the scored set
+    val base = e.repartition(spark.sparkContext.defaultParallelism)
+      .crossJoin(broadcast(q))
     val filtered =
       if (negativesOnly) base.where(col("label") =!= col("qlabel"))
       else base.where(col("vec_id") =!= col("query_id"))
@@ -83,9 +88,19 @@ object Cosine {
     * near-dup; LSH-bucketed variant in [[HyperplaneLSH]]). */
   def thresholdPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
     val e = withNorm(spark, embeddings(spark, dir))
-    val a = e.select(col("vec_id").as("vec_a"), col("emb").as("ea"), col("nrm").as("na"))
+    // The O(N²) pair loop is the anchor's SEMANTICS; its parallelism is
+    // not. The corpus reads as one parquet file, so the broadcast
+    // nested-loop join streamed exactly ONE task through all N²/2 pairs
+    // (round-18 JobProf: 2.03 s of executor time in a 2.08 s single job).
+    // Repartitioning the streamed side spreads the same pair count across
+    // the session's cores — identical pair set, same broadcast build.
+    val a = e.repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("vec_a"), col("emb").as("ea"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("emb").as("eb"), col("nrm").as("nb"))
-    a.join(b, col("vec_a") < col("vec_b"))
+    // broadcast made explicit so the REPARTITIONED side is always the
+    // streamed one (the planner would otherwise pick a side by size
+    // estimate and could stream the un-repartitioned side serially)
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         round(fastCos(spark, col("ea"), col("na"), col("eb"), col("nb")), 6).as("cosine"))
       .where(col("cosine") >= threshold)

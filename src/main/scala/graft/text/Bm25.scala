@@ -97,6 +97,15 @@ object Bm25 {
       // quantize-then-exact-sum (§6 / Perplexity rule)
       .select(col("query_id"), col("doc_id"),
         (round(termScore, 10) + lit(0.0)).as("ts_q"))
+      // ONE explicit exchange on query_id that BOTH the candidate-sum
+      // aggregation (clustering by a subset of its group keys) and the
+      // rank window below reuse — replacing the two AQE-planned exchanges
+      // that coalesced this CPU-dense, small-bytes stage to a single task
+      // (round-18 JobProf: 1.81 s of the query's 2.38 s jobtime ran as one
+      // serial task — decimal candidate sums are exactly the CPU-heavy /
+      // byte-light shape AQE's size-based coalescing misjudges). The
+      // partition count follows the session's parallelism, not a constant.
+      .repartition(spark.sparkContext.defaultParallelism, col("query_id"))
       .groupBy("query_id", "doc_id")
       .agg(graft.sqlx.Exact.decSumAgg(col("ts_q")).as("s"))
     val w = org.apache.spark.sql.expressions.Window
